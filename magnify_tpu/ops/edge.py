@@ -1,0 +1,200 @@
+"""Fused edge-detection stack: normalize -> blur -> Scharr -> Canny.
+
+Device replacement for the OpenCV calls in the reference's circle finder
+(/root/reference/src/magnify/utils.py:115-142): 5x5 Gaussian blur, Scharr
+gradients, gradient-magnitude quantile thresholds, and Canny with L2 norm.
+Everything is expressed as XLA-fusable stencils; hysteresis runs as an
+iterated 3x3 dilation inside ``lax.while_loop`` until fixpoint, which XLA
+keeps entirely on device.
+
+Numerics track OpenCV: the blur rounds to uint8, Scharr runs on the rounded
+blur, Canny quantizes gradients to int16 (trunc) and compares squared
+magnitudes against squared thresholds with the same tg(22.5)/tg(67.5)
+fixed-point sector tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "canny",
+    "edge_pipeline",
+    "gaussian_blur5_u8",
+    "histogram_quantile",
+    "normalize_to_u8",
+    "scharr",
+]
+
+# OpenCV's fixed 5-tap Gaussian for ksize=5, sigma=0: [1, 4, 6, 4, 1] / 16.
+_GAUSS5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
+_TG22 = 13573  # tan(22.5 deg) in Q15, as used by OpenCV's Canny.
+
+
+def normalize_to_u8(img):
+    """Min-max normalize to [0, 255] with trunc cast (utils.to_uint8 on device)."""
+    img = img.astype(jnp.float32)
+    img = img - jnp.min(img)
+    peak = jnp.max(img)
+    img = jnp.where(peak > 0, 255.0 * img / peak, img)
+    return jnp.trunc(img).astype(jnp.float32)
+
+
+def _reflect101_pad(img, pad_h, pad_w):
+    return jnp.pad(img, ((pad_h, pad_h), (pad_w, pad_w)), mode="reflect")
+
+
+def _sepconv(img, krow, kcol):
+    """Separable 2-D correlation with BORDER_REFLECT_101 semantics."""
+    ph, pw = len(krow) // 2, len(kcol) // 2
+    x = _reflect101_pad(img, ph, pw)
+    # Convolve along rows then columns via shifted adds (kernels are tiny).
+    h, w = img.shape
+    out = jnp.zeros((h, w + 2 * pw), dtype=jnp.float32)
+    for i, kv in enumerate(krow):
+        if kv != 0.0:
+            out = out + kv * x[i : i + h, :]
+    out2 = jnp.zeros((h, w), dtype=jnp.float32)
+    for j, kv in enumerate(kcol):
+        if kv != 0.0:
+            out2 = out2 + kv * out[:, j : j + w]
+    return out2
+
+
+def gaussian_blur5_u8(img_u8):
+    """5x5 Gaussian blur on uint8-valued data, rounded back to uint8 range."""
+    blurred = _sepconv(img_u8.astype(jnp.float32), _GAUSS5, _GAUSS5)
+    return jnp.round(blurred)
+
+
+def scharr(img):
+    """Scharr dx, dy (float32), matching cv.Scharr's kernels and borders."""
+    smooth = np.array([3.0, 10.0, 3.0], dtype=np.float32)
+    deriv = np.array([-1.0, 0.0, 1.0], dtype=np.float32)
+    dx = _sepconv(img, smooth, deriv)
+    dy = _sepconv(img, deriv, smooth)
+    return dx, dy
+
+
+def canny(dx, dy, low_thresh, high_thresh):
+    """Canny edges from int16-quantized gradients with L2 magnitude.
+
+    Replicates cv.Canny(dx.astype(int16), dy.astype(int16), low, high,
+    L2gradient=True) (/root/reference/src/magnify/utils.py:128-134):
+    squared-magnitude thresholding, OpenCV's fixed-point sector
+    non-max-suppression, and 8-connected hysteresis.
+    """
+    # int16 truncation, as the reference applies before Canny.
+    xs = jnp.clip(jnp.trunc(dx), -32768, 32767).astype(jnp.int32)
+    ys = jnp.clip(jnp.trunc(dy), -32768, 32767).astype(jnp.int32)
+    mag = xs * xs + ys * ys  # L2 squared, exact in int32 for Scharr range
+    low2 = jnp.asarray(low_thresh, jnp.float32) ** 2
+    high2 = jnp.asarray(high_thresh, jnp.float32) ** 2
+    magf = mag.astype(jnp.float32)
+
+    # Neighbor magnitudes with a zero border.
+    mp = jnp.pad(magf, 1)
+
+    def shift(dr, dc):
+        h, w = magf.shape
+        return jax.lax.dynamic_slice(mp, (1 + dr, 1 + dc), (h, w))
+
+    left, right = shift(0, -1), shift(0, 1)
+    up, down = shift(-1, 0), shift(1, 0)
+    ul, ur = shift(-1, -1), shift(-1, 1)
+    dl, dr_ = shift(1, -1), shift(1, 1)
+
+    x_abs = jnp.abs(xs)
+    y_q15 = jnp.abs(ys) << 15
+    tg22x = x_abs * _TG22
+    tg67x = tg22x + (x_abs << 16)
+
+    horiz = y_q15 < tg22x
+    vert = y_q15 > tg67x
+    diag = ~horiz & ~vert
+    same_sign = (xs ^ ys) >= 0
+
+    keep_h = (magf > left) & (magf >= right)
+    keep_v = (magf > up) & (magf >= down)
+    # Diagonal sector: neighbors along the gradient direction. With matching
+    # signs the gradient runs along the main diagonal (ul/dr), otherwise the
+    # anti-diagonal (ur/dl).
+    keep_d_same = (magf > ul) & (magf > dr_)
+    keep_d_diff = (magf > ur) & (magf > dl)
+
+    keep = jnp.where(
+        horiz, keep_h,
+        jnp.where(vert, keep_v, jnp.where(same_sign, keep_d_same, keep_d_diff)),
+    )
+
+    cand = (magf > low2) & keep
+    strong = cand & (magf > high2)
+    weak = cand
+
+    # Hysteresis: grow strong seeds through weak pixels (8-connectivity)
+    # until fixpoint.
+    def dilate8(m):
+        p = jnp.pad(m, 1)
+        h, w = m.shape
+        acc = m
+        for drr in (-1, 0, 1):
+            for dcc in (-1, 0, 1):
+                if drr == 0 and dcc == 0:
+                    continue
+                acc = acc | jax.lax.dynamic_slice(p, (1 + drr, 1 + dcc), (h, w))
+        return acc
+
+    def cond(state):
+        cur, changed = state
+        return changed
+
+    def body(state):
+        cur, _ = state
+        grown = dilate8(cur) & weak | cur
+        return grown, jnp.any(grown != cur)
+
+    edges, _ = jax.lax.while_loop(cond, body, (strong, jnp.asarray(True)))
+    return edges
+
+
+def histogram_quantile(values, q, bins: int = 1 << 16):
+    """Approximate quantile via an on-device histogram CDF.
+
+    Replaces the reference's full ``np.quantile`` sort
+    (/root/reference/src/magnify/utils.py:126-127) with a fixed-shape
+    histogram + searchsorted: O(N) instead of O(N log N), no XLA sort, and a
+    worst-case value error of range/bins (~1e-5 of the gradient range), far
+    below the detector's tolerance to threshold perturbations.
+    """
+    flat = values.reshape(-1)
+    lo = jnp.min(flat)
+    hi = jnp.max(flat)
+    span = jnp.maximum(hi - lo, 1e-30)
+    idx = jnp.clip(((flat - lo) * (bins / span)).astype(jnp.int32), 0, bins - 1)
+    hist = jnp.zeros((bins,), jnp.int32).at[idx].add(1)
+    cdf = jnp.cumsum(hist)
+    n = flat.shape[0]
+    q = jnp.asarray(q, jnp.float32)
+    rank = q * (n - 1)
+    b = jnp.searchsorted(cdf.astype(jnp.float32), rank, side="right")
+    return lo + (b.astype(jnp.float32) + 0.5) * (span / bins)
+
+
+def edge_pipeline(img, low_edge_quantile, high_edge_quantile):
+    """normalize -> blur -> Scharr -> quantile thresholds -> Canny.
+
+    Returns (edges bool, dx, dy, grad_angles) where grad_angles come from the
+    float Scharr gradients (the scoring inputs at
+    /root/reference/src/magnify/utils.py:170).
+    """
+    u8 = normalize_to_u8(img)
+    blurred = gaussian_blur5_u8(u8)
+    dx, dy = scharr(blurred)
+    grad = jnp.sqrt(dx * dx + dy * dy)
+    low_t = histogram_quantile(grad, low_edge_quantile)
+    high_t = histogram_quantile(grad, high_edge_quantile)
+    edges = canny(dx, dy, low_t, high_t)
+    grad_angles = jnp.arctan2(dy, dx)
+    return edges, dx, dy, grad_angles

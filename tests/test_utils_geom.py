@@ -1,0 +1,123 @@
+"""Tests for host geometry utilities (the rasterization contract)."""
+
+import numpy as np
+import pytest
+
+from magnify_tpu import utils
+
+
+# Hand-traced expected perimeters for small radii (from the Bresenham walk
+# contract documented in utils.py).
+def as_set(pts):
+    return {tuple(p) for p in np.asarray(pts).tolist()}
+
+
+def test_circle_points_r1():
+    expected = {(0, -1), (-1, 0), (0, 1), (1, 0), (1, -1), (-1, 1), (-1, -1), (1, 1)}
+    assert as_set(utils.circle_points(1)) == expected
+
+
+def test_circle_points_r2():
+    expected = {(0, -2), (-2, 0), (0, 2), (2, 0),
+                (1, -2), (-2, 1), (-1, -2), (2, 1), (1, 2), (-2, -1), (-1, 2), (2, -1)}
+    assert as_set(utils.circle_points(2)) == expected
+
+
+def test_circle_points_r3():
+    expected = {(0, -3), (-3, 0), (0, 3), (3, 0),
+                (1, -3), (-3, 1), (-1, -3), (3, 1), (1, 3), (-3, -1), (-1, 3), (3, -1),
+                (2, -2), (-2, 2), (-2, -2), (2, 2)}
+    assert as_set(utils.circle_points(3)) == expected
+
+
+@pytest.mark.parametrize("r", [1, 2, 3, 5, 8, 10, 16, 25, 40])
+def test_circle_points_ring_properties(r):
+    pts = utils.circle_points(r)
+    s = as_set(pts)
+    assert len(s) == len(pts)  # no duplicates
+    # 8-way symmetric.
+    for a, b in s:
+        assert (b, a) in s and (-a, -b) in s and (a, -b) in s
+    # Points lie within 1 px of the ideal ring.
+    d = np.sqrt((pts ** 2).sum(axis=1))
+    assert np.all(np.abs(d - r) < 1.0)
+    # Contains the four axis extremes.
+    for p in [(0, r), (0, -r), (r, 0), (-r, 0)]:
+        assert p in s
+
+
+@pytest.mark.parametrize("r", [2, 5, 10, 20])
+def test_four_connected_perimeter(r):
+    pts = utils.circle_points(r, four_connected=True)
+    s = as_set(pts)
+    # Every point has a 4-neighbor in the set (connected ring, no diagonal-only
+    # steps needed).
+    for a, b in s:
+        assert any((a + da, b + db) in s for da, db in
+                   [(1, 0), (-1, 0), (0, 1), (0, -1)])
+
+
+@pytest.mark.parametrize("r", [1, 2, 3, 5, 8, 10, 14, 20, 32])
+def test_filled_circle_matches_extent_span(r):
+    filled = as_set(utils.filled_circle_points(r))
+    ext = utils.disk_extents(r)
+    span = {(a, b) for a in range(-r, r + 1)
+            for b in range(-int(ext[abs(a)]), int(ext[abs(a)]) + 1)}
+    assert filled == span
+    # No duplicates in the listing.
+    assert len(utils.filled_circle_points(r)) == len(filled)
+
+
+@pytest.mark.parametrize("r", [8, 10, 12, 16, 20])
+def test_filled_circle_area_near_pi_r2(r):
+    area = len(utils.filled_circle_points(r))
+    detected_radius = np.sqrt(area / np.pi)
+    assert 0.97 * r < detected_radius < 1.08 * r
+
+
+def test_bounding_box_center_and_edges():
+    # Interior: centered box.
+    assert utils.bounding_box(50, 40, 20, 100, 100) == (30, 50, 40, 60)
+    # Odd length: extra pixel goes after the center.
+    assert utils.bounding_box(50, 50, 21, 100, 100) == (40, 61, 40, 61)
+    # Near the top-left: slides, keeps size.
+    t, b, l, r = utils.bounding_box(3, 2, 20, 100, 100)
+    assert (b - t, r - l) == (20, 20) and t == 0 and l == 0
+    # Near the bottom-right: slides back.
+    t, b, l, r = utils.bounding_box(98, 99, 20, 100, 100)
+    assert (b - t, r - l) == (20, 20) and b == 100 and r == 100
+
+
+def test_to_uint8():
+    x = np.array([5.0, 10.0, 15.0])
+    out = utils.to_uint8(x)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, [0, 127, 255])
+    assert utils.to_uint8(np.zeros(3)).max() == 0
+    assert utils.to_uint8(np.array([])).dtype == np.uint8
+
+
+def test_circle_and_annulus_masks():
+    disk = utils.circle((21, 21), (10, 10), 5)
+    assert disk.sum() == len(utils.filled_circle_points(5))
+    ring = utils.circle((21, 21), (10, 10), 5, thickness=1)
+    assert ring.sum() == len(utils.circle_points(5))
+    ann = utils.annulus((21, 21), (10, 10), 7, 3, value=1)
+    assert ann.sum() == (len(utils.filled_circle_points(7))
+                         - len(utils.filled_circle_points(3)))
+    # Off-image circles clip cleanly.
+    edge = utils.circle((10, 10), (0, 0), 4)
+    assert edge.sum() > 0
+
+
+def test_misc_helpers():
+    assert utils.ceildiv(7, 2) == 4
+    assert utils.to_list(None) == []
+    assert utils.to_list("abc") == ["abc"]
+    assert utils.to_list((1, 2)) == [1, 2]
+    assert utils.natural_sort_key("a10b2") < utils.natural_sort_key("a10b11")
+
+    def f(a, b=1):
+        return a
+
+    assert utils.valid_kwargs({"b": 2, "c": 3}, f) == {"b": 2}
