@@ -1,0 +1,724 @@
+"""Marker finding: beads and chip buttons (the heaviest components).
+
+TPU-first re-design of /root/reference/src/magnify/find.py:
+
+* Detection (edges, RANSAC, scoring, NMS) runs as the fused device program in
+  :mod:`magnify_tpu.ops.detect`.
+* Bead ownership labels (reference ``utils.circle_labels``, find.py:561) are
+  computed per-ROI on device from neighbor lists instead of painting a global
+  label raster: a pixel's foreground/background status is a closed-form
+  function of how many bead disks cover it.
+* ROI crops are batched ``dynamic_slice`` gathers (ops.geom.extract_rois)
+  instead of per-marker numpy loops (find.py:589-602).
+* The chip pipeline's per-chamber re-detection (find.py:324-402) runs as one
+  vmapped program over all R x C chambers.
+* Large roi/fg/bg outputs are disk-backed memmaps (the dask-allocation
+  equivalent), so terabyte-scale stacks stay out-of-core.
+
+Host-side geometry (1-D clustering, per-cluster regression, line
+intersections) mirrors find.py:632-748 with the offset sweep vectorized via
+prefix sums.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.spatial
+
+from magnify_tpu import utils
+from magnify_tpu.core import Variable
+from magnify_tpu.core.lazy import alloc_output
+from magnify_tpu.core.registry import components
+from magnify_tpu.ops import detect as ops_detect
+from magnify_tpu.ops import geom as ops_geom
+
+
+def _progress(iterable, enabled):
+    if not enabled:
+        return iterable
+    try:
+        import tqdm
+
+        return tqdm.tqdm(iterable)
+    except ImportError:
+        return iterable
+
+
+def _channel_values(assay):
+    if "channel" in assay.coords:
+        return list(assay["channel"].values.tolist())
+    return list(range(assay.sizes["channel"]))
+
+
+def _channel_index(assay, channel):
+    vals = _channel_values(assay)
+    return vals.index(channel)
+
+
+# ---------------------------------------------------------------------------
+# Device helpers
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("roi_length", "max_radius",
+                                             "max_neighbors"))
+def _bead_masks(beads, tops, lefts, neighbor_idx, *, roi_length, max_radius,
+                max_neighbors):
+    """Per-bead fg/bg masks from disk-coverage counting.
+
+    Equivalent to cropping the reference's painted ownership raster
+    (find.py:561-586): fg = pixels covered by this bead only, bg = pixels
+    covered by no bead.
+    """
+    lut = jnp.asarray(ops_geom.extent_lut(max_radius))
+    n = beads.shape[0]
+
+    def cover(window_rows, window_cols, bead):
+        # window_rows/cols: (L,) absolute coordinates.
+        dr = jnp.abs(window_rows - bead[0])
+        dc = jnp.abs(window_cols - bead[1])
+        r = jnp.clip(bead[2], 0, max_radius)
+        width = jnp.where(dr <= r, lut[r, jnp.minimum(dr, max_radius)], -1)
+        return dc[None, :] <= width[:, None]
+
+    def one(i):
+        top, left = tops[i], lefts[i]
+        rows = top + jnp.arange(roi_length)
+        cols = left + jnp.arange(roi_length)
+
+        def body(k, state):
+            count, owned = state
+            j = neighbor_idx[i, k]
+            bead = beads[jnp.maximum(j, 0)]
+            c = cover(rows, cols, bead) & (j >= 0)
+            count = count + c.astype(jnp.int32)
+            owned = owned | (c & (j == i))
+            return count, owned
+
+        count0 = jnp.zeros((roi_length, roi_length), jnp.int32)
+        owned0 = jnp.zeros((roi_length, roi_length), bool)
+        count, owned = jax.lax.fori_loop(0, max_neighbors, body,
+                                         (count0, owned0))
+        fg = owned & (count == 1)
+        bg = count == 0
+        return fg, bg
+
+    return jax.vmap(one)(jnp.arange(n))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("roi_length", "max_radius", "chamber_radius",
+                     "inner_radius"),
+)
+def _button_masks(y_rel, x_rel, radii, *, roi_length, max_radius,
+                  chamber_radius, inner_radius):
+    """fg = detected-button disk, bg = chamber annulus (find.py:383-397)."""
+    def one(yr, xr, rad):
+        fg = ops_geom.disk_mask((roi_length, roi_length), yr, xr, rad,
+                                max_radius)
+        bg = ops_geom.annulus_mask((roi_length, roi_length), yr, xr,
+                                   chamber_radius, inner_radius,
+                                   max(max_radius, int(chamber_radius)))
+        return fg, bg
+
+    return jax.vmap(one)(y_rel, x_rel, radii)
+
+
+def _extract_rois_host(images, xs, ys, roi_length):
+    """Batched ROI crop. images (C, H, W) or (H, W); returns numpy
+    (N, C, L, L) plus the (top, left) corners used."""
+    h, w = images.shape[-2:]
+    tops = np.empty(len(xs), np.int32)
+    lefts = np.empty(len(xs), np.int32)
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        top, _, left, _ = utils.bounding_box(
+            int(round(float(x))), int(round(float(y))), roi_length, w, h
+        )
+        tops[i], lefts[i] = top, left
+    if len(xs) == 0:
+        lead = images.shape[:-2]
+        return (np.empty((0,) + lead + (roi_length, roi_length),
+                         images.dtype), tops, lefts)
+    rois = ops_geom.extract_rois(jnp.asarray(images), jnp.asarray(tops),
+                                 jnp.asarray(lefts), roi_length)
+    return np.asarray(rois), tops, lefts
+
+
+# ---------------------------------------------------------------------------
+# BeadFinder
+# ---------------------------------------------------------------------------
+
+class BeadFinder:
+    """Find beads in a stitched image (reference find.py:445-629)."""
+
+    def __init__(
+        self,
+        min_bead_diameter: int,
+        max_bead_diameter: int,
+        low_edge_quantile: float,
+        high_edge_quantile: float,
+        num_iter: int,
+        min_roundness: float,
+        roi_length: int | None,
+        search_channel,
+        interactive: bool,
+    ):
+        if min_bead_diameter > max_bead_diameter:
+            raise ValueError("min_bead_diameter must be <= max_bead_diameter.")
+        self.min_bead_radius = math.floor(min_bead_diameter / 2)
+        self.max_bead_radius = math.ceil(max_bead_diameter / 2)
+        self.low_edge_quantile = low_edge_quantile
+        self.high_edge_quantile = high_edge_quantile
+        self.num_iter = num_iter
+        self.min_roundness = min_roundness
+        self.roi_length = roi_length if roi_length is not None else 2 * max_bead_diameter
+        self.search_channels = utils.to_list(search_channel)
+        self.gui = None
+        if interactive:
+            from magnify_tpu.plot.vis import InteractiveUI
+
+            self.gui = InteractiveUI()
+
+    def __call__(self, assay):
+        search_channels = self.search_channels or _channel_values(assay)
+
+        beads = np.empty((0, 3))
+        for channel in search_channels:
+            image = assay.image.isel(time=0).sel(channel=channel).to_numpy()
+            found = ops_detect.find_circles(
+                image,
+                low_edge_quantile=self.low_edge_quantile,
+                high_edge_quantile=self.high_edge_quantile,
+                grid_length=20,
+                num_iter=self.num_iter,
+                min_radius=self.min_bead_radius,
+                max_radius=self.max_bead_radius,
+                min_dist=self.min_bead_radius,
+                min_roundness=self.min_roundness,
+                gui=self.gui,
+            )[0]
+            found = found.astype(float)
+            if len(beads) > 0 and len(found) > 0:
+                # Cross-channel dedupe (reference find.py:490-500).
+                tree = scipy.spatial.KDTree(beads[:, :2])
+                neighbors = tree.query_ball_point(found[:, :2],
+                                                  2 * self.min_bead_radius)
+                dup = np.array([len(nb) > 0 for nb in neighbors])
+                found = found[~dup]
+            beads = np.concatenate([beads, found])
+
+        num_beads = len(beads)
+        sizes = assay.sizes
+        n_ch, n_t = sizes["channel"], sizes["time"]
+        L = self.roi_length
+
+        roi = alloc_output("roi", (num_beads, n_ch, n_t, L, L),
+                           assay["image"].dtype)
+        fg = alloc_output("fg", (num_beads, n_t, L, L), bool)
+        bg = alloc_output("bg", (num_beads, n_t, L, L), bool)
+
+        assay["roi"] = Variable(("mark", "channel", "time", "roi_y", "roi_x"),
+                                roi)
+        assay = assay.assign_coords(
+            fg=(("mark", "time", "roi_y", "roi_x"), fg),
+            bg=(("mark", "time", "roi_y", "roi_x"), bg),
+            x=(("mark", "time"),
+               np.repeat(beads[:, 1:2], n_t, axis=1)),
+            y=(("mark", "time"),
+               np.repeat(beads[:, 0:1], n_t, axis=1)),
+            valid=(("mark", "time"), np.ones((num_beads, n_t), bool)),
+        )
+        if num_beads == 0:
+            return assay
+
+        # fg/bg from ownership counting (beads assumed static across time,
+        # matching find.py:564).
+        ints = np.round(beads).astype(np.int32)
+        h, w = sizes["im_y"], sizes["im_x"]
+        tops = np.empty(num_beads, np.int32)
+        lefts = np.empty(num_beads, np.int32)
+        for i in range(num_beads):
+            top, _, left, _ = utils.bounding_box(
+                int(round(beads[i, 1])), int(round(beads[i, 0])), L, w, h
+            )
+            tops[i], lefts[i] = top, left
+
+        # Neighbor lists: beads whose disks can reach each bead's window.
+        reach = L / 2 + self.max_bead_radius + 2
+        tree = scipy.spatial.KDTree(ints[:, :2])
+        centers = np.stack([tops + L // 2, lefts + L // 2], axis=1)
+        neighbor_lists = tree.query_ball_point(centers, reach * np.sqrt(2),
+                                               p=np.inf)
+        max_nb = max(len(nb) for nb in neighbor_lists)
+        neighbor_idx = -np.ones((num_beads, max_nb), np.int32)
+        for i, nb in enumerate(neighbor_lists):
+            neighbor_idx[i, : len(nb)] = nb
+
+        fg_dev, bg_dev = _bead_masks(
+            jnp.asarray(ints), jnp.asarray(tops), jnp.asarray(lefts),
+            jnp.asarray(neighbor_idx), roi_length=L,
+            max_radius=self.max_bead_radius, max_neighbors=max_nb,
+        )
+        fg[:] = np.asarray(fg_dev)[:, None]
+        bg[:] = np.asarray(bg_dev)[:, None]
+
+        # ROI crops, one channel at a time to bound transfer peaks
+        # (find.py:589-602).
+        tops_j = jnp.asarray(tops)
+        lefts_j = jnp.asarray(lefts)
+        for ci in range(n_ch):
+            image = assay.image.isel(channel=ci).to_numpy()  # (time, H, W)
+            crops = ops_geom.extract_rois(jnp.asarray(image), tops_j, lefts_j,
+                                          L)
+            roi[:, ci] = np.asarray(crops)
+
+        assay.cache(["roi", "fg", "bg"])
+        return assay
+
+    @components.register("find_beads")
+    def make(
+        min_bead_diameter: int,
+        max_bead_diameter: int,
+        low_edge_quantile: float,
+        high_edge_quantile: float,
+        num_iter: int,
+        min_roundness: float,
+        roi_length: int,
+        search_channel,
+        interactive: bool,
+    ):
+        return BeadFinder(
+            min_bead_diameter=min_bead_diameter,
+            max_bead_diameter=max_bead_diameter,
+            low_edge_quantile=low_edge_quantile,
+            high_edge_quantile=high_edge_quantile,
+            num_iter=num_iter,
+            min_roundness=min_roundness,
+            roi_length=roi_length,
+            search_channel=search_channel,
+            interactive=interactive,
+        )
+
+
+# ---------------------------------------------------------------------------
+# ButtonFinder
+# ---------------------------------------------------------------------------
+
+class ButtonFinder:
+    """Find chip buttons on a grid (reference find.py:13-442)."""
+
+    def __init__(
+        self,
+        row_dist: float,
+        col_dist: float,
+        min_button_diameter: int,
+        max_button_diameter: int,
+        chamber_diameter: int,
+        top_chamber,
+        left_chamber,
+        low_edge_quantile: float,
+        high_edge_quantile: float,
+        num_iter: int,
+        min_roundness: float,
+        cluster_penalty: float,
+        roi_length: int | None,
+        progress_bar: bool,
+        search_timestep,
+        search_channel,
+        interactive: bool,
+    ):
+        if min_button_diameter > max_button_diameter:
+            raise ValueError("min_button_diameter must be <= max_button_diameter.")
+        self.row_dist = row_dist
+        self.col_dist = col_dist
+        self.min_button_radius = math.floor(min_button_diameter / 2)
+        self.max_button_radius = math.ceil(max_button_diameter / 2)
+        self.chamber_radius = round(chamber_diameter / 2)
+        self.top_chamber = top_chamber
+        self.left_chamber = left_chamber
+        self.low_edge_quantile = low_edge_quantile
+        self.high_edge_quantile = high_edge_quantile
+        self.num_iter = num_iter
+        self.min_roundness = min_roundness
+        self.cluster_penalty = cluster_penalty
+        self.roi_length = (roi_length if roi_length is not None
+                           else round(1.2 * chamber_diameter))
+        self.progress_bar = progress_bar
+        self.search_timesteps = sorted(utils.to_list(search_timestep))
+        self.search_channels = utils.to_list(search_channel)
+        self.gui = None
+        if interactive:
+            from magnify_tpu.plot.vis import InteractiveUI
+
+            self.gui = InteractiveUI()
+
+    def __call__(self, assay):
+        search_channels = self.search_channels or _channel_values(assay)
+        num_rows, num_cols = assay["tag"].shape
+        sizes = assay.sizes
+        n_ch, n_t = sizes["channel"], sizes["time"]
+        h, w = sizes["im_y"], sizes["im_x"]
+        L = self.roi_length
+
+        roi = alloc_output("roi", (num_rows, num_cols, n_ch, n_t, L, L),
+                           assay["image"].dtype)
+        fg = alloc_output("fg", (num_rows, num_cols, n_t, L, L), bool)
+        bg = alloc_output("bg", (num_rows, num_cols, n_t, L, L), bool)
+        x = np.zeros((num_rows, num_cols, n_t))
+        y = np.zeros((num_rows, num_cols, n_t))
+        valid = assay["valid"].transpose(
+            "mark_row", "mark_col", "time").to_numpy().copy()
+        tag = assay["tag"].to_numpy()
+
+        for t in _progress(self.search_timesteps, self.progress_bar):
+            images = assay.image.isel(time=t).to_numpy()  # (channel, H, W)
+            search_imgs = images[[_channel_index(assay, c)
+                                  for c in search_channels]]
+            x[..., t], y[..., t] = self.find_centers(search_imgs, assay, tag)
+            (roi[:, :, :, t], fg[:, :, t], bg[:, :, t], x[..., t], y[..., t],
+             valid[..., t]) = self.find_rois(
+                images, tag, x[..., t], y[..., t], valid[..., t],
+                [_channel_index(assay, c) for c in search_channels],
+            )
+
+        for t in _progress(range(n_t), self.progress_bar):
+            if t in self.search_timesteps:
+                continue
+            copy_t = (self.search_timesteps[0]
+                      if t < self.search_timesteps[0] else t - 1)
+            images = assay.image.isel(time=t).to_numpy()
+            xs = x[..., copy_t].reshape(-1)
+            ys = y[..., copy_t].reshape(-1)
+            crops, _tops, _lefts = _extract_rois_host(images, xs, ys, L)
+            roi[:, :, :, t] = crops.reshape(num_rows, num_cols, n_ch, L, L)
+            fg[:, :, t] = fg[:, :, copy_t]
+            bg[:, :, t] = bg[:, :, copy_t]
+            x[..., t] = x[..., copy_t]
+            y[..., t] = y[..., copy_t]
+            valid[..., t] = valid[..., copy_t]
+
+        assay["roi"] = Variable(
+            ("mark_row", "mark_col", "channel", "time", "roi_y", "roi_x"), roi
+        )
+        assay = assay.assign_coords(
+            fg=(("mark_row", "mark_col", "time", "roi_y", "roi_x"), fg),
+            bg=(("mark_row", "mark_col", "time", "roi_y", "roi_x"), bg),
+            x=(("mark_row", "mark_col", "time"), x),
+            y=(("mark_row", "mark_col", "time"), y),
+            valid=(("mark_row", "mark_col", "time"), valid),
+        )
+        assay = assay.stack(mark=("mark_row", "mark_col")).transpose("mark", ...)
+        assay.cache(["roi", "fg", "bg"])
+        return assay
+
+    def find_centers(self, images, assay, tag):
+        """Grid-constrained center estimation (reference find.py:205-306)."""
+        points = np.empty((0, 2))
+        min_button_dist = self.chamber_radius
+        img_shape = images.shape[-2:]
+        for image in images:
+            found = ops_detect.find_circles(
+                image,
+                low_edge_quantile=self.low_edge_quantile,
+                high_edge_quantile=self.high_edge_quantile,
+                grid_length=20,
+                num_iter=self.num_iter,
+                min_radius=self.min_button_radius,
+                max_radius=self.max_button_radius,
+                min_dist=min_button_dist,
+                min_roundness=self.min_roundness,
+                gui=self.gui,
+            )[0][:, :2].astype(float)
+            if len(points) > 0 and len(found) > 0:
+                dists = np.linalg.norm(points[None] - found[:, None], axis=2)
+                found = found[np.min(dists, axis=1) > min_button_dist]
+            points = np.concatenate([points, found])
+
+        xs, ys = points[:, 1], points[:, 0]
+        points_per_row = (tag != "").sum(axis=1)
+        points_per_col = (tag != "").sum(axis=0)
+        num_rows, num_cols = tag.shape
+
+        if self.top_chamber is None:
+            row_labels = cluster_1d(
+                ys, total_length=img_shape[0], num_clusters=num_rows,
+                cluster_length=self.row_dist, ideal_num_points=points_per_row,
+                penalty=self.cluster_penalty,
+            )
+        else:
+            row_labels = label_clusters(
+                ys, offset=self.top_chamber, num_clusters=num_rows,
+                cluster_length=2 * self.chamber_radius,
+                cluster_gap=self.row_dist - 2 * self.chamber_radius,
+            )
+        if self.left_chamber is None:
+            col_labels = cluster_1d(
+                xs, total_length=img_shape[1], num_clusters=num_cols,
+                cluster_length=self.col_dist, ideal_num_points=points_per_col,
+                penalty=self.cluster_penalty,
+            )
+        else:
+            col_labels = label_clusters(
+                xs, offset=self.left_chamber, num_clusters=num_cols,
+                cluster_length=2 * self.chamber_radius,
+                cluster_gap=self.col_dist - 2 * self.chamber_radius,
+            )
+
+        in_cluster = (row_labels >= 0) & (col_labels >= 0)
+        xs, ys = xs[in_cluster], ys[in_cluster]
+        col_labels = col_labels[in_cluster]
+        row_labels = row_labels[in_cluster]
+
+        row_slope, row_intercepts = regress_clusters(
+            xs, ys, labels=row_labels, num_clusters=num_rows,
+            ideal_num_points=points_per_row,
+        )
+        # Columns regress with axes swapped to avoid near-vertical slopes.
+        col_slope, col_intercepts = regress_clusters(
+            ys, xs, labels=col_labels, num_clusters=num_cols,
+            ideal_num_points=points_per_col,
+        )
+
+        mark_y = (row_slope * col_intercepts[None] + row_intercepts[:, None]) / (
+            1 - row_slope * col_slope
+        )
+        mark_x = mark_y * col_slope + col_intercepts[None]
+        return mark_x, mark_y
+
+    def find_rois(self, images, tag, x, y, valid, search_channel_idxs):
+        """Batched per-chamber refinement (reference find.py:308-402)."""
+        num_rows, num_cols = tag.shape
+        n = num_rows * num_cols
+        n_ch = images.shape[0]
+        L = self.roi_length
+        h, w = images.shape[-2:]
+
+        xs = x.reshape(-1)
+        ys = y.reshape(-1)
+        crops, tops, lefts = _extract_rois_host(images, xs, ys, L)
+
+        roi_iter = max(self.num_iter // n, 1)
+        high_q = 1 - np.pi * self.min_button_radius / L**2
+
+        best_score = np.full(n, -np.inf)
+        best_circle = np.zeros((n, 3), np.int32)
+        for ci in search_channel_idxs:
+            circles, scores, found = ops_detect.detect_best_in_rois(
+                crops[:, ci],
+                low_edge_quantile=self.low_edge_quantile,
+                high_edge_quantile=high_q,
+                grid_length=20,
+                num_iter=roi_iter,
+                min_radius=self.min_button_radius,
+                max_radius=self.max_button_radius,
+                min_roundness=self.min_roundness,
+            )
+            better = found & (scores > best_score)
+            best_score = np.where(better, scores, best_score)
+            best_circle = np.where(better[:, None], circles, best_circle)
+
+        refined = np.isfinite(best_score) & (tag.reshape(-1) != "")
+        new_y = np.where(refined, best_circle[:, 0] + tops, np.round(ys))
+        new_x = np.where(refined, best_circle[:, 1] + lefts, np.round(xs))
+        radius = np.where(refined, best_circle[:, 2], self.max_button_radius)
+        out_x = np.where(refined, new_x.astype(float), xs)
+        out_y = np.where(refined, new_y.astype(float), ys)
+
+        # Re-crop at refined centers so the button is centered
+        # (find.py:369-377).
+        crops, tops, lefts = _extract_rois_host(images, out_x, out_y, L)
+        x_rel = np.round(out_x).astype(np.int32) - lefts
+        y_rel = np.round(out_y).astype(np.int32) - tops
+
+        fg_dev, bg_dev = _button_masks(
+            jnp.asarray(y_rel), jnp.asarray(x_rel), jnp.asarray(radius),
+            roi_length=L, max_radius=self.max_button_radius,
+            chamber_radius=self.chamber_radius,
+            inner_radius=self.max_button_radius,
+        )
+
+        return (
+            crops.reshape(num_rows, num_cols, n_ch, L, L),
+            np.asarray(fg_dev).reshape(num_rows, num_cols, L, L),
+            np.asarray(bg_dev).reshape(num_rows, num_cols, L, L),
+            out_x.reshape(num_rows, num_cols),
+            out_y.reshape(num_rows, num_cols),
+            valid,
+        )
+
+    @components.register("find_buttons")
+    def make(
+        row_dist: float,
+        col_dist: float,
+        min_button_diameter: int,
+        max_button_diameter: int,
+        chamber_diameter: int,
+        top_chamber,
+        left_chamber,
+        low_edge_quantile: float,
+        high_edge_quantile: float,
+        num_iter: int,
+        min_roundness: float,
+        cluster_penalty: float,
+        roi_length: int | None,
+        progress_bar: bool,
+        search_timestep,
+        search_channel,
+        interactive: bool,
+    ):
+        return ButtonFinder(
+            row_dist=row_dist,
+            col_dist=col_dist,
+            min_button_diameter=min_button_diameter,
+            max_button_diameter=max_button_diameter,
+            chamber_diameter=chamber_diameter,
+            top_chamber=top_chamber,
+            left_chamber=left_chamber,
+            low_edge_quantile=low_edge_quantile,
+            high_edge_quantile=high_edge_quantile,
+            num_iter=num_iter,
+            min_roundness=min_roundness,
+            cluster_penalty=cluster_penalty,
+            roi_length=roi_length,
+            progress_bar=progress_bar,
+            search_timestep=search_timestep,
+            search_channel=search_channel,
+            interactive=interactive,
+        )
+
+
+# ---------------------------------------------------------------------------
+# 1-D clustering + regression (host geometry, reference find.py:632-748)
+# ---------------------------------------------------------------------------
+
+def cluster_1d(
+    points: np.ndarray,
+    total_length: int,
+    num_clusters: int,
+    cluster_length: float,
+    ideal_num_points: np.ndarray,
+    penalty: float,
+) -> np.ndarray:
+    """Exhaustive 1-D grid-offset sweep, vectorized over all offsets.
+
+    Same cost model as the reference (find.py:632-677): per-cluster point
+    variance scaled by sqrt(ideal count) plus a quadratic count-mismatch
+    penalty; empty clusters cost the per-offset maximum. Labels outliers -1.
+    The O(offsets x clusters) sweep is computed with prefix sums instead of
+    a Python loop.
+    """
+    n_offsets = total_length - round(num_clusters * cluster_length)
+    if n_offsets <= 0:
+        raise ValueError(
+            "cluster_1d: num_clusters * cluster_length exceeds total_length."
+        )
+    permutation = np.argsort(points)
+    pts = points[permutation]
+    ideal = np.asarray(ideal_num_points, dtype=float)
+
+    offsets = np.arange(n_offsets)[:, None]
+    edges = np.arange(num_clusters + 1) * cluster_length + offsets  # (O, C+1)
+    centers = (edges[:, 1:] + edges[:, :-1]) / 2
+
+    spans = np.searchsorted(pts, edges)  # (O, C+1)
+    s, e = spans[:, :-1], spans[:, 1:]
+    counts = e - s
+
+    p1 = np.concatenate([[0.0], np.cumsum(pts)])
+    p2 = np.concatenate([[0.0], np.cumsum(pts**2)])
+    sum1 = p1[e] - p1[s]
+    sum2 = p2[e] - p2[s]
+    sq_dev = sum2 - 2 * centers * sum1 + counts * centers**2
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = np.where(counts > 0, sq_dev / np.maximum(counts, 1), 0.0)
+    row_max = var.max(axis=1, keepdims=True)
+    var = np.where(counts == 0, row_max, var)
+    cost = var * np.sqrt(ideal) + penalty * (ideal - counts) ** 2
+    totals = cost.sum(axis=1)
+    best = int(np.argmin(totals))
+    best_spans = spans[best]
+
+    labels = -np.ones(len(pts), dtype=int)
+    labels[best_spans[0]: best_spans[-1]] = np.repeat(
+        np.arange(num_clusters), best_spans[1:] - best_spans[:-1]
+    )
+    return labels[np.argsort(permutation)]
+
+
+def label_clusters(points, offset, num_clusters, cluster_length, cluster_gap):
+    """Fixed-geometry cluster labeling when the chip boundary is known
+    (reference find.py:680-695)."""
+    permutation = np.argsort(points)
+    pts = points[permutation]
+    labels = -np.ones(len(pts), dtype=int)
+    increments = [offset] + ([cluster_length, cluster_gap] * num_clusters)[:-1]
+    edges = np.cumsum(increments)
+    spans = np.searchsorted(pts, edges)
+    for i in range(num_clusters):
+        labels[spans[2 * i]: spans[2 * i + 1]] = i
+    return labels[np.argsort(permutation)]
+
+
+def _linregress(x, y):
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    xm, ym = x.mean(), y.mean()
+    denom = ((x - xm) ** 2).sum()
+    if denom == 0:
+        return np.nan, ym
+    slope = ((x - xm) * (y - ym)).sum() / denom
+    return slope, ym - slope * xm
+
+
+def regress_clusters(
+    x: np.ndarray,
+    y: np.ndarray,
+    labels: np.ndarray,
+    num_clusters: int,
+    ideal_num_points: np.ndarray,
+) -> tuple:
+    """Robust per-cluster line fits (reference find.py:698-748): median
+    slope across clusters, per-cluster median intercepts, then a weighted
+    blend with a global evenly-spaced-intercept fit to tolerate outliers and
+    stitching offsets."""
+    if num_clusters == 1:
+        if len(x) == 1:
+            return 0, y
+        return _linregress(x, y)
+
+    slopes = np.full(num_clusters, np.nan)
+    intercepts = np.full(num_clusters, np.nan)
+    cluster_points = [(x[labels == i], y[labels == i])
+                      for i in range(num_clusters)]
+    for i, (cx, cy) in enumerate(cluster_points):
+        if len(cx) > 1:
+            slopes[i], intercepts[i] = _linregress(cx, cy)
+        elif (i == 0 or i == num_clusters - 1) and ideal_num_points[i] >= 2:
+            print(
+                "Boundary cluster has fewer than 2 points."
+                "The chip is unlikely to be segmented correctly."
+            )
+
+    slope = np.nanmedian(slopes)
+    for i, (cx, cy) in enumerate(cluster_points):
+        if len(cx) > 0:
+            intercepts[i] = np.median(cy - slope * cx)
+
+    not_nan = ~np.isnan(intercepts)
+    idxs = np.arange(num_clusters)
+    global_m, global_b = _linregress(idxs[not_nan], intercepts[not_nan])
+    for i, (cx, _cy) in enumerate(cluster_points):
+        if ideal_num_points[i] != 0 and not_nan[i]:
+            weight = min(len(cx), ideal_num_points[i]) / ideal_num_points[i]
+            intercepts[i] = (weight * intercepts[i]
+                             + (1 - weight) * (global_m * i + global_b))
+        else:
+            intercepts[i] = global_m * i + global_b
+
+    return slope, intercepts

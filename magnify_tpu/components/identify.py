@@ -1,0 +1,262 @@
+"""Marker identification: pinlist tagging and MRBLEs spectral decoding.
+
+Mirrors /root/reference/src/magnify/identify.py. The mrbles decoder's three
+compute stages run on device:
+
+* per-bead lanthanide intensities (masked fg mean minus bg median over the
+  ROI stack) as one fused reduction,
+* the 100x100 affine grid search per lanthanide dim (reference ``fit_1d``
+  numba kernel, identify.py:107-147) as a vmapped cost evaluation,
+* the 50-iteration Gaussian-mixture EM with a uniform outlier component
+  (identify.py:161-219) as a ``lax.fori_loop`` over einsum-shaped updates.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import scipy.spatial
+
+from magnify_tpu.core.registry import component
+from magnify_tpu.ops.reduce import fg_mean_bg_median
+
+__all__ = ["identify_buttons", "identify_mrbles"]
+
+
+@component("identify_buttons")
+def identify_buttons(assay, shape=None, pinlist=None, blank=None):
+    """Attach chamber tags from a pinlist CSV or a default-filled shape
+    (reference identify.py:13-47)."""
+    if blank is None:
+        blank = ["", "blank", "BLANK"]
+
+    if pinlist is not None:
+        df = pd.read_csv(pinlist)
+        indices = df["Indices"].apply(
+            lambda s: [int(v) for v in re.sub(r"[\(\)]", "", s).split(",")]
+        )
+        names = df["MutantID"].astype(object)
+        names = names.where(~names.isin(blank), "")
+        names = names.fillna("").to_numpy(dtype=str)
+        cols, rows = np.array(indices.to_list()).T - 1
+        names_array = np.empty((rows.max() + 1, cols.max() + 1), dtype=names.dtype)
+        names_array.fill("")
+        names_array[rows, cols] = names
+    elif shape is not None:
+        names_array = np.empty((shape[0], shape[1]), dtype="<U200")
+        names_array.fill("default")
+    else:
+        raise ValueError("Either pinlist or shape must be provided.")
+
+    return assay.assign_coords(
+        tag=(("mark_row", "mark_col"), names_array),
+        valid=(
+            ("mark_row", "mark_col", "time"),
+            np.ones(names_array.shape + (assay.sizes["time"],), bool),
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid",))
+def _fit_affine_1d(points_sorted, codes, counts, n_grid: int = 100):
+    """Best (scale, offset) aligning a 1-D code lattice to sorted points.
+
+    Vmapped version of the reference's numba grid search (identify.py:107-147):
+    points are assigned to the nearest lattice cluster by midpoint boundaries,
+    cost = 100 * mean per-cluster MSE + mean squared cluster-size mismatch.
+    """
+    n_codes = codes.shape[0]
+    n_pts = points_sorted.shape[0]
+    scale = (points_sorted[-1] - points_sorted[0]) / jnp.maximum(
+        codes[-1] - codes[0], 1e-30
+    )
+    a_grid = jnp.linspace(0.75 * scale, 1.25 * scale, n_grid)
+    p_grid = jnp.linspace(
+        points_sorted[0],
+        0.25 * points_sorted[-1] + 0.75 * points_sorted[0],
+        n_grid,
+    )
+
+    p1 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(points_sorted)])
+    p2 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(points_sorted**2)])
+
+    def cost_fn(a, p):
+        clusters = a * codes + p
+        mids = (clusters[:-1] + clusters[1:]) / 2
+        spans = jnp.searchsorted(points_sorted, mids)
+        starts = jnp.concatenate([jnp.zeros(1, spans.dtype), spans])
+        ends = jnp.concatenate([spans, jnp.full((1,), n_pts, spans.dtype)])
+        n = (ends - starts).astype(jnp.float32)
+        s1 = p1[ends] - p1[starts]
+        s2 = p2[ends] - p2[starts]
+        mse = (s2 - 2 * clusters * s1 + n * clusters**2) / jnp.maximum(n, 1)
+        mse = jnp.where(n > 0, mse, jnp.inf)
+        size_term = ((n / n_pts - counts / counts.sum()) ** 2).mean()
+        return 100 * mse.mean() + size_term
+
+    costs = jax.vmap(
+        lambda a: jax.vmap(lambda p: cost_fn(a, p))(p_grid)
+    )(a_grid)
+    idx = jnp.argmin(costs)
+    return a_grid[idx // n_grid], p_grid[idx % n_grid]
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def _gmm_em(X, means0, covs0, proportions0, bounds_log_vol, num_iters: int = 50):
+    """EM for a Gaussian mixture plus one uniform outlier component
+    (reference identify.py:188-219), in log space with shared covariance
+    regularization."""
+    n, d = X.shape
+    k = means0.shape[0]
+    uniform_logp = -bounds_log_vol
+
+    def step(_, state):
+        means, covs, proportions, probs, ok = state
+        diff = X[:, None, :] - means[None, :, :]
+        det = jnp.linalg.det(covs)
+        inv = jnp.linalg.inv(covs)
+        maha = jnp.einsum("nki,kij,nkj->nk", diff, inv, diff)
+        log_cond = (-d * jnp.log(2 * jnp.pi) / 2
+                    - 0.5 * jnp.log(jnp.abs(det)) - 0.5 * maha)
+        bad = jnp.any(det <= 0) | jnp.any(~jnp.isfinite(log_cond))
+        log_cond = jnp.concatenate(
+            [log_cond, jnp.full((n, 1), uniform_logp)], axis=1
+        )
+        logp = jnp.log(proportions) + log_cond
+        logp = logp - jax.scipy.special.logsumexp(logp, axis=1, keepdims=True)
+        new_probs = jnp.exp(logp)
+
+        resp = new_probs[:, :-1]
+        weight = resp.sum(axis=0)
+        new_means = (resp[:, :, None] * X[:, None, :]).sum(0) / weight[:, None]
+        diff = X[:, None, :] - new_means[None, :, :]
+        new_covs = jnp.einsum("nk,nki,nkj->kij", resp, diff, diff) / weight[
+            :, None, None
+        ]
+        new_covs = new_covs + jnp.eye(d) * jnp.median(new_covs) / 10
+        new_props = new_probs.sum(axis=0) / n
+
+        keep = lambda new, old: jnp.where(bad | ~ok, old, new)
+        return (keep(new_means, means), keep(new_covs, covs),
+                keep(new_props, proportions), keep(new_probs, probs),
+                ok & ~bad)
+
+    probs0 = jnp.zeros((n, k + 1))
+    state = (means0, covs0, proportions0, probs0, jnp.asarray(True))
+    means, covs, proportions, probs, ok = jax.lax.fori_loop(
+        0, num_iters, step, state
+    )
+    return probs, ok
+
+
+@component("identify_mrbles")
+def identify_mrbles(assay, spectra, codes, reference="eu"):
+    """Spectral decoding of MRBLEs beads (reference identify.py:50-234)."""
+    spectra_df = pd.read_csv(spectra)
+    ref_matches = spectra_df[spectra_df["name"] == reference].index
+    if len(ref_matches) == 0:
+        raise ValueError(
+            f"Reference lanthanide '{reference}' not found in spectra file"
+        )
+    ref_idx = ref_matches[0]
+    order = [ref_idx] + [i for i in range(len(spectra_df)) if i != ref_idx]
+    spectra_df = spectra_df.reindex(order)
+    lns = spectra_df["name"].to_list()
+    num_lns = len(lns)
+
+    codes_df = pd.read_csv(codes)
+    tag_names = codes_df["name"].to_numpy()
+    code_lns = set(codes_df.columns) - {"name"}
+    if code_lns != set(lns):
+        raise ValueError(
+            f"Lanthanide names in {codes} do not match lanthanide names in "
+            f"{spectra}."
+        )
+
+    # Step 1: lanthanide volumes from SV = I least squares.
+    channels = [c for c in _coord_list(assay, "channel")
+                if c in spectra_df.columns]
+    sp = spectra_df[channels].to_numpy()
+    sel = assay.roi.isel(time=0).sel(channel=channels)
+    fg = assay["fg"].isel(time=0)
+    bg = assay["bg"].isel(time=0)
+    intensities = fg_mean_bg_median(sel.to_numpy(), fg.to_numpy(),
+                                    bg.to_numpy())
+    volumes = np.linalg.lstsq(sp.T, intensities.T, rcond=None)[0].T
+    ratios = volumes / volumes[:, 0:1]
+    assay = assay.assign_coords(ln=(("ln",), np.asarray(lns)))
+    assay["ln_vol"] = (("mark", "ln"), volumes)
+    assay["ln_ratio"] = (("mark", "ln"), ratios)
+
+    # Step 2: aggressive kNN outlier trim (identify.py:90-100).
+    X = ratios[:, 1:]
+    num_codes = len(tag_names)
+    n_neighbor = round(len(X) / (20 * num_codes)) + 2
+    dist = (
+        scipy.spatial.KDTree(X, leafsize=n_neighbor)
+        .query(X, k=[n_neighbor], workers=-1)[0]
+        .flatten()
+    )
+    X_r = X[dist <= np.percentile(dist, 95)]
+
+    # Step 3: per-dim affine lattice fit, then nearest-code assignment.
+    code_ratios = codes_df[lns[1:]].to_numpy()
+    A = np.zeros(num_lns - 1)
+    p = np.zeros(num_lns - 1)
+    for i in range(num_lns - 1):
+        c, counts = np.unique(code_ratios[:, i], return_counts=True)
+        if len(c) == 1:
+            A[i], p[i] = 1.0, X_r[:, i].mean()
+            continue
+        a_i, p_i = _fit_affine_1d(
+            jnp.asarray(np.sort(X_r[:, i]), jnp.float32),
+            jnp.asarray(c, jnp.float32),
+            jnp.asarray(counts, jnp.float32),
+        )
+        A[i], p[i] = float(a_i), float(p_i)
+
+    lattice = A * code_ratios + p
+    tag_idxs = np.argmin(
+        np.linalg.norm(X_r[:, None] - lattice[None], axis=-1), axis=1
+    )
+
+    # Step 4: GMM refinement with a uniform outlier component.
+    d = num_lns - 1
+    means = np.zeros((num_codes, d))
+    covs = np.zeros((num_codes, d, d)) + np.eye(d) * 1e-10
+    proportions = np.zeros(num_codes + 1)
+    for i in range(num_codes):
+        members = X_r[tag_idxs == i]
+        proportions[i] = len(members) + 1
+        means[i] = (np.median(members, axis=0) if len(members)
+                    else lattice[i])
+        if len(members) > 1:
+            covs[i] += np.cov(members, rowvar=False).reshape(d, d)
+    covs[:] = np.median(covs, axis=0)
+    proportions[-1] = 1e-10
+    proportions /= proportions.sum()
+    span = np.log(X_r.max(axis=0) - X_r.min(axis=0)).sum()
+
+    probs, ok = _gmm_em(
+        jnp.asarray(X, jnp.float32), jnp.asarray(means, jnp.float32),
+        jnp.asarray(covs, jnp.float32),
+        jnp.asarray(proportions, jnp.float32), float(span),
+    )
+    tag_names = np.append(tag_names, "outlier")
+    if bool(ok):
+        final_idxs = np.argmax(np.asarray(probs), axis=1)
+    else:
+        print("Warning: Code clustering did not converge.")
+        final_idxs = np.argmin(
+            np.linalg.norm(X[:, None] - lattice[None], axis=-1), axis=1
+        )
+    return assay.assign_coords(tag=(("mark",), tag_names[final_idxs]))
+
+
+def _coord_list(assay, name):
+    return list(assay[name].values.tolist())

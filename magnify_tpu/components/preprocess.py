@@ -1,0 +1,211 @@
+"""Preprocessing components: canonical layout, corrections, flips, masks.
+
+Mirrors the registered component set of
+/root/reference/src/magnify/preprocess.py: ``standardize_format``,
+``rename_labels``, ``rotate`` (stub, as in the reference), ``flatfield_correct``,
+``basic_correct``, ``horizontal_flip``, ``vertical_flip``, ``circle_mask``.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import numpy as np
+
+from magnify_tpu import utils
+from magnify_tpu.core import DataArray, Dataset, Variable
+from magnify_tpu.core.lazy import ChunkedArray
+from magnify_tpu.core.registry import component
+
+STANDARD_DIMS = ["channel", "time", "tile_row", "tile_col", "tile_y", "tile_x"]
+
+
+@component("standardize_format")
+def standardize_format(xp):
+    """Normalize any input layout into the canonical 6-D tile stack.
+
+    Same dim gymnastics as /root/reference/src/magnify/preprocess.py:11-41:
+    rename x/y/row/col to tile_*, fold extra dims into time (renaming a real
+    time dim to __time__ first), add missing dims, record the original order
+    in ``__original_tile_dims__`` for restore_format, and transpose to
+    (channel, time, tile_row, tile_col, tile_y, tile_x).
+    """
+    if isinstance(xp, DataArray):
+        ds = Dataset({"tile": xp}, attrs=xp.attrs)
+        xp = ds
+
+    renames = {old: "tile_" + old for old in ["x", "y", "row", "col"]
+               if old in xp.tile.dims}
+    if renames:
+        xp = xp.rename(renames)
+
+    xp.attrs["__original_tile_dims__"] = list(xp.tile.dims)
+
+    extra_dims = [d for d in xp.tile.dims if d not in STANDARD_DIMS]
+    if extra_dims:
+        if "time" in xp.tile.dims:
+            xp = xp.rename({"time": "__time__"})
+            extra_dims.append("__time__")
+        xp = xp.stack(time=tuple(extra_dims))
+
+    tile = xp["tile"]
+    for dim in STANDARD_DIMS:
+        if dim not in tile.dims:
+            tile = tile.expand_dims(dim)
+    xp["tile"] = tile
+
+    return xp.transpose(*STANDARD_DIMS, missing_dims="ignore")
+
+
+@component("rename_labels")
+def rename_labels(xp, **coords):
+    """Reassign coordinate labels by replacement dict or full list
+    (reference preprocess.py:44-51)."""
+    for name, new_labels in coords.items():
+        if isinstance(new_labels, dict):
+            vals = np.asarray(
+                [new_labels.get(v, v) for v in xp[name].values.tolist()]
+            )
+            xp = xp.assign_coords({name: ((name,), vals)})
+        else:
+            xp = xp.assign_coords({name: ((name,), np.asarray(new_labels))})
+    return xp
+
+
+@component("rotate")
+def rotate(xp, rotation=0):
+    """Stub, matching the reference where rotation is commented out
+    (/root/reference/src/magnify/preprocess.py:54-59)."""
+    return xp
+
+
+def _load_field(value, group):
+    """Resolve scalar / TIFF path / store dir into an array or scalar."""
+    if isinstance(value, os.PathLike | str):
+        path = pathlib.Path(value).expanduser()
+        if path.is_dir():
+            from magnify_tpu.io.zarrlite import open_store
+
+            ds = open_store(path, group=group)
+            return ds[group]
+        from magnify_tpu.io.tiff import read_tiff
+
+        return read_tiff(path)
+    return value
+
+
+@component("flatfield_correct")
+def flatfield_correct(xp, flatfield=1.0, darkfield=0.0):
+    """Illumination correction: ``clip(tile - darkfield) / flatfield``,
+    rescaled to preserve the maximum and cast back to the input dtype
+    (reference preprocess.py:62-88). Scalar, TIFF-path, or store-dir
+    corrections are accepted; lazy tiles stay lazy (two chunk passes: one
+    reduction for the rescale factors, one deferred map).
+    """
+    flatfield = _load_field(flatfield, "flatfield")
+    darkfield = _load_field(darkfield, "darkfield")
+    if isinstance(flatfield, DataArray):
+        flatfield = flatfield.values
+    if isinstance(darkfield, DataArray):
+        darkfield = darkfield.values
+
+    tile_var = xp["tile"]
+    dtype = tile_var.dtype
+    data = tile_var.data
+
+    def corrected(block):
+        return np.clip(block.astype(float) - darkfield, 0, None)
+
+    if isinstance(data, ChunkedArray):
+        # Pass 1: the two global maxima that set the rescale factor.
+        max_pre = -np.inf
+        max_post = -np.inf
+        for idx in np.ndindex(*data.numblocks):
+            block = corrected(data._block(idx))
+            max_pre = max(max_pre, block.max(initial=-np.inf))
+            max_post = max(max_post, (block / flatfield).max(initial=-np.inf))
+        scale = max_pre / max_post if max_post > 0 else 1.0
+
+        out = data.map_chunks(
+            lambda b: ((corrected(b) / flatfield) * scale).astype(dtype),
+            dtype=dtype,
+        )
+        xp["tile"] = Variable(tile_var.dims, out, tile_var.attrs)
+    else:
+        pre = corrected(np.asarray(data))
+        max_pre = pre.max(initial=-np.inf)
+        post = pre / flatfield
+        max_post = post.max(initial=-np.inf)
+        scale = max_pre / max_post if max_post > 0 else 1.0
+        xp["tile"] = Variable(tile_var.dims, (post * scale).astype(dtype),
+                              tile_var.attrs)
+    return xp
+
+
+@component("basic_correct")
+def basic_correct(xp):
+    """Optional BaSiC illumination correction (reference preprocess.py:91-115).
+
+    The ``basicpy`` dependency is optional; this component raises a clear
+    error when it is unavailable in the environment.
+    """
+    try:
+        import basicpy  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "basic_correct requires the optional 'basicpy' package, which is "
+            "not installed in this environment."
+        ) from e
+
+    import basicpy
+
+    tile_var = xp["tile"]
+    tiles = xp.tile
+    for i, _channel in enumerate(tiles.coords.get("channel", tiles).values
+                                 if "channel" in tiles.coords else
+                                 range(xp.sizes["channel"])):
+        sub = tiles.isel(channel=i, time=0).values
+        train = sub.reshape(-1, sub.shape[-2], sub.shape[-1])
+        model = basicpy.basicpy.BaSiC(get_darkfield=True, smoothness_flatfield=1)
+        model.fit(train)
+        full = tiles.isel(channel=i).values
+        shape = full.shape
+        out = model.transform(full.reshape(-1, shape[-2], shape[-1]))
+        data = tile_var.values
+        data[i] = out.reshape(shape)
+        xp["tile"] = Variable(tile_var.dims, data, tile_var.attrs)
+    xp.cache("tile")
+    return xp
+
+
+@component("horizontal_flip")
+def horizontal_flip(xp):
+    if "image" in xp:
+        xp["image"] = xp.image.isel(im_x=slice(None, None, -1))
+    else:
+        xp["tile"] = xp.tile.isel(tile_x=slice(None, None, -1))
+    return xp
+
+
+@component("vertical_flip")
+def vertical_flip(xp):
+    if "image" in xp:
+        xp["image"] = xp.image.isel(im_y=slice(None, None, -1))
+    else:
+        xp["tile"] = xp.tile.isel(tile_y=slice(None, None, -1))
+    return xp
+
+
+@component("circle_mask")
+def circle_mask(xp, center, diameter, mask_inner=False):
+    """Zero out pixels outside (or inside) a circle
+    (reference preprocess.py:136-153)."""
+    radius = diameter // 2
+    name = "image" if "image" in xp else "tile"
+    shape = xp[name].shape[-2:]
+    mask = utils.circle(shape, center, radius, True)
+    mask = ~mask if mask_inner else mask
+    var = xp[name]
+    xp[name] = Variable(var.dims, var.values * mask, var.variable.attrs)
+    return xp

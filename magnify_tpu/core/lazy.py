@@ -276,6 +276,28 @@ def from_block_function(fn, shape, dtype, chunks) -> ChunkedArray:
     return ChunkedArray(fn, shape, dtype, chunks)
 
 
+# Arrays below this size are kept resident; larger ones go to disk memmaps.
+RESIDENT_BYTES_LIMIT = 256 * 1024 * 1024
+
+
+def alloc_output(name: str, shape, dtype) -> np.ndarray:
+    """Allocate a result array: RAM if small, disk-backed memmap if large.
+
+    The out-of-core stand-in for the reference's empty dask allocations
+    (/root/reference/src/magnify/find.py:70-116): marker ROI stacks can
+    exceed host memory, so large outputs are OS-paged from a spill file.
+    """
+    nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    if nbytes <= RESIDENT_BYTES_LIMIT:
+        return np.zeros(shape, dtype)
+    directory = tempfile.mkdtemp(prefix="magnify_tpu_spill_")
+    _spill_dirs.append(directory)
+    return np.lib.format.open_memmap(
+        os.path.join(directory, f"{name}.npy"), mode="w+", dtype=dtype,
+        shape=tuple(int(s) for s in shape),
+    )
+
+
 def spill_to_store(arr, name="array", directory=None) -> np.memmap:
     """Materialize a lazy array into an on-disk memmap and return it.
 

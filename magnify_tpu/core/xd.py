@@ -771,9 +771,18 @@ class Dataset:
                     new_vars[name] = var
                     continue
                 if len(present) != len(dims):
-                    raise ValueError(
-                        f"variable {name!r} has only {present} of stacked dims {dims}"
-                    )
+                    # Broadcast vars carrying a subset of the stacked dims
+                    # (e.g. metadata coords along time) across the rest.
+                    vals = _materialize(var.data)
+                    vdims = list(var.dims)
+                    for d in dims:
+                        if d not in vdims:
+                            vals = np.broadcast_to(
+                                vals[..., None], vals.shape + (out.dims[d],)
+                            )
+                            vdims.append(d)
+                    var = Variable(tuple(vdims), np.ascontiguousarray(vals),
+                                   var.attrs)
                 # Move stacked dims to the end in `dims` order, then merge.
                 order = [d for d in var.dims if d not in dims] + list(dims)
                 v = var.transpose(order)

@@ -43,19 +43,32 @@ def _pad_for_scoring(grad_angles, edges, max_radius):
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "grid_length", "num_iter", "min_radius", "max_radius",
-        "unique_cap", "nms_cap", "min_dist",
-    ),
+    static_argnames=("grid_length", "num_iter", "min_radius", "max_radius"),
 )
-def _detect(image, low_q, high_q, min_roundness, key, *, grid_length, num_iter,
-            min_radius, max_radius, unique_cap, nms_cap, min_dist):
+def _stage_candidates(image, low_q, high_q, key, *, grid_length, num_iter,
+                      min_radius, max_radius):
+    """Edges + RANSAC proposals + unique count (no compaction yet)."""
     h, w = image.shape
     edges, _dx, _dy, grad_angles = edge_pipeline(image, low_q, high_q)
     cands, any_edges = candidate_circles(edges, grid_length=grid_length,
                                          num_iter=num_iter, key=key)
     valid = jnp.full((num_iter,), True) & any_edges
-    uniq, uvalid, n_unique = dedupe_circles(
+    _, _, n_unique = dedupe_circles(
+        cands, valid, height=h, width=w, min_radius=min_radius,
+        max_radius=max_radius, cap=1,
+    )
+    return edges, grad_angles, cands, valid, n_unique
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_radius", "max_radius", "unique_cap"),
+)
+def _stage_score(edges, grad_angles, cands, valid, min_roundness, *,
+                 min_radius, max_radius, unique_cap):
+    """Dedupe-compact, score, roundness-filter, and sort by score."""
+    h, w = edges.shape
+    uniq, uvalid, _ = dedupe_circles(
         cands, valid, height=h, width=w, min_radius=min_radius,
         max_radius=max_radius, cap=unique_cap,
     )
@@ -65,15 +78,29 @@ def _detect(image, low_q, high_q, min_roundness, key, *, grid_length, num_iter,
     keep = scores >= min_roundness
     n_keep = keep.sum()
     scores = jnp.where(keep, scores, -jnp.inf)
-
     order = jnp.argsort(-scores)
-    top = order[:nms_cap]
-    c_sorted = uniq[top]
-    s_sorted = scores[top]
-    k_sorted = keep[top]
-    accepted = claimed_raster_nms(c_sorted, k_sorted, min_dist=min_dist,
-                                  height=h, width=w, max_radius=max_radius)
-    return c_sorted, s_sorted, accepted, n_unique, n_keep
+    return uniq[order], scores[order], n_keep
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nms_cap", "min_dist", "height", "width",
+                              "max_radius"),
+)
+def _stage_nms(circles, scores, *, nms_cap, min_dist, height, width,
+               max_radius):
+    c = circles[:nms_cap]
+    s = scores[:nms_cap]
+    accepted = claimed_raster_nms(c, jnp.isfinite(s), min_dist=min_dist,
+                                  height=height, width=width,
+                                  max_radius=max_radius)
+    return c, s, accepted
+
+
+def _pow2_at_least(n: int, lo: int, hi: int) -> int:
+    out = lo
+    while out < n and out < hi:
+        out *= 2
+    return min(out, hi)
 
 
 def find_circles(
@@ -88,14 +115,19 @@ def find_circles(
     min_dist: int,
     gui=None,
     seed: int = 0,
-    unique_cap: int = DEFAULT_UNIQUE_CAP,
-    nms_cap: int = DEFAULT_NMS_CAP,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Detect circles in a single image.
 
     Same contract as the reference find_circles (utils.py:102-222): returns
     (circles, scores) with circles int32 rows of (row, col, radius) sorted by
     descending roundness score, already NMS-deduped when ``min_dist > 0``.
+
+    Runs as three jitted stages with two scalar host syncs in between: the
+    unique-candidate count sizes the scoring buffer and the survivor count
+    sizes the NMS scan, so the sequential-scan length adapts to the data
+    instead of a worst-case static cap. Buffer sizes are bucketed to powers
+    of two to bound recompilation.
+
     ``gui`` is accepted for interface parity; interactive tuning is provided
     by :mod:`magnify_tpu.plot.vis` outside the fused path.
     """
@@ -113,27 +145,33 @@ def find_circles(
 
     image = jnp.asarray(np.ascontiguousarray(image), dtype=jnp.float32)
     key = jax.random.PRNGKey(seed)
-    ucap = int(min(unique_cap, num_iter))
-    while True:
-        ncap = int(min(nms_cap, ucap))
-        circles, scores, accepted, n_unique, n_keep = _detect(
-            image, float(low_edge_quantile), float(high_edge_quantile),
-            float(min_roundness), key,
-            grid_length=int(grid_length), num_iter=int(num_iter),
-            min_radius=int(min_radius), max_radius=int(max_radius),
-            unique_cap=ucap, nms_cap=ncap, min_dist=int(min_dist),
-        )
-        n_unique = int(n_unique)
-        n_keep = int(n_keep)
-        if n_unique > ucap and ucap < num_iter:
-            ucap = int(min(num_iter, max(4 * ucap, n_unique)))
-            continue
-        if n_keep > ncap and ncap < ucap:
-            nms_cap = int(min(ucap, max(4 * ncap, n_keep)))
-            continue
-        break
+    h, w = image.shape
 
-    accepted = np.asarray(accepted)
+    edges, grad_angles, cands, valid, n_unique = _stage_candidates(
+        image, float(low_edge_quantile), float(high_edge_quantile), key,
+        grid_length=int(grid_length), num_iter=int(num_iter),
+        min_radius=int(min_radius), max_radius=int(max_radius),
+    )
+    ucap = _pow2_at_least(int(n_unique), 1024, int(num_iter))
+
+    circles, scores, n_keep = _stage_score(
+        edges, grad_angles, cands, valid, float(min_roundness),
+        min_radius=int(min_radius), max_radius=int(max_radius),
+        unique_cap=ucap,
+    )
+    ncap = _pow2_at_least(int(n_keep), 256, ucap)
+
+    if min_dist > 0:
+        circles, scores, accepted = _stage_nms(
+            circles, scores, nms_cap=ncap, min_dist=int(min_dist),
+            height=h, width=w, max_radius=int(max_radius),
+        )
+        accepted = np.asarray(accepted)
+    else:
+        circles = np.asarray(circles)[: int(n_keep)]
+        scores = np.asarray(scores)[: int(n_keep)]
+        return np.asarray(circles), np.asarray(scores)
+
     circles = np.asarray(circles)[accepted]
     scores = np.asarray(scores)[accepted]
     return circles, scores
@@ -149,6 +187,11 @@ def _detect_rois(rois, low_q, high_q, min_roundness, keys, *, grid_length,
                  num_iter, min_radius, max_radius, unique_cap):
     n, l, _ = rois.shape
 
+    # 3x3x3 neighborhood for the deterministic local refinement step.
+    nb = np.array([(dy, dx, dr) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                   for dr in (-1, 0, 1)], dtype=np.int32)
+    neighborhood = jnp.asarray(nb)
+
     def one(roi, key):
         edges, _dx, _dy, grad_angles = edge_pipeline(roi, low_q, high_q)
         cands, any_edges = candidate_circles(edges, grid_length=grid_length,
@@ -163,7 +206,28 @@ def _detect_rois(rois, low_q, high_q, min_roundness, keys, *, grid_length,
         scores = score_circles(ga, eg, shifted, uvalid, max_radius=max_radius)
         scores = jnp.where(scores >= min_roundness, scores, -jnp.inf)
         best = jnp.argmax(scores)
-        return uniq[best], scores[best]
+        best_circle = uniq[best]
+        best_score = scores[best]
+
+        # Deterministic hill-climb: with a small per-chamber sample budget
+        # the RANSAC proposals may miss the exact optimum by a pixel; score
+        # the 27 neighboring (row, col, radius) triples of the argmax under
+        # the same objective and keep the max. Pure refinement — the
+        # objective is unchanged, so tolerance-level behavior matches the
+        # reference's argmax (find.py:356-359) with a denser sample set.
+        cand_nb = best_circle[None, :] + neighborhood
+        cand_nb = cand_nb.at[:, 2].set(
+            jnp.clip(cand_nb[:, 2], min_radius, max_radius)
+        )
+        nb_ok = jnp.full((cand_nb.shape[0],), jnp.isfinite(best_score))
+        nb_shifted = cand_nb.at[:, :2].add(pad)
+        nb_scores = score_circles(ga, eg, nb_shifted, nb_ok,
+                                  max_radius=max_radius)
+        j = jnp.argmax(nb_scores)
+        improved = nb_scores[j] > best_score
+        best_circle = jnp.where(improved, cand_nb[j], best_circle)
+        best_score = jnp.where(improved, nb_scores[j], best_score)
+        return best_circle, best_score
 
     return jax.vmap(one)(rois, keys)
 

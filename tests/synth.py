@@ -1,0 +1,52 @@
+"""Synthetic fixture drawing for tests.
+
+Like the reference test suite, fixtures are drawn with the library's own
+rasterizer (``filled_circle_points``), making the pixel geometry part of the
+tested contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from magnify_tpu.core import DataArray
+from magnify_tpu.utils import filled_circle_points
+
+
+def draw_beads(shape, positions, diameters=20, values=1000) -> np.ndarray:
+    positions = np.atleast_2d(np.asarray(positions))
+    n = len(positions)
+    diameters = np.broadcast_to(np.asarray(diameters), (n,))
+    values = np.broadcast_to(np.asarray(values), (n,))
+    img = np.zeros(shape, dtype=np.uint16)
+    for (row, col), d, v in zip(positions, diameters, values):
+        pts = filled_circle_points(int(d) // 2) + np.array([row, col])
+        ok = ((pts[:, 0] >= 0) & (pts[:, 0] < shape[0])
+              & (pts[:, 1] >= 0) & (pts[:, 1] < shape[1]))
+        img[pts[ok, 0], pts[ok, 1]] = v
+    return img
+
+
+def bead_image(shape, positions, diameters=20, values=1000) -> DataArray:
+    return DataArray(draw_beads(shape, positions, diameters, values),
+                     dims=("y", "x"))
+
+
+def draw_chip(grid, button_diameter=20, row_dist=100, col_dist=100,
+              value=1000, blanks=()) -> np.ndarray:
+    """Button grid at (i+1)*row_dist, (j+1)*col_dist positions."""
+    rows, cols = grid
+    img = np.zeros(((rows + 1) * row_dist, (cols + 1) * col_dist), np.uint16)
+    blank_set = set(blanks)
+    pts = filled_circle_points(button_diameter // 2)
+    for i in range(rows):
+        for j in range(cols):
+            if (i, j) in blank_set:
+                continue
+            img[pts[:, 0] + (i + 1) * row_dist,
+                pts[:, 1] + (j + 1) * col_dist] = value
+    return img
+
+
+def chip_image(grid, **kwargs) -> DataArray:
+    return DataArray(draw_chip(grid, **kwargs), dims=("y", "x"))
