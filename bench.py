@@ -1,0 +1,96 @@
+"""End-to-end benchmark: the mrbles-style bead pipeline in Mpix/s.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
+
+Workload (BASELINE.json config 1/2): a noisy 1024x1024 uint16 frame with a
+dense bead field, processed end to end through ``mg.beads`` — standardize,
+flat-field, stitch, detection (RANSAC budget = the reference default 5e6),
+fg/bg segmentation, ROI extraction, and spill — exactly what a user calls.
+
+``vs_baseline``: the reference implementation cannot execute in this
+environment (numba/xarray absent), so the anchor is this framework's own
+pipeline on the host CPU backend (JAX CPU), measured by
+scripts/measure_cpu_anchor.py and recorded below. The reference's numba
+kernels and this CPU path do equivalent work per proposal, making this a
+conservative stand-in for the "CPU reference" (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Measured by scripts/measure_cpu_anchor.py on this host (JAX CPU backend,
+# same workload, steady state): 3.56 s/frame, 110/110 beads, 2026-08-16.
+# See BASELINE.md for the measurement log.
+CPU_ANCHOR_MPIX_S = 0.294
+
+NUM_ITER = 5_000_000
+SHAPE = (1024, 1024)
+N_RUNS = 5
+
+
+def make_workload(seed: int = 0):
+    from magnify_tpu.core import DataArray
+    from magnify_tpu.utils import filled_circle_points
+
+    rng = np.random.default_rng(seed)
+    img = rng.normal(100, 5, SHAPE).astype(np.uint16)
+    positions = [(r * 97 + 60, c * 83 + 50) for r in range(10)
+                 for c in range(11)]
+    for pos in positions:
+        pts = filled_circle_points(10) + np.array(pos)
+        img[pts[:, 0], pts[:, 1]] = 1000
+    return DataArray(img, dims=("y", "x")), len(positions)
+
+
+def run_pipeline(data):
+    import magnify_tpu as mg
+
+    return mg.beads(
+        data=data,
+        min_bead_diameter=16,
+        max_bead_diameter=24,
+        overlap=0,
+        num_iter=NUM_ITER,
+        min_roundness=0.3,
+    )
+
+
+def main():
+    data, n_true = make_workload()
+
+    # Warmup: compile everything once (cached across runs by the persistent
+    # compilation cache).
+    xp = run_pipeline(data)
+    found = xp.roi.sizes["mark"]
+
+    t0 = time.perf_counter()
+    for i in range(N_RUNS):
+        xp = run_pipeline(data)
+    elapsed = time.perf_counter() - t0
+
+    mpix = SHAPE[0] * SHAPE[1] / 1e6
+    value = mpix * N_RUNS / elapsed
+    result = {
+        "metric": "beads_pipeline_e2e_throughput",
+        "value": round(value, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(value / CPU_ANCHOR_MPIX_S, 2),
+        "detail": {
+            "beads_found": int(found),
+            "beads_true": int(n_true),
+            "num_iter": NUM_ITER,
+            "runs": N_RUNS,
+            "seconds_per_frame": round(elapsed / N_RUNS, 3),
+            "beads_per_s": round(found * N_RUNS / elapsed, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

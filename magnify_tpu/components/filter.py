@@ -64,48 +64,39 @@ def filter_expression(assay, search_channel=None, min_contrast=None):
     return assay
 
 
-@jax.jit
-def _roundness(fg):
-    """4*pi*A/P^2 per mark with P estimated from the mask boundary.
+def _contour_perimeters(fg: np.ndarray) -> np.ndarray:
+    """Per-mark external contour length of the fg masks.
 
-    The boundary length uses the standard 8-neighborhood contour-length
-    estimate (orthogonal steps + sqrt(2) diagonal steps), replacing
-    cv.findContours + arcLength (reference filter.py:53-56).
+    Uses OpenCV contour tracing (exact parity with reference
+    filter.py:53-56) when available; otherwise an 8-neighborhood
+    boundary-cycle estimate that counts thin-structure pixels twice (a
+    closed contour traverses both sides of a 1-px feature).
     """
-    f = fg.astype(jnp.float32)
-    n = f.shape[0]
-    area = f.reshape(n, -1).sum(-1)
+    n = fg.shape[0]
+    out = np.zeros(n)
+    try:
+        import cv2 as cv
 
-    pad = jnp.pad(f, ((0, 0), (1, 1), (1, 1)))
-
-    def shift(dr, dc):
-        return jax.lax.dynamic_slice(
-            pad, (0, 1 + dr, 1 + dc), f.shape
-        )
-
-    # Boundary pixels: in-mask with at least one 4-neighbor outside.
-    inside4 = (shift(-1, 0) * shift(1, 0) * shift(0, -1) * shift(0, 1))
-    boundary = f * (1 - inside4)
-    # Perimeter estimate: count boundary-to-boundary steps along the contour.
-    # Approximate contour length with the local transition counts.
-    horiz = (boundary * jax.lax.dynamic_slice(
-        jnp.pad(boundary, ((0, 0), (0, 0), (1, 1))), (0, 0, 2), f.shape
-    )).reshape(n, -1).sum(-1)
-    vert = (boundary * jax.lax.dynamic_slice(
-        jnp.pad(boundary, ((0, 0), (1, 1), (0, 0))), (0, 2, 0), f.shape
-    )).reshape(n, -1).sum(-1)
-    diag1 = (boundary * jax.lax.dynamic_slice(
-        jnp.pad(boundary, ((0, 0), (1, 1), (1, 1))), (0, 2, 2), f.shape
-    )).reshape(n, -1).sum(-1)
-    diag2 = (boundary * jax.lax.dynamic_slice(
-        jnp.pad(boundary, ((0, 0), (1, 1), (1, 1))), (0, 2, 0), f.shape
-    )).reshape(n, -1).sum(-1)
-    # Each adjacency counted once per direction; prefer orthogonal links and
-    # only add diagonals not shortcut by orthogonal neighbors.
-    perimeter = horiz + vert + jnp.sqrt(2.0) * 0.5 * (diag1 + diag2)
-    perimeter = jnp.maximum(perimeter, 1e-6)
-    roundness = 4 * jnp.pi * area / perimeter**2
-    return roundness, area > 0
+        for i in range(n):
+            mask = (fg[i] > 0).astype(np.uint8) * 255
+            contours, _ = cv.findContours(mask, cv.RETR_EXTERNAL,
+                                          cv.CHAIN_APPROX_SIMPLE)
+            out[i] = sum(cv.arcLength(c, True) for c in contours)
+        return out
+    except ImportError:
+        pass
+    for i in range(n):
+        mask = fg[i] > 0
+        padded = np.pad(mask, 1)
+        inside4 = (padded[:-2, 1:-1] & padded[2:, 1:-1]
+                   & padded[1:-1, :-2] & padded[1:-1, 2:])
+        boundary = mask & ~inside4
+        # Pixels on a thin ridge (no interior on either side in one axis)
+        # are traversed twice by a closed contour.
+        thin = boundary & ~(padded[:-2, 1:-1] & padded[2:, 1:-1]) \
+            & ~(padded[1:-1, :-2] & padded[1:-1, 2:])
+        out[i] = boundary.sum() + thin.sum()
+    return out
 
 
 @component("filter_nonround")
@@ -114,10 +105,12 @@ def filter_nonround(assay, min_roundness=0.75, search_channel=None):
     below ``min_roundness`` (reference filter.py:40-62)."""
     valid = assay["valid"].to_numpy().copy()
     fg = assay["fg"].isel(time=0).to_numpy()
-    roundness, nonempty = _roundness(jnp.asarray(fg))
-    roundness = np.asarray(roundness)
-    nonempty = np.asarray(nonempty)
-    ok = (roundness > min_roundness) & nonempty
+    areas = fg.reshape(fg.shape[0], -1).sum(-1)
+    perimeters = _contour_perimeters(fg)
+    ok = np.zeros(fg.shape[0], bool)
+    nonzero = perimeters > 0
+    ok[nonzero] = (4 * np.pi * areas[nonzero] / perimeters[nonzero] ** 2
+                   > min_roundness)
     valid &= ok.reshape(ok.shape + (1,) * (valid.ndim - ok.ndim))
     assay["valid"] = (assay["valid"].dims, valid)
     return assay

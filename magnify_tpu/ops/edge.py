@@ -78,13 +78,12 @@ def scharr(img):
     return dx, dy
 
 
-def canny(dx, dy, low_thresh, high_thresh):
-    """Canny edges from int16-quantized gradients with L2 magnitude.
+def canny_nms(dx, dy, low_thresh, high_thresh):
+    """Sector non-max-suppression + double threshold; returns (strong, weak).
 
-    Replicates cv.Canny(dx.astype(int16), dy.astype(int16), low, high,
-    L2gradient=True) (/root/reference/src/magnify/utils.py:128-134):
-    squared-magnitude thresholding, OpenCV's fixed-point sector
-    non-max-suppression, and 8-connected hysteresis.
+    OpenCV's fixed-point sector tests on int16-quantized gradients with L2
+    squared magnitudes. Exposed separately so the sharded pipeline can apply
+    it on halo-padded shards (magnify_tpu.parallel.mesh).
     """
     # int16 truncation, as the reference applies before Canny.
     xs = jnp.clip(jnp.trunc(dx), -32768, 32767).astype(jnp.int32)
@@ -113,7 +112,6 @@ def canny(dx, dy, low_thresh, high_thresh):
 
     horiz = y_q15 < tg22x
     vert = y_q15 > tg67x
-    diag = ~horiz & ~vert
     same_sign = (xs ^ ys) >= 0
 
     keep_h = (magf > left) & (magf >= right)
@@ -131,20 +129,31 @@ def canny(dx, dy, low_thresh, high_thresh):
 
     cand = (magf > low2) & keep
     strong = cand & (magf > high2)
-    weak = cand
+    return strong, cand
 
-    # Hysteresis: grow strong seeds through weak pixels (8-connectivity)
-    # until fixpoint.
-    def dilate8(m):
-        p = jnp.pad(m, 1)
-        h, w = m.shape
-        acc = m
-        for drr in (-1, 0, 1):
-            for dcc in (-1, 0, 1):
-                if drr == 0 and dcc == 0:
-                    continue
-                acc = acc | jax.lax.dynamic_slice(p, (1 + drr, 1 + dcc), (h, w))
-        return acc
+
+def dilate8(m):
+    """One step of 8-connected boolean dilation (zero border)."""
+    p = jnp.pad(m, 1)
+    h, w = m.shape
+    acc = m
+    for drr in (-1, 0, 1):
+        for dcc in (-1, 0, 1):
+            if drr == 0 and dcc == 0:
+                continue
+            acc = acc | jax.lax.dynamic_slice(p, (1 + drr, 1 + dcc), (h, w))
+    return acc
+
+
+def canny(dx, dy, low_thresh, high_thresh):
+    """Canny edges from int16-quantized gradients with L2 magnitude.
+
+    Replicates cv.Canny(dx.astype(int16), dy.astype(int16), low, high,
+    L2gradient=True) (/root/reference/src/magnify/utils.py:128-134):
+    squared-magnitude thresholding, OpenCV's fixed-point sector
+    non-max-suppression, and 8-connected hysteresis grown to fixpoint.
+    """
+    strong, weak = canny_nms(dx, dy, low_thresh, high_thresh)
 
     def cond(state):
         cur, changed = state

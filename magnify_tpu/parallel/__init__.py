@@ -1,0 +1,16 @@
+"""Multi-chip execution (mesh sharding, halo exchange, host->HBM streaming).
+
+The reference is single-process (SURVEY.md section 2.12); its scaling story is
+Dask chunk laziness. This package is the TPU-native replacement: batches of
+(time x channel) image planes shard across a ``batch`` mesh axis, the image
+plane itself shards across a ``space`` axis with halo exchange for stencils
+(the imaging analog of sequence/context parallelism), global statistics ride
+ICI collectives (psum histograms), and the host feeds HBM through a
+double-buffered prefetcher.
+"""
+
+from magnify_tpu.parallel.mesh import make_mesh, sharded_detect_step
+from magnify_tpu.parallel.streaming import DevicePrefetcher, stream_planes
+
+__all__ = ["DevicePrefetcher", "make_mesh", "sharded_detect_step",
+           "stream_planes"]

@@ -1,0 +1,43 @@
+"""Measure the CPU-backend anchor for bench.py's vs_baseline.
+
+Runs the identical bead-pipeline workload on the JAX CPU backend and prints
+its Mpix/s; record the value as CPU_ANCHOR_MPIX_S in bench.py. The upstream
+reference itself cannot run here (numba/xarray are not installed), so this
+CPU path is the stand-in anchor — documented in BASELINE.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def main():
+    data, n_true = bench.make_workload()
+    xp = bench.run_pipeline(data)  # warmup/compile
+    found = xp.roi.sizes["mark"]
+    runs = 2
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        bench.run_pipeline(data)
+    elapsed = time.perf_counter() - t0
+    mpix = bench.SHAPE[0] * bench.SHAPE[1] / 1e6
+    print(json.dumps({
+        "cpu_anchor_mpix_per_s": round(mpix * runs / elapsed, 4),
+        "seconds_per_frame": round(elapsed / runs, 2),
+        "beads_found": int(found),
+        "beads_true": n_true,
+    }))
+
+
+if __name__ == "__main__":
+    main()

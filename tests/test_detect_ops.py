@@ -1,0 +1,157 @@
+"""Kernel-level detection tests: OpenCV parity and NMS semantics."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import cv2 as cv  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from magnify_tpu import utils  # noqa: E402
+from magnify_tpu.ops import edge as edge_ops  # noqa: E402
+from magnify_tpu.ops.nms import claimed_raster_nms  # noqa: E402
+from magnify_tpu.ops.score import dedupe_circles  # noqa: E402
+from tests.synth import draw_beads  # noqa: E402
+
+
+def reference_edge_stack(img_u8, low_q, high_q):
+    """The reference's exact OpenCV sequence (utils.py:115-142)."""
+    blur = cv.GaussianBlur(img_u8, (5, 5), 0)
+    dx = cv.Scharr(blur, ddepth=cv.CV_32F, dx=1, dy=0)
+    dy = cv.Scharr(blur, ddepth=cv.CV_32F, dx=0, dy=1)
+    grad = np.sqrt(dx**2 + dy**2)
+    lo = np.quantile(grad, low_q)
+    hi = np.quantile(grad, high_q)
+    edges = cv.Canny(dx.astype(np.int16), dy.astype(np.int16),
+                     threshold1=lo, threshold2=hi, L2gradient=True)
+    return blur, dx, dy, (lo, hi), edges != 0
+
+
+@pytest.mark.parametrize("seed,n_beads", [(0, 8), (1, 20)])
+def test_edge_stack_matches_opencv_on_clean_beads(seed, n_beads):
+    rng = np.random.default_rng(seed)
+    pos = rng.integers(40, 472, size=(n_beads, 2))
+    img = draw_beads((512, 512), pos, diameters=20)
+    u8 = utils.to_uint8(img)
+
+    blur_cv, dx_cv, dy_cv, (lo, hi), edges_cv = reference_edge_stack(
+        u8, 0.1, 0.9
+    )
+    edges, dx, dy, _ = jax.jit(edge_ops.edge_pipeline)(
+        jnp.asarray(img, jnp.float32), 0.1, 0.9
+    )
+    np.testing.assert_array_equal(np.asarray(dx), dx_cv)
+    np.testing.assert_array_equal(np.asarray(dy), dy_cv)
+    agreement = (np.asarray(edges) == edges_cv).mean()
+    assert agreement == 1.0
+
+
+def test_edge_stack_close_to_opencv_on_noise():
+    rng = np.random.default_rng(2)
+    img = rng.normal(100, 20, (256, 256)).astype(np.float32)
+    img[100:130, 100:130] += 500
+    u8 = utils.to_uint8(img)
+    *_, edges_cv = reference_edge_stack(u8, 0.1, 0.9)
+    edges, _, _, _ = jax.jit(edge_ops.edge_pipeline)(
+        jnp.asarray(img), 0.1, 0.9
+    )
+    # Histogram quantile + tie-handling may flip a few borderline pixels.
+    agreement = (np.asarray(edges) == edges_cv).mean()
+    assert agreement > 0.995
+
+
+def test_histogram_quantile_close_to_numpy():
+    rng = np.random.default_rng(3)
+    x = rng.gamma(2.0, 100.0, (1000, 1000)).astype(np.float32)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        mine = float(jax.jit(edge_ops.histogram_quantile)(jnp.asarray(x), q))
+        ref = float(np.quantile(x, q))
+        assert abs(mine - ref) < (x.max() - x.min()) / 30000
+
+
+def greedy_reference_nms(circles, min_dist):
+    """Literal transcription-free reimplementation of the claimed-raster
+    semantics in pure python, used as the oracle."""
+    ring = utils.circle_points(min_dist, four_connected=True)
+    claimed = {}
+    keep = []
+    for i, (r, c, _rad) in enumerate(circles):
+        pts = [(int(r + dr), int(c + dc)) for dr, dc in ring]
+        if any(p in claimed for p in pts):
+            keep.append(False)
+            continue
+        keep.append(True)
+        for p in pts:
+            claimed[p] = i
+    return np.array(keep)
+
+
+def test_nms_matches_greedy_oracle():
+    rng = np.random.default_rng(4)
+    n = 200
+    circles = np.stack([
+        rng.integers(20, 180, n), rng.integers(20, 180, n),
+        rng.integers(8, 12, n),
+    ], axis=1).astype(np.int32)
+    accepted = claimed_raster_nms(
+        jnp.asarray(circles), jnp.ones(n, bool), min_dist=8, height=200,
+        width=200, max_radius=12,
+    )
+    expected = greedy_reference_nms(circles, 8)
+    np.testing.assert_array_equal(np.asarray(accepted), expected)
+
+
+def test_nms_zero_min_dist_keeps_all():
+    circles = jnp.asarray([[10, 10, 5], [10, 10, 5]], jnp.int32)
+    out = claimed_raster_nms(circles, jnp.ones(2, bool), min_dist=0,
+                             height=64, width=64, max_radius=5)
+    assert np.asarray(out).all()
+
+
+def test_dedupe_collapses_rounded_triples():
+    circles = jnp.asarray([
+        [10.2, 10.4, 8.1],
+        [9.8, 10.0, 8.4],   # rounds to the same (10, 10, 8)
+        [30.0, 40.0, 9.0],
+        [200.0, 10.0, 8.0],  # off-image rows (height 100)
+        [10.0, 10.0, 30.0],  # radius out of bounds
+    ], jnp.float32)
+    valid = jnp.ones(5, bool)
+    uniq, uvalid, n = dedupe_circles(circles, valid, height=100, width=100,
+                                     min_radius=5, max_radius=12, cap=8)
+    assert int(n) == 2
+    got = {tuple(row) for row in np.asarray(uniq)[np.asarray(uvalid)].tolist()}
+    assert got == {(10, 10, 8), (30, 40, 9)}
+
+
+def test_disk_mask_matches_host_rasterizer():
+    from magnify_tpu.ops.geom import annulus_mask, disk_mask
+
+    for r in (3, 7, 10):
+        dev = np.asarray(disk_mask((41, 41), 20, 20, r, 12))
+        host = utils.circle((41, 41), (20, 20), r, 1).astype(bool)
+        np.testing.assert_array_equal(dev, host)
+    ann_dev = np.asarray(annulus_mask((41, 41), 20, 20, 12, 6, 12))
+    ann_host = utils.annulus((41, 41), (20, 20), 12, 6, 1).astype(bool)
+    np.testing.assert_array_equal(ann_dev, ann_host)
+
+
+def test_masked_reductions():
+    from magnify_tpu.ops.reduce import fg_mean_bg_median, masked_median
+
+    rng = np.random.default_rng(5)
+    roi = rng.normal(0, 1, (3, 2, 9, 9)).astype(np.float32)
+    fg = rng.random((3, 9, 9)) > 0.6
+    bg = (rng.random((3, 9, 9)) > 0.6) & ~fg
+    out = fg_mean_bg_median(roi, fg, bg)
+    for m in range(3):
+        for c in range(2):
+            expect = (roi[m, c][fg[m]].mean()
+                      - np.median(roi[m, c][bg[m]]))
+            assert out[m, c] == pytest.approx(expect, abs=1e-5)
+    med = masked_median(roi[:, 0], fg)
+    for m in range(3):
+        assert med[m] == pytest.approx(np.median(roi[m, 0][fg[m]]), abs=1e-6)
+    # Empty mask -> NaN.
+    empty = np.zeros((1, 4, 4), bool)
+    assert np.isnan(masked_median(np.ones((1, 4, 4), np.float32), empty))[0]

@@ -1,0 +1,179 @@
+"""Identification components: pinlist tagging and MRBLEs spectral decoding."""
+
+import io
+
+import numpy as np
+import pytest
+
+import magnify_tpu as mg
+from magnify_tpu.components.identify import identify_buttons, identify_mrbles
+from magnify_tpu.core import DataArray, Dataset
+from tests.synth import draw_beads
+
+
+def button_assay(n_time=1):
+    return Dataset({"image": (("channel", "time", "im_y", "im_x"),
+                              np.zeros((1, n_time, 8, 8)))})
+
+
+def test_identify_buttons_shape_default():
+    out = identify_buttons(button_assay(), shape=(2, 3))
+    assert out.tag.shape == (2, 3)
+    assert (out.tag.values == "default").all()
+    assert out.valid.shape == (2, 3, 1)
+    assert out.valid.values.all()
+
+
+def test_identify_buttons_pinlist():
+    csv = io.StringIO(
+        "Indices,MutantID\n"
+        '"(1, 1)",alpha\n'
+        '"(2, 1)",BLANK\n'
+        '"(1, 2)",beta\n'
+        '"(2, 2)",\n'
+    )
+    out = identify_buttons(button_assay(), pinlist=csv)
+    tags = out.tag.transpose("mark_row", "mark_col").values
+    # Indices are (col, row), 1-indexed (reference identify.py:25-28):
+    # "(2, 1)" is column 2 of row 1.
+    assert tags[0, 0] == "alpha"
+    assert tags[1, 0] == "beta"
+    assert tags[0, 1] == ""  # BLANK replaced
+    assert tags[1, 1] == ""  # NaN/empty replaced
+
+
+def test_identify_buttons_requires_layout():
+    with pytest.raises(ValueError, match="pinlist or shape"):
+        identify_buttons(button_assay())
+
+
+# -----------------------------------------------------------------------
+# MRBLEs decoding
+# -----------------------------------------------------------------------
+
+LNS = ["eu", "dy", "sm"]
+# Spectra: per-lanthanide emission across 4 channels.
+SPECTRA = np.array([
+    [1.0, 0.2, 0.1, 0.05],   # eu
+    [0.1, 1.0, 0.3, 0.0],    # dy
+    [0.0, 0.1, 0.9, 0.4],    # sm
+])
+CHANNELS = ["c435", "c474", "c536", "c620"]
+# Codes: dy/eu and sm/eu target ratios.
+CODES = {
+    "code_a": (0.0, 0.0),
+    "code_b": (1.0, 0.0),
+    "code_c": (0.0, 1.0),
+    "code_d": (1.0, 1.0),
+}
+
+
+def spectra_csv():
+    rows = ["name," + ",".join(CHANNELS)]
+    for name, spec in zip(LNS, SPECTRA):
+        rows.append(name + "," + ",".join(str(v) for v in spec))
+    return io.StringIO("\n".join(rows))
+
+
+def codes_csv():
+    rows = ["name,eu,dy,sm"]
+    for name, (dy, sm) in CODES.items():
+        rows.append(f"{name},1.0,{dy},{sm}")
+    return io.StringIO("\n".join(rows))
+
+
+def synthetic_bead_assay(n_per_code=24, seed=0):
+    """Beads whose ROI intensities follow the code spectra exactly."""
+    rng = np.random.default_rng(seed)
+    n = n_per_code * len(CODES)
+    L = 9
+    roi = np.zeros((n, len(CHANNELS), 1, L, L), np.float32)
+    fg = np.zeros((n, 1, L, L), bool)
+    bg = np.zeros((n, 1, L, L), bool)
+    fg[:, :, 3:6, 3:6] = True
+    bg[:, :, 0, :] = True
+    truth = []
+    i = 0
+    for name, (dy_r, sm_r) in CODES.items():
+        for _ in range(n_per_code):
+            eu_vol = rng.uniform(80, 120)
+            vols = np.array([eu_vol, dy_r * eu_vol, sm_r * eu_vol])
+            intensities = vols @ SPECTRA  # (channels,)
+            noise = rng.normal(0, 0.3, len(CHANNELS))
+            roi[i, :, 0, 3:6, 3:6] = (intensities + noise)[:, None, None]
+            truth.append(name)
+            i += 1
+    ds = Dataset(
+        {"roi": (("mark", "channel", "time", "roi_y", "roi_x"), roi)},
+        coords={
+            "channel": CHANNELS,
+            "fg": (("mark", "time", "roi_y", "roi_x"), fg),
+            "bg": (("mark", "time", "roi_y", "roi_x"), bg),
+        },
+    )
+    return ds, np.array(truth)
+
+
+def test_identify_mrbles_decodes_synthetic_codes():
+    ds, truth = synthetic_bead_assay()
+    out = identify_mrbles(ds, spectra=spectra_csv(), codes=codes_csv(),
+                          reference="eu")
+    assert "ln_vol" in out.data_vars
+    assert "ln_ratio" in out.data_vars
+    assert list(out.ln.values) == LNS
+    # Reference lanthanide ratio is 1 by construction.
+    np.testing.assert_allclose(out.ln_ratio.values[:, 0], 1.0)
+    tags = out.tag.values
+    accuracy = (tags == truth).mean()
+    assert accuracy > 0.9, f"accuracy {accuracy}"
+
+
+def test_identify_mrbles_missing_reference():
+    ds, _ = synthetic_bead_assay(n_per_code=4)
+    with pytest.raises(ValueError, match="Reference lanthanide"):
+        identify_mrbles(ds, spectra=spectra_csv(), codes=codes_csv(),
+                        reference="tb")
+
+
+def test_identify_mrbles_mismatched_codes():
+    ds, _ = synthetic_bead_assay(n_per_code=4)
+    bad_codes = io.StringIO("name,eu,dy\ncode_a,1.0,0.0\n")
+    with pytest.raises(ValueError, match="do not match"):
+        identify_mrbles(ds, spectra=spectra_csv(), codes=bad_codes)
+
+
+def test_mrbles_pipeline_end_to_end():
+    """Full mg.mrbles: detection + decoding on a synthetic 2-code field."""
+    rng = np.random.default_rng(1)
+    shape = (512, 512)
+    # Two codes: eu only vs eu+dy.
+    positions_a = [(80 + 90 * i, 80) for i in range(5)]
+    positions_b = [(80 + 90 * i, 300) for i in range(5)]
+    chans = []
+    for ci in range(len(CHANNELS)):
+        img = np.zeros(shape, np.float32)
+        for pos in positions_a:
+            vols = np.array([100.0, 0.0, 0.0])
+            img += draw_beads(shape, [pos], diameters=20,
+                              values=float(vols @ SPECTRA[:, ci]) + 1)
+        for pos in positions_b:
+            vols = np.array([100.0, 100.0, 0.0])
+            img += draw_beads(shape, [pos], diameters=20,
+                              values=float(vols @ SPECTRA[:, ci]) + 1)
+        chans.append(img)
+    data = DataArray(np.stack(chans), dims=("channel", "y", "x"),
+                     coords={"channel": CHANNELS})
+    codes2 = io.StringIO(
+        "name,eu,dy,sm\ncode_a,1.0,0.0,0.0\ncode_b,1.0,1.0,0.0\n"
+    )
+    xp = mg.mrbles(
+        data=data, spectra=spectra_csv(), codes=codes2,
+        min_bead_diameter=16, max_bead_diameter=24, overlap=0,
+        num_iter=20000, search_channel="c435",
+    )
+    assert xp.roi.sizes["mark"] == 10
+    tags = xp.tag.values
+    # Decoded tags split 5/5 between the two codes.
+    a = (tags == "code_a").sum()
+    b = (tags == "code_b").sum()
+    assert a == 5 and b == 5, tags

@@ -1,0 +1,239 @@
+"""IO layer: TIFF roundtrips, path grammar, reader, stores, save/load."""
+
+import datetime
+import os
+
+import numpy as np
+import pytest
+
+import magnify_tpu as mg
+from magnify_tpu.core import DataArray, Dataset
+from magnify_tpu.io import tiff
+from magnify_tpu.io.file import load, save
+from magnify_tpu.io.reader import Reader, extract_paths
+from magnify_tpu.io.zarrlite import open_store, write_store
+from tests.synth import draw_beads
+
+
+# -- tiff --------------------------------------------------------------------
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
+def test_tiff_roundtrip_dtypes(tmp_path, dtype):
+    rng = np.random.default_rng(0)
+    arr = (rng.random((32, 48)) * 200).astype(dtype)
+    path = tmp_path / "x.tif"
+    tiff.write_tiff(path, arr)
+    back = tiff.read_tiff(path)
+    np.testing.assert_array_equal(back, arr)
+    assert back.dtype == dtype
+
+
+def test_tiff_multipage_ome(tmp_path):
+    arr = np.arange(3 * 2 * 16 * 16, dtype=np.uint16).reshape(3, 2, 16, 16)
+    path = tmp_path / "stack.ome.tif"
+    tiff.write_tiff(path, arr, channels=["a", "b"])
+    info = tiff.probe(path)
+    assert info.axes == "TCYX"
+    assert info.shape == (3, 2, 16, 16)
+    assert info.channels == ["a", "b"]
+    np.testing.assert_array_equal(tiff.read_tiff(path), arr)
+    np.testing.assert_array_equal(tiff.read_page(path, 5),
+                                  arr.reshape(-1, 16, 16)[5])
+
+
+def test_tiff_pil_interop(tmp_path):
+    from PIL import Image
+
+    arr = (np.random.default_rng(1).random((20, 20)) * 999).astype(np.uint16)
+    ours = tmp_path / "ours.tif"
+    tiff.write_tiff(ours, arr)
+    with Image.open(ours) as im:
+        np.testing.assert_array_equal(np.asarray(im), arr)
+
+    theirs = tmp_path / "theirs.tif"
+    Image.fromarray(arr).save(theirs)
+    np.testing.assert_array_equal(tiff.read_tiff(theirs), arr)
+
+
+# -- path grammar --------------------------------------------------------------
+
+def make_tree(tmp_path, layout):
+    for rel, arr in layout.items():
+        p = tmp_path / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tiff.write_tiff(p, arr, ome=False)
+
+
+def test_extract_paths_channel_dirs(tmp_path):
+    img = np.zeros((8, 8), np.uint16)
+    make_tree(tmp_path, {"egfp/a.tif": img, "cy5/a.tif": img})
+    paths, meta = extract_paths(str(tmp_path / "(channel)/a.tif"),
+                                assay="str", channel="str", time="time",
+                                row="int", col="int")
+    assert len(paths) == 2
+    keys = sorted(paths)
+    assert keys[0][1] == "cy5"
+    assert keys[1][1] == "egfp"
+    assert all(k[0] is None and k[2] is None for k in keys)
+
+
+def test_extract_paths_rows_cols_and_time(tmp_path):
+    img = np.zeros((8, 8), np.uint16)
+    layout = {}
+    for t in ["20240101-000000", "20240101-000100"]:
+        for r in range(2):
+            for c in range(2):
+                layout[f"{t}/img_{r}_{c}.tif"] = img
+    make_tree(tmp_path, layout)
+    paths, _ = extract_paths(
+        str(tmp_path / "(time)/img_(row)_(col).tif"),
+        assay="str", channel="str", time="time", row="int", col="int",
+    )
+    assert len(paths) == 8
+    k = sorted(paths)[0]
+    assert isinstance(k[2], datetime.datetime)
+    assert k[3] == 0 and k[4] == 0
+
+
+def test_extract_paths_custom_time_format(tmp_path):
+    img = np.zeros((8, 8), np.uint16)
+    make_tree(tmp_path, {"t_0130/x.tif": img})
+    paths, _ = extract_paths(str(tmp_path / "t_(time|%H%M)/x.tif"),
+                             assay="str", channel="str", time="time",
+                             row="int", col="int")
+    ((_, _, t, _, _),) = paths.keys()
+    assert (t.hour, t.minute) == (1, 30)
+
+
+def test_extract_paths_metadata_coord(tmp_path):
+    img = np.zeros((8, 8), np.uint16)
+    make_tree(tmp_path, {"ch0_100nM/x.tif": img, "ch1_200nM/x.tif": img})
+    paths, meta = extract_paths(
+        str(tmp_path / "ch(channel)_(conc_channel)nM/x.tif"),
+        assay="str", channel="str", time="time", row="int", col="int",
+    )
+    assert len(paths) == 2
+    assert meta[("conc", "channel")] == {"0": "100", "1": "200"}
+
+
+def test_extract_paths_duplicate_index_error(tmp_path):
+    img = np.zeros((8, 8), np.uint16)
+    make_tree(tmp_path, {"a/x.tif": img, "a/y.tif": img})
+    with pytest.raises(ValueError, match="same index"):
+        extract_paths(str(tmp_path / "(channel)/*.tif"),
+                      assay="str", channel="str", time="time", row="int",
+                      col="int")
+
+
+# -- reader --------------------------------------------------------------------
+
+def test_reader_missing_pattern_raises():
+    reader = Reader()
+    with pytest.raises(FileNotFoundError):
+        list(reader("/nonexistent/(channel)/*.tif"))
+
+
+def test_reader_builds_lazy_tile_stack(tmp_path):
+    img0 = draw_beads((64, 64), [[32, 32]]).astype(np.uint16)
+    img1 = (img0 * 2).astype(np.uint16)
+    make_tree(tmp_path, {"red/img.tif": img0, "green/img.tif": img1})
+    reader = Reader()
+    (ds,) = list(reader(str(tmp_path / "(channel)/img.tif")))
+    assert ds.tile.dims == ("channel", "tile_y", "tile_x")
+    assert list(ds.channel.values) == ["green", "red"]
+    np.testing.assert_array_equal(ds.tile.isel(channel=1).values, img0)
+
+
+def test_reader_multi_assay(tmp_path):
+    img = np.zeros((8, 8), np.uint16)
+    make_tree(tmp_path, {"exp2/x.tif": img, "exp10/x.tif": img})
+    reader = Reader()
+    out = list(reader(str(tmp_path / "(assay)/x.tif")))
+    assert [ds.attrs["name"] for ds in out] == ["exp2", "exp10"]  # natural sort
+
+
+def test_image_pipeline_from_tiff_grid(tmp_path):
+    rng = np.random.default_rng(2)
+    tiles = {}
+    full = {}
+    for r in range(2):
+        for c in range(2):
+            t = (rng.random((20, 20)) * 999).astype(np.uint16)
+            tiles[f"g/tile_{r}_{c}.tif"] = t
+            full[(r, c)] = t
+    make_tree(tmp_path, tiles)
+    xp = mg.image(str(tmp_path / "g/tile_(row)_(col).tif"), overlap=0)
+    assert xp.sizes["im_y"] == 40
+    assert xp.sizes["im_x"] == 40
+    np.testing.assert_array_equal(xp.image.values[:20, 20:], full[(0, 1)])
+
+
+def test_reader_ome_stack_channels_times(tmp_path):
+    arr = np.random.default_rng(3).integers(0, 999, (3, 2, 16, 16)).astype(
+        np.uint16
+    )
+    # OME TCYX stack (3 timepoints x 2 channels) in a single file.
+    tiff.write_tiff(tmp_path / "s.ome.tif", arr, channels=["bf", "gfp"])
+    reader = Reader()
+    (ds,) = list(reader(str(tmp_path / "s.ome.tif")))
+    assert ds.tile.dims == ("channel", "time", "tile_y", "tile_x")
+    assert list(ds.channel.values) == ["bf", "gfp"]
+    np.testing.assert_array_equal(
+        ds.tile.values, arr.transpose(1, 0, 2, 3)
+    )
+
+
+# -- stores + save/load ----------------------------------------------------------
+
+def test_store_roundtrip(tmp_path):
+    ds = Dataset(
+        {"image": (("channel", "y", "x"),
+                   np.arange(2 * 4 * 4, dtype=np.float32).reshape(2, 4, 4))},
+        coords={"channel": ["a", "b"]},
+        attrs={"name": "exp"},
+    )
+    write_store(tmp_path / "store", ds)
+    back = open_store(tmp_path / "store")
+    np.testing.assert_array_equal(back.image.values, ds.image.values)
+    assert list(back.channel.values) == ["a", "b"]
+    assert back.attrs["name"] == "exp"
+    assert "channel" in back.coords
+
+
+def test_reader_opens_store_dir(tmp_path):
+    ds = Dataset({"tile": (("tile_y", "tile_x"), np.ones((8, 8)))})
+    write_store(tmp_path / "run1", ds)
+    reader = Reader()
+    (back,) = list(reader(str(tmp_path / "run1")))
+    np.testing.assert_array_equal(back.tile.values, np.ones((8, 8)))
+
+
+def test_save_load_roundtrip_beads(tmp_path):
+    ds = Dataset(
+        {"roi": (("mark", "roi_y", "roi_x"),
+                 np.arange(2 * 3 * 3, dtype=np.float32).reshape(2, 3, 3))},
+        coords={"x": (("mark",), np.array([1.0, 2.0])),
+                "tag": (("mark",), np.array(["a", "b"]))},
+        attrs={"name": "run"},
+    )
+    save(tmp_path / "out.npz", ds)
+    back = load(tmp_path / "out.npz")
+    np.testing.assert_array_equal(back.roi.values, ds.roi.values)
+    assert list(back.tag.values) == ["a", "b"]
+    assert "x" in back.coords
+
+
+def test_save_load_restacks_chip(tmp_path):
+    ds = Dataset(
+        {"roi": (("mark_row", "mark_col", "roi_y"),
+                 np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4))},
+    )
+    st = ds.stack(mark=("mark_row", "mark_col")).transpose("mark", ...)
+    save(tmp_path / "chip.npz", st)
+    back = load(tmp_path / "chip.npz")
+    assert "mark" in back.dims
+    un = back.unstack()
+    np.testing.assert_array_equal(
+        un.roi.transpose("mark_row", "mark_col", "roi_y").values,
+        ds.roi.values,
+    )

@@ -1,0 +1,87 @@
+"""Multi-device sharding tests (8 virtual CPU devices; see conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import magnify_tpu as mg
+from magnify_tpu.core import Dataset
+from magnify_tpu.ops.edge import edge_pipeline
+from magnify_tpu.parallel import (
+    DevicePrefetcher,
+    make_mesh,
+    sharded_detect_step,
+    stream_planes,
+)
+from magnify_tpu.parallel.mesh import sharded_edge_pipeline
+from tests.synth import draw_beads
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs
+
+
+def test_make_mesh_shapes(devices):
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh(batch=2, space=4)
+    assert mesh2.shape == {"batch": 2, "space": 4}
+    with pytest.raises(ValueError):
+        make_mesh(batch=3, space=3)
+
+
+def test_sharded_edges_match_single_device(devices):
+    mesh = make_mesh(batch=2, space=4)
+    img = draw_beads((64, 128), [[20, 30], [40, 90]], diameters=12)
+    batch = np.stack([img, np.roll(img, 7, axis=1)] ).astype(np.float32)
+
+    edges_sh, angles_sh = sharded_edge_pipeline(
+        jnp.asarray(batch), mesh, 0.1, 0.9
+    )
+    edges_sh = np.asarray(edges_sh)
+
+    for b in range(2):
+        edges_1, _, _, _ = jax.jit(edge_pipeline)(
+            jnp.asarray(batch[b]), 0.1, 0.9
+        )
+        agreement = (np.asarray(edges_1) == edges_sh[b]).mean()
+        assert agreement == 1.0, f"plane {b}: {agreement}"
+
+
+def test_sharded_detect_step_runs(devices):
+    mesh = make_mesh(batch=2, space=4)
+    img = draw_beads((64, 128), [[32, 64]], diameters=12).astype(np.float32)
+    batch = np.stack([img, img])
+    out = sharded_detect_step(jnp.asarray(batch), mesh)
+    assert out["edges"].shape == (2, 64, 128)
+    counts = np.asarray(out["edge_count"])
+    assert counts.shape == (2,)
+    assert counts[0] == counts[1] > 0
+
+
+def test_device_prefetcher_order_and_values():
+    loads = []
+
+    def loader(key):
+        loads.append(key)
+        return np.full((4, 4), key, dtype=np.float32)
+
+    out = list(DevicePrefetcher(range(5), loader, depth=2))
+    assert [k for k, _ in out] == list(range(5))
+    for k, arr in out:
+        assert float(np.asarray(arr)[0, 0]) == k
+
+
+def test_stream_planes_over_dataset():
+    data = np.arange(2 * 3 * 4 * 4, dtype=np.float32).reshape(2, 3, 4, 4)
+    ds = Dataset({"image": (("channel", "time", "im_y", "im_x"), data)})
+    seen = {}
+    for key, plane in stream_planes(ds, depth=2):
+        seen[key] = np.asarray(plane)
+    assert len(seen) == 6
+    np.testing.assert_array_equal(seen[(1, 2)], data[1, 2])
