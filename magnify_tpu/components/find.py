@@ -167,6 +167,7 @@ class BeadFinder:
         roi_length: int | None,
         search_channel,
         interactive: bool,
+        detector: str = "auto",
     ):
         if min_bead_diameter > max_bead_diameter:
             raise ValueError("min_bead_diameter must be <= max_bead_diameter.")
@@ -178,6 +179,7 @@ class BeadFinder:
         self.min_roundness = min_roundness
         self.roi_length = roi_length if roi_length is not None else 2 * max_bead_diameter
         self.search_channels = utils.to_list(search_channel)
+        self.detector = detector
         self.gui = None
         if interactive:
             from magnify_tpu.plot.vis import InteractiveUI
@@ -201,6 +203,7 @@ class BeadFinder:
                 min_dist=self.min_bead_radius,
                 min_roundness=self.min_roundness,
                 gui=self.gui,
+                detector=self.detector,
             )[0]
             found = found.astype(float)
             if len(beads) > 0 and len(found) > 0:
@@ -291,6 +294,7 @@ class BeadFinder:
         roi_length: int,
         search_channel,
         interactive: bool,
+        detector: str = "auto",
     ):
         return BeadFinder(
             min_bead_diameter=min_bead_diameter,
@@ -302,6 +306,7 @@ class BeadFinder:
             roi_length=roi_length,
             search_channel=search_channel,
             interactive=interactive,
+            detector=detector,
         )
 
 
@@ -331,6 +336,7 @@ class ButtonFinder:
         search_timestep,
         search_channel,
         interactive: bool,
+        detector: str = "auto",
     ):
         if min_button_diameter > max_button_diameter:
             raise ValueError("min_button_diameter must be <= max_button_diameter.")
@@ -351,6 +357,7 @@ class ButtonFinder:
         self.progress_bar = progress_bar
         self.search_timesteps = sorted(utils.to_list(search_timestep))
         self.search_channels = utils.to_list(search_channel)
+        self.detector = detector
         self.gui = None
         if interactive:
             from magnify_tpu.plot.vis import InteractiveUI
@@ -433,6 +440,7 @@ class ButtonFinder:
                 min_dist=min_button_dist,
                 min_roundness=self.min_roundness,
                 gui=self.gui,
+                detector=self.detector,
             )[0][:, :2].astype(float)
             if len(points) > 0 and len(found) > 0:
                 dists = np.linalg.norm(points[None] - found[:, None], axis=2)
@@ -517,6 +525,7 @@ class ButtonFinder:
                 min_radius=self.min_button_radius,
                 max_radius=self.max_button_radius,
                 min_roundness=self.min_roundness,
+                detector=self.detector,
             )
             better = found & (scores > best_score)
             best_score = np.where(better, scores, best_score)
@@ -570,6 +579,7 @@ class ButtonFinder:
         search_timestep,
         search_channel,
         interactive: bool,
+        detector: str = "auto",
     ):
         return ButtonFinder(
             row_dist=row_dist,
@@ -589,6 +599,7 @@ class ButtonFinder:
             search_timestep=search_timestep,
             search_channel=search_channel,
             interactive=interactive,
+            detector=detector,
         )
 
 

@@ -23,15 +23,69 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from magnify_tpu.ops.edge import edge_pipeline
-from magnify_tpu.ops.nms import claimed_raster_nms
+from magnify_tpu.ops.nms import parallel_greedy_nms
 from magnify_tpu.ops.ransac import candidate_circles
-from magnify_tpu.ops.score import dedupe_circles, score_circles
+from magnify_tpu.ops.score import (
+    dedupe_circles,
+    gather_map_scores,
+    score_circles,
+    score_maps,
+)
 
 __all__ = ["find_circles", "detect_best_in_rois"]
 
 DEFAULT_UNIQUE_CAP = 65536
 DEFAULT_NMS_CAP = 16384
+
+
+def _use_conv_scorer() -> bool:
+    """Pick the scoring backend.
+
+    The MXU ring-correlation scorer wins on TPU (dense convs, cost
+    independent of candidate count); the perimeter-gather scorer is exact
+    and cheaper on CPU for test-scale inputs. Override with
+    MAGNIFY_TPU_SCORER=conv|gather.
+    """
+    mode = os.environ.get("MAGNIFY_TPU_SCORER", "auto")
+    if mode == "conv":
+        return True
+    if mode == "gather":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def resolve_detector(detector: str = "auto") -> str:
+    """Pick the candidate-generation strategy.
+
+    "ransac" mirrors the reference's Monte-Carlo proposal loop
+    (utils.py:295-344). "dense" skips sampling entirely: the MXU score maps
+    already evaluate every (center, radius) triple, so detection reduces to
+    threshold -> compact -> sort -> NMS — the exhaustive (num_iter -> inf)
+    limit of the RANSAC path, deterministic and cheaper on TPU. "auto"
+    selects dense on TPU, ransac elsewhere. Override with
+    MAGNIFY_TPU_DETECTOR.
+    """
+    mode = os.environ.get("MAGNIFY_TPU_DETECTOR", detector or "auto")
+    if mode not in ("auto", "dense", "ransac"):
+        raise ValueError(f"unknown detector {mode!r}")
+    if mode == "auto":
+        return "dense" if jax.default_backend() == "tpu" else "ransac"
+    return mode
+
+
+def _score_uniques(grad_angles, edges, uniq, uvalid, *, min_radius,
+                   max_radius, use_conv):
+    ga, eg, pad = _pad_for_scoring(grad_angles, edges, max_radius)
+    shifted = uniq.at[:, :2].add(pad)
+    if use_conv:
+        maps = score_maps(ga, eg, min_radius=min_radius,
+                          max_radius=max_radius)
+        return gather_map_scores(maps, shifted, uvalid,
+                                 min_radius=min_radius)
+    return score_circles(ga, eg, shifted, uvalid, max_radius=max_radius)
 
 
 def _pad_for_scoring(grad_angles, edges, max_radius):
@@ -62,19 +116,19 @@ def _stage_candidates(image, low_q, high_q, key, *, grid_length, num_iter,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("min_radius", "max_radius", "unique_cap"),
+    static_argnames=("min_radius", "max_radius", "unique_cap", "use_conv"),
 )
 def _stage_score(edges, grad_angles, cands, valid, min_roundness, *,
-                 min_radius, max_radius, unique_cap):
+                 min_radius, max_radius, unique_cap, use_conv):
     """Dedupe-compact, score, roundness-filter, and sort by score."""
     h, w = edges.shape
     uniq, uvalid, _ = dedupe_circles(
         cands, valid, height=h, width=w, min_radius=min_radius,
         max_radius=max_radius, cap=unique_cap,
     )
-    ga, eg, pad = _pad_for_scoring(grad_angles, edges, max_radius)
-    shifted = uniq.at[:, :2].add(pad)
-    scores = score_circles(ga, eg, shifted, uvalid, max_radius=max_radius)
+    scores = _score_uniques(grad_angles, edges, uniq, uvalid,
+                            min_radius=min_radius, max_radius=max_radius,
+                            use_conv=use_conv)
     keep = scores >= min_roundness
     n_keep = keep.sum()
     scores = jnp.where(keep, scores, -jnp.inf)
@@ -90,9 +144,9 @@ def _stage_nms(circles, scores, *, nms_cap, min_dist, height, width,
                max_radius):
     c = circles[:nms_cap]
     s = scores[:nms_cap]
-    accepted = claimed_raster_nms(c, jnp.isfinite(s), min_dist=min_dist,
-                                  height=height, width=width,
-                                  max_radius=max_radius)
+    accepted = parallel_greedy_nms(c, jnp.isfinite(s), min_dist=min_dist,
+                                   height=height, width=width,
+                                   max_radius=max_radius)
     return c, s, accepted
 
 
@@ -101,6 +155,53 @@ def _pow2_at_least(n: int, lo: int, hi: int) -> int:
     while out < n and out < hi:
         out *= 2
     return min(out, hi)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_radius", "max_radius", "cap"),
+)
+def _stage_dense(image, low_q, high_q, min_roundness, *, min_radius,
+                 max_radius, cap):
+    """Exhaustive detection: score every (center, radius), threshold, sort.
+
+    One fused program: edge stack -> MXU ring-correlation score maps ->
+    reference bound filters (utils.py:155-166) -> roundness threshold ->
+    compaction into a static (cap, 3) buffer -> score sort. Returns
+    (circles, scores, n_keep) with n_keep possibly exceeding cap (caller
+    retries with a larger cap).
+    """
+    h, w = image.shape
+    edges, _dx, _dy, grad_angles = edge_pipeline(image, low_q, high_q)
+    ga, eg, pad = _pad_for_scoring(grad_angles, edges, max_radius)
+    maps = score_maps(ga, eg, min_radius=min_radius, max_radius=max_radius)
+    n_r, hp, wp = maps.shape
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 1) - pad
+    cols = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 2) - pad
+    rads = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 0) + min_radius
+    ok = (rows + rads >= 0) & (cols + rads >= 0)
+    ok &= (rows - rads < h) & (cols - rads < w)
+    keep = ok & (maps >= min_roundness)
+
+    flat_keep = keep.reshape(-1)
+    flat_scores = jnp.where(flat_keep, maps.reshape(-1), -jnp.inf)
+    n_keep = flat_keep.sum()
+    rank = jnp.cumsum(flat_keep) - 1
+    dest = jnp.where(flat_keep, jnp.minimum(rank, cap), cap)
+    lin = jnp.arange(flat_keep.shape[0], dtype=jnp.int32)
+    cand_lin = jnp.zeros((cap,), jnp.int32).at[dest].set(lin, mode="drop")
+    cand_scores = jnp.full((cap,), -jnp.inf).at[dest].set(flat_scores,
+                                                          mode="drop")
+    order = jnp.argsort(-cand_scores)
+    cand_lin = cand_lin[order]
+    cand_scores = cand_scores[order]
+
+    r_idx = cand_lin // (hp * wp)
+    rem = cand_lin % (hp * wp)
+    circles = jnp.stack(
+        [rem // wp - pad, rem % wp - pad, r_idx + min_radius], axis=1
+    ).astype(jnp.int32)
+    return circles, cand_scores, n_keep
 
 
 def find_circles(
@@ -115,6 +216,7 @@ def find_circles(
     min_dist: int,
     gui=None,
     seed: int = 0,
+    detector: str = "auto",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Detect circles in a single image.
 
@@ -122,11 +224,10 @@ def find_circles(
     (circles, scores) with circles int32 rows of (row, col, radius) sorted by
     descending roundness score, already NMS-deduped when ``min_dist > 0``.
 
-    Runs as three jitted stages with two scalar host syncs in between: the
-    unique-candidate count sizes the scoring buffer and the survivor count
-    sizes the NMS scan, so the sequential-scan length adapts to the data
-    instead of a worst-case static cap. Buffer sizes are bucketed to powers
-    of two to bound recompilation.
+    Two candidate strategies (see :func:`resolve_detector`): "ransac"
+    mirrors the reference's sampling; "dense" scores every (center, radius)
+    triple via the MXU maps — exhaustive and deterministic. Both run as
+    jitted stages with scalar host syncs sizing pow2-bucketed buffers.
 
     ``gui`` is accepted for interface parity; interactive tuning is provided
     by :mod:`magnify_tpu.plot.vis` outside the fused path.
@@ -144,22 +245,36 @@ def find_circles(
         )
 
     image = jnp.asarray(np.ascontiguousarray(image), dtype=jnp.float32)
-    key = jax.random.PRNGKey(seed)
     h, w = image.shape
 
-    edges, grad_angles, cands, valid, n_unique = _stage_candidates(
-        image, float(low_edge_quantile), float(high_edge_quantile), key,
-        grid_length=int(grid_length), num_iter=int(num_iter),
-        min_radius=int(min_radius), max_radius=int(max_radius),
-    )
-    ucap = _pow2_at_least(int(n_unique), 1024, int(num_iter))
+    if resolve_detector(detector) == "dense":
+        cap = 32768
+        while True:
+            circles, scores, n_keep = _stage_dense(
+                image, float(low_edge_quantile), float(high_edge_quantile),
+                float(min_roundness), min_radius=int(min_radius),
+                max_radius=int(max_radius), cap=cap,
+            )
+            n_keep = int(n_keep)
+            if n_keep <= cap:
+                break
+            cap = _pow2_at_least(n_keep, 2 * cap, 1 << 24)
+    else:
+        key = jax.random.PRNGKey(seed)
+        edges, grad_angles, cands, valid, n_unique = _stage_candidates(
+            image, float(low_edge_quantile), float(high_edge_quantile), key,
+            grid_length=int(grid_length), num_iter=int(num_iter),
+            min_radius=int(min_radius), max_radius=int(max_radius),
+        )
+        ucap = _pow2_at_least(int(n_unique), 1024, int(num_iter))
 
-    circles, scores, n_keep = _stage_score(
-        edges, grad_angles, cands, valid, float(min_roundness),
-        min_radius=int(min_radius), max_radius=int(max_radius),
-        unique_cap=ucap,
-    )
-    ncap = _pow2_at_least(int(n_keep), 256, ucap)
+        circles, scores, n_keep = _stage_score(
+            edges, grad_angles, cands, valid, float(min_roundness),
+            min_radius=int(min_radius), max_radius=int(max_radius),
+            unique_cap=ucap, use_conv=_use_conv_scorer(),
+        )
+        n_keep = int(n_keep)
+    ncap = min(_pow2_at_least(n_keep, 256, 1 << 24), int(circles.shape[0]))
 
     if min_dist > 0:
         circles, scores, accepted = _stage_nms(
@@ -181,10 +296,11 @@ def find_circles(
     jax.jit,
     static_argnames=(
         "grid_length", "num_iter", "min_radius", "max_radius", "unique_cap",
+        "use_conv",
     ),
 )
 def _detect_rois(rois, low_q, high_q, min_roundness, keys, *, grid_length,
-                 num_iter, min_radius, max_radius, unique_cap):
+                 num_iter, min_radius, max_radius, unique_cap, use_conv):
     n, l, _ = rois.shape
 
     # 3x3x3 neighborhood for the deterministic local refinement step.
@@ -203,7 +319,15 @@ def _detect_rois(rois, low_q, high_q, min_roundness, keys, *, grid_length,
         )
         ga, eg, pad = _pad_for_scoring(grad_angles, edges, max_radius)
         shifted = uniq.at[:, :2].add(pad)
-        scores = score_circles(ga, eg, shifted, uvalid, max_radius=max_radius)
+        if use_conv:
+            maps = score_maps(ga, eg, min_radius=min_radius,
+                              max_radius=max_radius)
+            scores = gather_map_scores(maps, shifted, uvalid,
+                                       min_radius=min_radius)
+        else:
+            maps = None
+            scores = score_circles(ga, eg, shifted, uvalid,
+                                   max_radius=max_radius)
         scores = jnp.where(scores >= min_roundness, scores, -jnp.inf)
         best = jnp.argmax(scores)
         best_circle = uniq[best]
@@ -221,8 +345,12 @@ def _detect_rois(rois, low_q, high_q, min_roundness, keys, *, grid_length,
         )
         nb_ok = jnp.full((cand_nb.shape[0],), jnp.isfinite(best_score))
         nb_shifted = cand_nb.at[:, :2].add(pad)
-        nb_scores = score_circles(ga, eg, nb_shifted, nb_ok,
-                                  max_radius=max_radius)
+        if use_conv:
+            nb_scores = gather_map_scores(maps, nb_shifted, nb_ok,
+                                          min_radius=min_radius)
+        else:
+            nb_scores = score_circles(ga, eg, nb_shifted, nb_ok,
+                                      max_radius=max_radius)
         j = jnp.argmax(nb_scores)
         improved = nb_scores[j] > best_score
         best_circle = jnp.where(improved, cand_nb[j], best_circle)
@@ -230,6 +358,39 @@ def _detect_rois(rois, low_q, high_q, min_roundness, keys, *, grid_length,
         return best_circle, best_score
 
     return jax.vmap(one)(rois, keys)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_radius", "max_radius"),
+)
+def _detect_rois_dense(rois, low_q, high_q, min_roundness, *, min_radius,
+                       max_radius):
+    """Dense per-ROI detection: the best (center, radius) by exhaustive
+    score-map argmax — the num_iter -> inf limit of the RANSAC chamber
+    search, with no sampling and no hill-climb needed."""
+    n, l, _ = rois.shape
+
+    def one(roi):
+        edges, _dx, _dy, grad_angles = edge_pipeline(roi, low_q, high_q)
+        ga, eg, pad = _pad_for_scoring(grad_angles, edges, max_radius)
+        maps = score_maps(ga, eg, min_radius=min_radius,
+                          max_radius=max_radius)
+        _n_r, hp, wp = maps.shape
+        rows = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 1) - pad
+        cols = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 2) - pad
+        rads = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 0) + min_radius
+        ok = (rows + rads >= 0) & (cols + rads >= 0)
+        ok &= (rows - rads < l) & (cols - rads < l)
+        ok &= maps >= min_roundness
+        flat = jnp.where(ok, maps, -jnp.inf).reshape(-1)
+        best = jnp.argmax(flat)
+        r_idx = best // (hp * wp)
+        rem = best % (hp * wp)
+        circle = jnp.stack([rem // wp - pad, rem % wp - pad,
+                            r_idx + min_radius]).astype(jnp.int32)
+        return circle, flat[best]
+
+    return jax.vmap(one)(rois)
 
 
 def detect_best_in_rois(
@@ -243,6 +404,7 @@ def detect_best_in_rois(
     min_roundness: float,
     seed: int = 0,
     unique_cap: int = 4096,
+    detector: str = "auto",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Best circle per ROI for a batch of same-size ROIs.
 
@@ -252,15 +414,23 @@ def detect_best_in_rois(
     """
     rois = jnp.asarray(np.ascontiguousarray(rois), dtype=jnp.float32)
     n = rois.shape[0]
-    keys = jax.random.split(jax.random.PRNGKey(seed), n)
-    num_iter = max(int(num_iter), 1)
-    circles, scores = _detect_rois(
-        rois, float(low_edge_quantile), float(high_edge_quantile),
-        float(min_roundness), keys,
-        grid_length=int(grid_length), num_iter=num_iter,
-        min_radius=int(min_radius), max_radius=int(max_radius),
-        unique_cap=int(min(unique_cap, num_iter)),
-    )
+    if resolve_detector(detector) == "dense":
+        circles, scores = _detect_rois_dense(
+            rois, float(low_edge_quantile), float(high_edge_quantile),
+            float(min_roundness), min_radius=int(min_radius),
+            max_radius=int(max_radius),
+        )
+    else:
+        keys = jax.random.split(jax.random.PRNGKey(seed), n)
+        num_iter = max(int(num_iter), 1)
+        circles, scores = _detect_rois(
+            rois, float(low_edge_quantile), float(high_edge_quantile),
+            float(min_roundness), keys,
+            grid_length=int(grid_length), num_iter=num_iter,
+            min_radius=int(min_radius), max_radius=int(max_radius),
+            unique_cap=int(min(unique_cap, num_iter)),
+            use_conv=_use_conv_scorer(),
+        )
     circles = np.asarray(circles)
     scores = np.asarray(scores)
     return circles, scores, np.isfinite(scores)

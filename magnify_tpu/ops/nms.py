@@ -19,7 +19,69 @@ import numpy as np
 
 from magnify_tpu import utils
 
-__all__ = ["claimed_raster_nms"]
+__all__ = ["claimed_raster_nms", "parallel_greedy_nms"]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_dist", "height", "width", "max_radius")
+)
+def parallel_greedy_nms(circles, valid, *, min_dist: int, height: int,
+                        width: int, max_radius: int):
+    """Exact greedy suppression computed in parallel rounds.
+
+    Produces the same accepted set as :func:`claimed_raster_nms` (circles
+    sorted best first, conflict = exclusion rings sharing a pixel) but runs
+    in O(conflict-chain depth) parallel rounds instead of one sequential
+    scan step per circle. Each round:
+
+    * scatter-min every live circle's priority onto its ring pixels,
+    * accept circles whose ring sees no better live priority (their greedy
+      fate cannot depend on undecided circles),
+    * reject live circles whose ring touches an accepted ring.
+    """
+    if min_dist <= 0:
+        return valid
+
+    n = circles.shape[0]
+    ring = jnp.asarray(utils.circle_points(min_dist, four_connected=True))
+    shift = max_radius + min_dist + 1
+    rh = height + 2 * shift
+    rw = width + 2 * shift
+    big = jnp.int32(np.iinfo(np.int32).max)
+
+    idx = (ring[None, :, 0] + circles[:, None, 0] + shift) * rw + (
+        ring[None, :, 1] + circles[:, None, 1] + shift
+    )
+    idx = jnp.clip(idx, 0, rh * rw - 1)  # (n, L)
+    priority = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(state):
+        live, accepted, progressed = state
+        return jnp.any(live) & progressed
+
+    def body(state):
+        live, accepted, _ = state
+        pri_raster = jnp.full((rh * rw,), big, jnp.int32)
+        scatter_idx = jnp.where(live[:, None], idx, rh * rw)
+        pri_raster = pri_raster.at[scatter_idx].min(
+            jnp.broadcast_to(priority[:, None], idx.shape), mode="drop"
+        )
+        ring_best = pri_raster[idx].min(axis=1)
+        newly = live & (ring_best == priority)
+        acc_raster = jnp.zeros((rh * rw,), bool).at[
+            jnp.where((accepted | newly)[:, None], idx, rh * rw)
+        ].max(True, mode="drop")
+        conflicted = acc_raster[idx].max(axis=1)
+        accepted = accepted | newly
+        live = live & ~newly & ~conflicted
+        return live, accepted, jnp.any(newly)
+
+    live0 = valid
+    accepted0 = jnp.zeros_like(valid)
+    _, accepted, _ = jax.lax.while_loop(
+        cond, body, (live0, accepted0, jnp.asarray(True))
+    )
+    return accepted
 
 
 @functools.partial(

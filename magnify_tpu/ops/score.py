@@ -118,6 +118,85 @@ def _dedupe_sorted(row, col, rad, ok, max_radius, cap):
     return out, out_valid, n_unique
 
 
+# Odd harmonics of the pi-periodic triangle alignment wave. The reference's
+# per-pixel score 4*|wrap(|a - e|) - pi/2|/pi - 1 equals
+# (8/pi^2) * sum_{k odd} cos(2k (a - e)) / k^2, which separates the image
+# angle a from the ring angle e — turning perimeter scoring into a
+# convolution. Keeping k <= 11 bounds the truncation error at ~1.5% of the
+# score range.
+_HARMONICS = (1, 3, 5, 7, 9, 11)
+_COEFFS = tuple(8.0 / (np.pi**2 * k**2) for k in _HARMONICS)
+
+
+@functools.lru_cache(maxsize=None)
+def _ring_conv_kernel(min_radius: int, max_radius: int) -> np.ndarray:
+    """Conv kernel (n_radii, 2*len(H), K, K) for ring-correlation scoring.
+
+    Input channels alternate (edge*cos(2ka), edge*sin(2ka)) per harmonic;
+    output channel r_idx accumulates sum_k c_k * [cos term + sin term] over
+    the Bresenham ring of radius min_radius + r_idx, normalized by ring
+    length (matching mean_grad's 1/L normalization, reference
+    utils.py:187).
+    """
+    from magnify_tpu import utils
+
+    n_radii = max_radius - min_radius + 1
+    size = 2 * max_radius + 1
+    kernel = np.zeros((n_radii, 2 * len(_HARMONICS), size, size), np.float32)
+    for ri in range(n_radii):
+        r = min_radius + ri
+        ring = utils.circle_points(r)
+        angles = np.arctan2(ring[:, 0], ring[:, 1])
+        inv_len = 1.0 / len(ring)
+        for hi, (k, c) in enumerate(zip(_HARMONICS, _COEFFS)):
+            kernel[ri, 2 * hi, max_radius + ring[:, 0],
+                   max_radius + ring[:, 1]] += c * inv_len * np.cos(
+                       2 * k * angles)
+            kernel[ri, 2 * hi + 1, max_radius + ring[:, 0],
+                   max_radius + ring[:, 1]] += c * inv_len * np.sin(
+                       2 * k * angles)
+    return kernel
+
+
+def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int):
+    """Roundness score for every (center, radius) as one MXU convolution.
+
+    ``grad_angles``/``edges`` must be padded by 2*max_radius (the caller's
+    existing contract). Returns (n_radii, Hp, Wp) float32 score maps indexed
+    by [radius - min_radius, row + pad, col + pad]. Replaces the per-circle
+    perimeter gathers of ``score_circles`` with dense convolutions — cost is
+    independent of the candidate count and runs on the systolic array.
+    """
+    e = edges.astype(jnp.float32)
+    feats = []
+    for k in _HARMONICS:
+        feats.append(e * jnp.cos(2 * k * grad_angles))
+        feats.append(e * jnp.sin(2 * k * grad_angles))
+    x = jnp.stack(feats)[None]  # (1, C, Hp, Wp)
+    kernel = jnp.asarray(_ring_conv_kernel(min_radius, max_radius))
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )
+    return out[0]
+
+
+def gather_map_scores(maps, circles, valid, *, min_radius: int):
+    """Read per-candidate scores out of the score maps.
+
+    circles: int32 (N, 3) with row/col already shifted by the caller's pad.
+    """
+    n_radii, hp, wp = maps.shape
+    r = jnp.clip(circles[:, 2] - min_radius, 0, n_radii - 1)
+    row = jnp.clip(circles[:, 0], 0, hp - 1)
+    col = jnp.clip(circles[:, 1], 0, wp - 1)
+    flat = maps.reshape(-1)
+    idx = (r * hp + row) * wp + col
+    scores = flat[idx]
+    return jnp.where(valid, scores, -jnp.inf)
+
+
 @functools.partial(jax.jit, static_argnames=("max_radius",))
 def score_circles(grad_angles, edges, circles, valid, *, max_radius: int):
     """Roundness score per circle (reference mean_grad, utils.py:225-251).

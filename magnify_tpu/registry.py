@@ -49,6 +49,7 @@ def microfluidic_chip_pipe(
     roi_only: bool = False,
     drop_tiles: bool = True,
     interactive: bool = False,
+    detector: str = "auto",
 ) -> Pipeline:
     """Build the button-finding pipeline for microfluidic chip images.
 
@@ -88,6 +89,7 @@ def microfluidic_chip_pipe(
         search_timestep=search_timestep,
         search_channel=search_channel,
         interactive=interactive,
+        detector=detector,
     )
     pipe.add_pipe("drop", roi_only=roi_only, drop_tiles=drop_tiles)
     pipe.add_pipe("restore_format")
@@ -134,6 +136,7 @@ def mrbles_pipe(
     roi_only: bool = False,
     drop_tiles: bool = True,
     interactive: bool = False,
+    detector: str = "auto",
 ) -> Pipeline:
     """Build the MRBLEs pipeline: bead detection + spectral decoding
     (reference registry.py:402-451)."""
@@ -152,6 +155,7 @@ def mrbles_pipe(
         roi_length=roi_length,
         search_channel=search_channel,
         interactive=interactive,
+        detector=detector,
     )
     pipe.add_pipe("identify_mrbles", spectra=spectra, codes=codes,
                   reference=reference)
@@ -187,6 +191,7 @@ def beads_pipe(
     roi_only: bool = False,
     drop_tiles: bool = True,
     interactive: bool = False,
+    detector: str = "auto",
 ) -> Pipeline:
     """Build the bead-finding pipeline (reference registry.py:568-612):
     read -> standardize_format -> flatfield_correct -> stitch -> find_beads
@@ -206,6 +211,7 @@ def beads_pipe(
         roi_length=roi_length,
         search_channel=search_channel,
         interactive=interactive,
+        detector=detector,
     )
     pipe.add_pipe("drop", roi_only=roi_only, drop_tiles=drop_tiles)
     pipe.add_pipe("restore_format")
@@ -228,6 +234,7 @@ def beads(
     roi_only: bool = False,
     drop_tiles: bool = True,
     interactive: bool = False,
+    detector: str = "auto",
 ):
     """Find beads in images and return the standardized dataset.
 
@@ -256,6 +263,7 @@ def beads(
         roi_only=roi_only,
         drop_tiles=drop_tiles,
         interactive=interactive,
+        detector=detector,
     )(data=data)
 
 

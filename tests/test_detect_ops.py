@@ -155,3 +155,104 @@ def test_masked_reductions():
     # Empty mask -> NaN.
     empty = np.zeros((1, 4, 4), bool)
     assert np.isnan(masked_median(np.ones((1, 4, 4), np.float32), empty))[0]
+
+
+def test_parallel_nms_matches_scan_nms():
+    from magnify_tpu.ops.nms import parallel_greedy_nms
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 300
+        circles = np.stack([
+            rng.integers(10, 190, n), rng.integers(10, 190, n),
+            rng.integers(8, 12, n),
+        ], axis=1).astype(np.int32)
+        valid = rng.random(n) > 0.1
+        a = claimed_raster_nms(jnp.asarray(circles), jnp.asarray(valid),
+                               min_dist=7, height=200, width=200,
+                               max_radius=12)
+        b = parallel_greedy_nms(jnp.asarray(circles), jnp.asarray(valid),
+                                min_dist=7, height=200, width=200,
+                                max_radius=12)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_conv_scorer_matches_gather_scorer():
+    from magnify_tpu.ops.score import (
+        gather_map_scores, score_circles, score_maps,
+    )
+
+    rng = np.random.default_rng(8)
+    img = draw_beads((128, 128), [[40, 40], [90, 80]], diameters=20)
+    img = img + rng.normal(0, 3, img.shape)
+    edges, _, _, ga = jax.jit(edge_ops.edge_pipeline)(
+        jnp.asarray(img, jnp.float32), 0.1, 0.9
+    )
+    max_r, min_r = 12, 8
+    pad = 2 * max_r
+    gap = jnp.pad(ga, pad)
+    egp = jnp.pad(edges, pad)
+    circles = []
+    for row in range(30, 110, 7):
+        for col in range(30, 110, 11):
+            for r in range(min_r, max_r + 1):
+                circles.append((row + pad, col + pad, r))
+    circles = jnp.asarray(np.array(circles, np.int32))
+    valid = jnp.ones(len(circles), bool)
+
+    exact = np.asarray(score_circles(gap, egp, circles, valid,
+                                     max_radius=max_r))
+    maps = score_maps(gap, egp, min_radius=min_r, max_radius=max_r)
+    approx = np.asarray(gather_map_scores(maps, circles, valid,
+                                          min_radius=min_r))
+    # Fourier truncation error is bounded by the dropped harmonic mass
+    # (~2.3% of the [-1, 1] score range per ring pixel).
+    assert np.abs(exact - approx).max() < 0.04
+    # Ranking of the real beads is preserved.
+    assert np.argmax(exact) == np.argmax(approx)
+
+
+def test_dense_detector_matches_ransac_on_clean_fixture():
+    import os
+
+    from magnify_tpu.ops.detect import find_circles
+
+    img = draw_beads((512, 512), [[100, 100], [100, 380], [256, 256],
+                                  [400, 120], [380, 400]], diameters=20)
+    ransac_c, _ = find_circles(img, 0.1, 0.9, 20, 20000, 8, 12, 0.3, 8,
+                               detector="ransac")
+    dense_c, dense_s = find_circles(img, 0.1, 0.9, 20, 100, 8, 12, 0.3, 8,
+                                    detector="dense")
+    assert len(dense_c) == 5
+    # Dense finds the same circles (order may differ).
+    got_r = {tuple(c) for c in ransac_c.tolist()}
+    got_d = {tuple(c) for c in dense_c.tolist()}
+    for center in got_r:
+        assert any(abs(center[0] - d[0]) <= 1 and abs(center[1] - d[1]) <= 1
+                   and abs(center[2] - d[2]) <= 1 for d in got_d)
+
+
+def test_dense_detector_empty_image():
+    from magnify_tpu.ops.detect import find_circles
+
+    img = np.zeros((256, 256), np.uint16)
+    c, s = find_circles(img, 0.1, 0.9, 20, 100, 8, 12, 0.3, 8,
+                        detector="dense")
+    assert len(c) == 0
+
+
+def test_dense_roi_detection_matches_truth():
+    from magnify_tpu.ops.detect import detect_best_in_rois
+
+    rois = np.stack([
+        draw_beads((72, 72), [[36, 36]], diameters=20),
+        draw_beads((72, 72), [[30, 40]], diameters=22),
+        np.zeros((72, 72), np.uint16),
+    ])
+    circles, scores, found = detect_best_in_rois(
+        rois, 0.1, 1 - np.pi * 8 / 72**2, 20, 100, 8, 16, 0.2,
+        detector="dense",
+    )
+    assert found.tolist() == [True, True, False]
+    assert tuple(circles[0][:2]) == (36, 36) and circles[0][2] == 10
+    assert tuple(circles[1][:2]) == (30, 40) and circles[1][2] == 11
