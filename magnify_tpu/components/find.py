@@ -110,6 +110,19 @@ def _bead_masks(beads, tops, lefts, neighbor_idx, *, roi_length, max_radius,
     return jax.vmap(one)(jnp.arange(n))
 
 
+@functools.partial(jax.jit, static_argnames=("roi_length", "max_radius",
+                                             "max_neighbors"))
+def _bead_masks_and_rois(beads, tops, lefts, neighbor_idx, image, *,
+                         roi_length, max_radius, max_neighbors):
+    """Fused fg/bg ownership masks + all-channel ROI gathers (one dispatch)."""
+    fg, bg = _bead_masks(beads, tops, lefts, neighbor_idx,
+                         roi_length=roi_length, max_radius=max_radius,
+                         max_neighbors=max_neighbors)
+    crops = ops_geom.extract_rois(image, tops, lefts, roi_length)
+    # crops: (mark, channel, time, L, L).
+    return fg, bg, crops
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("roi_length", "max_radius", "chamber_radius",
@@ -262,23 +275,35 @@ class BeadFinder:
         for i, nb in enumerate(neighbor_lists):
             neighbor_idx[i, : len(nb)] = nb
 
-        fg_dev, bg_dev = _bead_masks(
-            jnp.asarray(ints), jnp.asarray(tops), jnp.asarray(lefts),
-            jnp.asarray(neighbor_idx), roi_length=L,
-            max_radius=self.max_bead_radius, max_neighbors=max_nb,
-        )
-        fg[:] = np.asarray(fg_dev)[:, None]
-        bg[:] = np.asarray(bg_dev)[:, None]
-
-        # ROI crops, one channel at a time to bound transfer peaks
-        # (find.py:589-602).
         tops_j = jnp.asarray(tops)
         lefts_j = jnp.asarray(lefts)
-        for ci in range(n_ch):
-            image = assay.image.isel(channel=ci).to_numpy()  # (time, H, W)
-            crops = ops_geom.extract_rois(jnp.asarray(image), tops_j, lefts_j,
-                                          L)
-            roi[:, ci] = np.asarray(crops)
+        roi_bytes = roi.size * roi.itemsize
+        if roi_bytes <= 512 * 1024 * 1024:
+            # Fused path: masks + every channel's ROI crops in one dispatch.
+            image_all = assay.image.to_numpy()  # (channel, time, H, W)
+            fg_dev, bg_dev, crops = _bead_masks_and_rois(
+                jnp.asarray(ints), tops_j, lefts_j,
+                jnp.asarray(neighbor_idx), jnp.asarray(image_all),
+                roi_length=L, max_radius=self.max_bead_radius,
+                max_neighbors=max_nb,
+            )
+            fg[:] = np.asarray(fg_dev)[:, None]
+            bg[:] = np.asarray(bg_dev)[:, None]
+            roi[:] = np.asarray(crops)
+        else:
+            # Out-of-core path: one channel at a time (find.py:589-602).
+            fg_dev, bg_dev = _bead_masks(
+                jnp.asarray(ints), tops_j, lefts_j,
+                jnp.asarray(neighbor_idx), roi_length=L,
+                max_radius=self.max_bead_radius, max_neighbors=max_nb,
+            )
+            fg[:] = np.asarray(fg_dev)[:, None]
+            bg[:] = np.asarray(bg_dev)[:, None]
+            for ci in range(n_ch):
+                image = assay.image.isel(channel=ci).to_numpy()
+                crops = ops_geom.extract_rois(jnp.asarray(image), tops_j,
+                                              lefts_j, L)
+                roi[:, ci] = np.asarray(crops)
 
         assay.cache(["roi", "fg", "bg"])
         return assay

@@ -110,6 +110,13 @@ def flatfield_correct(xp, flatfield=1.0, darkfield=0.0):
     if isinstance(darkfield, DataArray):
         darkfield = darkfield.values
 
+    # Identity correction (the pipeline defaults): mathematically a no-op on
+    # non-negative data — skip the passes entirely.
+    if (np.isscalar(flatfield) and flatfield == 1.0
+            and np.isscalar(darkfield) and darkfield == 0.0
+            and np.issubdtype(np.dtype(xp["tile"].dtype), np.unsignedinteger)):
+        return xp
+
     tile_var = xp["tile"]
     dtype = tile_var.dtype
     data = tile_var.data

@@ -21,10 +21,15 @@ class Pipeline:
         self.components: list[tuple[str, Callable]] = []
 
     def __call__(self, data):
+        from magnify_tpu.diagnostics import stage_timer
+
         outputs = []
-        for assay in self.reader(data=data):
-            for _name, comp in self.components:
-                assay = comp(assay)
+        with stage_timer("read"):
+            assays = list(self.reader(data=data))
+        for assay in assays:
+            for name, comp in self.components:
+                with stage_timer(name):
+                    assay = comp(assay)
             outputs.append(assay)
         if len(outputs) == 1:
             return outputs[0]

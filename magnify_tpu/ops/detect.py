@@ -158,10 +158,42 @@ def _pow2_at_least(n: int, lo: int, hi: int) -> int:
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("min_radius", "max_radius", "cap", "nms_cap",
+                     "min_dist"),
+)
+def _stage_dense_full(image, low_q, high_q, min_roundness, *, min_radius,
+                      max_radius, cap, nms_cap, min_dist):
+    """Single-dispatch dense detection: edges -> maps -> compact -> sort ->
+    NMS. One program, one host sync — the default TPU path."""
+    h, w = image.shape
+    circles, scores, n_keep = _dense_candidates(
+        image, low_q, high_q, min_roundness, min_radius=min_radius,
+        max_radius=max_radius, cap=cap,
+    )
+    c = circles[:nms_cap]
+    s = scores[:nms_cap]
+    if min_dist > 0:
+        accepted = parallel_greedy_nms(c, jnp.isfinite(s), min_dist=min_dist,
+                                       height=h, width=w,
+                                       max_radius=max_radius)
+    else:
+        accepted = jnp.isfinite(s)
+    return c, s, accepted, n_keep
+
+
+@functools.partial(
     jax.jit, static_argnames=("min_radius", "max_radius", "cap"),
 )
 def _stage_dense(image, low_q, high_q, min_roundness, *, min_radius,
                  max_radius, cap):
+    return _dense_candidates(image, low_q, high_q, min_roundness,
+                             min_radius=min_radius, max_radius=max_radius,
+                             cap=cap)
+
+
+def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
+                      max_radius, cap):
     """Exhaustive detection: score every (center, radius), threshold, sort.
 
     One fused program: edge stack -> MXU ring-correlation score maps ->
@@ -250,15 +282,21 @@ def find_circles(
     if resolve_detector(detector) == "dense":
         cap = 32768
         while True:
-            circles, scores, n_keep = _stage_dense(
+            circles, scores, accepted, n_keep = _stage_dense_full(
                 image, float(low_edge_quantile), float(high_edge_quantile),
                 float(min_roundness), min_radius=int(min_radius),
-                max_radius=int(max_radius), cap=cap,
+                max_radius=int(max_radius), cap=cap, nms_cap=cap,
+                min_dist=int(min_dist),
             )
             n_keep = int(n_keep)
             if n_keep <= cap:
                 break
             cap = _pow2_at_least(n_keep, 2 * cap, 1 << 24)
+        accepted = np.asarray(accepted)
+        circles = np.asarray(circles)[accepted]
+        scores = np.asarray(scores)[accepted]
+        return circles, scores
+
     else:
         key = jax.random.PRNGKey(seed)
         edges, grad_angles, cands, valid, n_unique = _stage_candidates(

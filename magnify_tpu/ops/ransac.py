@@ -55,7 +55,6 @@ def candidate_circles(edges, grid_length: int, num_iter: int, key):
     flat = edges.reshape(-1).astype(jnp.int32)
     total = flat.sum()
     any_edges = total > 0
-    cum = jnp.cumsum(flat)
 
     n_grid_cols = -(-w // grid_length)
 
@@ -86,10 +85,12 @@ def candidate_circles(edges, grid_length: int, num_iter: int, key):
     cell_ids = ((pix_rows // grid_length) * n_grid_cols
                 + pix_cols // grid_length).reshape(-1)
 
+    # Uniform edge-pixel sampling: the CSR ``order`` array already holds all
+    # edge pixels compacted at the front, so one gather replaces a binary
+    # search over a cumsum (20x fewer random reads per sample).
     k0, k1, k2 = jax.random.split(key, 3)
     u0 = jax.random.randint(k0, (num_iter,), 0, jnp.maximum(total, 1))
-    p0_flat = jnp.searchsorted(cum, u0, side="right").astype(jnp.int32)
-    p0_flat = jnp.minimum(p0_flat, h * w - 1)
+    p0_flat = order[u0]
     p0r = p0_flat // w
     p0c = p0_flat % w
 
