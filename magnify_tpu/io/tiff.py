@@ -65,8 +65,15 @@ def _dtype_of(bits: int, fmt: int) -> np.dtype:
 class _Parser:
     def __init__(self, path):
         self.path = str(path)
-        with open(self.path, "rb") as f:
-            self.data = f.read()
+        self._file = open(self.path, "rb")
+        try:
+            import mmap as _mmap
+
+            self.data = _mmap.mmap(self._file.fileno(), 0,
+                                   access=_mmap.ACCESS_READ)
+        except (ValueError, OSError):
+            # Empty or unmappable file: fall back to an eager read.
+            self.data = self._file.read()
         magic = self.data[:4]
         if magic[:2] == b"II":
             self.end = "<"
@@ -290,13 +297,72 @@ def read_page(path, page_idx: int) -> np.ndarray:
     return _Parser(path).decode(page_idx)
 
 
+def read_pages(path, page_indices) -> np.ndarray:
+    """Decode many pages of one file into a (n, h, w) array.
+
+    Uses the native thread-pooled region reader
+    (:mod:`magnify_tpu.native`) when available — all strips of all requested
+    pages are pread/inflated concurrently — otherwise falls back to a
+    per-page Python loop.
+    """
+    parser = _Parser(path)
+    page_indices = list(page_indices)
+    if not page_indices:
+        p0 = parser.page(0)
+        dtype = _dtype_of(p0.bits, p0.sample_format)
+        return np.empty((0, p0.height, p0.width), dtype)
+
+    pages = [parser.page(i) for i in page_indices]
+    p0 = pages[0]
+    same = all(
+        p.width == p0.width and p.height == p0.height and p.bits == p0.bits
+        and p.sample_format == p0.sample_format
+        and p.compression == p0.compression and p.samples_per_pixel == 1
+        for p in pages
+    )
+    native_ok = same and p0.compression in (1, 8, 32946)
+    if native_ok:
+        from magnify_tpu import native
+
+        native_ok = native.available()
+    if not native_ok:
+        return np.stack([parser.decode(i) for i in page_indices])
+
+    dtype = _dtype_of(p0.bits, p0.sample_format).newbyteorder(parser.end)
+    page_bytes = p0.height * p0.width * dtype.itemsize
+    out = np.empty(len(pages) * page_bytes, np.uint8)
+    src_off, src_sz, dst_off, dst_sz = [], [], [], []
+    for pi, page in enumerate(pages):
+        pos = pi * page_bytes
+        rows_left = page.height
+        for off, cnt in zip(page.strip_offsets, page.strip_counts):
+            rows = min(page.rows_per_strip, rows_left)
+            rows_left -= rows
+            strip_bytes = rows * page.width * dtype.itemsize
+            src_off.append(int(off))
+            src_sz.append(int(cnt))
+            dst_off.append(pos)
+            dst_sz.append(strip_bytes)
+            pos += strip_bytes
+
+    from magnify_tpu import native
+
+    native.read_regions(
+        path, src_off, src_sz, dst_off, dst_sz, out,
+        compression=0 if p0.compression == 1 else 8,
+    )
+    arr = out.view(dtype).reshape(len(pages), p0.height, p0.width)
+    return arr.astype(dtype.newbyteorder("="), copy=False)
+
+
 def read_tiff(path) -> np.ndarray:
     """Decode the full series into one array shaped per ``probe().shape``."""
     parser = _Parser(path)
-    pages = [parser.decode(i) for i in range(len(parser.page_offsets))]
-    arr = np.stack(pages) if len(pages) > 1 else pages[0]
+    n = len(parser.page_offsets)
+    arr = read_pages(path, range(n))
     info = probe(path)
-    return arr.reshape(info.shape)
+    return arr.reshape(info.shape) if n > 1 or len(info.shape) != 3 else \
+        arr.reshape(info.shape)
 
 
 def _ome_description(shape, axes, dtype, channels=None):

@@ -281,17 +281,19 @@ def find_circles(
 
     if resolve_detector(detector) == "dense":
         cap = 32768
+        nms_cap = 4096
         while True:
             circles, scores, accepted, n_keep = _stage_dense_full(
                 image, float(low_edge_quantile), float(high_edge_quantile),
                 float(min_roundness), min_radius=int(min_radius),
-                max_radius=int(max_radius), cap=cap, nms_cap=cap,
-                min_dist=int(min_dist),
+                max_radius=int(max_radius), cap=cap,
+                nms_cap=min(nms_cap, cap), min_dist=int(min_dist),
             )
             n_keep = int(n_keep)
-            if n_keep <= cap:
+            if n_keep <= min(nms_cap, cap):
                 break
-            cap = _pow2_at_least(n_keep, 2 * cap, 1 << 24)
+            cap = _pow2_at_least(n_keep, cap, 1 << 24)
+            nms_cap = _pow2_at_least(n_keep, nms_cap, 1 << 24)
         accepted = np.asarray(accepted)
         circles = np.asarray(circles)[accepted]
         scores = np.asarray(scores)[accepted]

@@ -172,8 +172,12 @@ def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int):
     for k in _HARMONICS:
         feats.append(e * jnp.cos(2 * k * grad_angles))
         feats.append(e * jnp.sin(2 * k * grad_angles))
-    x = jnp.stack(feats)[None]  # (1, C, Hp, Wp)
-    kernel = jnp.asarray(_ring_conv_kernel(min_radius, max_radius))
+    # bf16 inputs halve MXU time; accumulation stays f32. The feature values
+    # are in [-1, 1] and ring sums have ~L terms, so bf16's ~0.4% relative
+    # error is far below the harmonic-truncation bound.
+    x = jnp.stack(feats)[None].astype(jnp.bfloat16)  # (1, C, Hp, Wp)
+    kernel = jnp.asarray(_ring_conv_kernel(min_radius, max_radius),
+                         jnp.bfloat16)
     out = jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),

@@ -237,3 +237,34 @@ def test_save_load_restacks_chip(tmp_path):
         un.roi.transpose("mark_row", "mark_col", "roi_y").values,
         ds.roi.values,
     )
+
+
+def test_native_batch_page_reader(tmp_path):
+    from magnify_tpu import native
+    from magnify_tpu.io.tiff import read_pages
+
+    arr = np.random.default_rng(9).integers(0, 999, (6, 33, 47)).astype(
+        np.uint16
+    )
+    p = tmp_path / "batch.tif"
+    tiff.write_tiff(p, arr, axes="TYX", ome=False)
+    out = read_pages(p, [0, 3, 5])
+    np.testing.assert_array_equal(out, arr[[0, 3, 5]])
+    # Whole-series read goes through the same path.
+    np.testing.assert_array_equal(tiff.read_tiff(p), arr)
+    # Report whether the native library actually built (informational).
+    assert native.available() in (True, False)
+
+
+def test_native_read_regions_roundtrip(tmp_path):
+    from magnify_tpu import native
+
+    if not native.available():
+        pytest.skip("native IO unavailable (no compiler)")
+    blob = np.random.default_rng(10).integers(0, 255, 4096).astype(np.uint8)
+    p = tmp_path / "blob.bin"
+    p.write_bytes(blob.tobytes())
+    out = np.zeros(600, np.uint8)
+    native.read_regions(p, [100, 2000], [200, 400], [0, 200], [200, 400], out)
+    np.testing.assert_array_equal(out[:200], blob[100:300])
+    np.testing.assert_array_equal(out[200:], blob[2000:2400])
