@@ -7,5 +7,6 @@ from magnify_tpu.components import (  # noqa: F401
     identify,
     postprocess,
     preprocess,
+    quantify,
     stitch,
 )

@@ -8,8 +8,7 @@ OpenCV contour tracing.
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
+
 import numpy as np
 
 from magnify_tpu import utils

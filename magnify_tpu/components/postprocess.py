@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from magnify_tpu.core import DataArray, Dataset
+from magnify_tpu.core import DataArray
 from magnify_tpu.core.registry import component
 
 _STANDARD_DIMS = ["channel", "time", "tile_row", "tile_col", "tile_y", "tile_x"]

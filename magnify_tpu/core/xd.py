@@ -26,7 +26,7 @@ host blocks, stream them to HBM, and write numpy results back into the model.
 from __future__ import annotations
 
 import copy
-from collections.abc import Hashable, Iterable, Mapping, Sequence
+from collections.abc import Mapping, Sequence
 
 import numpy as np
 

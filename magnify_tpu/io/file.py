@@ -9,7 +9,7 @@ reference's behavior.
 
 from __future__ import annotations
 
-import io as _io
+
 import json
 
 import numpy as np

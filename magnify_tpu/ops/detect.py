@@ -401,6 +401,61 @@ def _detect_rois(rois, low_q, high_q, min_roundness, keys, *, grid_length,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("min_radius", "max_radius", "cap", "nms_cap",
+                     "min_dist"),
+)
+def _stage_dense_batch(images, low_q, high_q, min_roundness, *, min_radius,
+                       max_radius, cap, nms_cap, min_dist):
+    def one(img):
+        return _stage_dense_full(
+            img, low_q, high_q, min_roundness, min_radius=min_radius,
+            max_radius=max_radius, cap=cap, nms_cap=nms_cap,
+            min_dist=min_dist,
+        )
+
+    return jax.vmap(one)(images)
+
+
+def find_circles_stack(
+    images: np.ndarray,
+    low_edge_quantile: float,
+    high_edge_quantile: float,
+    min_radius: int,
+    max_radius: int,
+    min_roundness: float,
+    min_dist: int,
+    nms_cap: int = 4096,
+) -> list:
+    """Dense detection over a stack of planes in one dispatch.
+
+    The streaming/4D entry point: (B, H, W) planes are processed by the
+    vmapped dense detector — edge stack, MXU score maps, compaction, and
+    per-plane NMS all batched — so per-dispatch overhead amortizes across
+    the stack. Returns a list of (circles, scores) per plane.
+    """
+    images = jnp.asarray(np.ascontiguousarray(images), dtype=jnp.float32)
+    cap = 32768
+    while True:
+        circles, scores, accepted, n_keep = _stage_dense_batch(
+            images, float(low_edge_quantile), float(high_edge_quantile),
+            float(min_roundness), min_radius=int(min_radius),
+            max_radius=int(max_radius), cap=cap, nms_cap=min(nms_cap, cap),
+            min_dist=int(min_dist),
+        )
+        worst = int(np.max(np.asarray(n_keep)))
+        if worst <= min(nms_cap, cap):
+            break
+        cap = _pow2_at_least(worst, cap, 1 << 24)
+        nms_cap = _pow2_at_least(worst, nms_cap, 1 << 24)
+    circles = np.asarray(circles)
+    scores = np.asarray(scores)
+    accepted = np.asarray(accepted)
+    return [(circles[b][accepted[b]], scores[b][accepted[b]])
+            for b in range(circles.shape[0])]
+
+
+@functools.partial(
     jax.jit, static_argnames=("min_radius", "max_radius"),
 )
 def _detect_rois_dense(rois, low_q, high_q, min_roundness, *, min_radius,

@@ -10,7 +10,7 @@ pipelines with ``interactive=True`` still run.
 
 from __future__ import annotations
 
-import inspect
+
 
 import numpy as np
 

@@ -256,3 +256,16 @@ def test_dense_roi_detection_matches_truth():
     assert found.tolist() == [True, True, False]
     assert tuple(circles[0][:2]) == (36, 36) and circles[0][2] == 10
     assert tuple(circles[1][:2]) == (30, 40) and circles[1][2] == 11
+
+
+def test_find_circles_stack_batches_planes():
+    from magnify_tpu.ops.detect import find_circles_stack
+
+    img0 = draw_beads((256, 256), [[80, 80], [180, 160]], diameters=20)
+    img1 = draw_beads((256, 256), [[60, 190]], diameters=20)
+    out = find_circles_stack(np.stack([img0, img1]), 0.1, 0.9, 8, 12, 0.3, 8)
+    assert len(out) == 2
+    c0, s0 = out[0]
+    c1, s1 = out[1]
+    assert len(c0) == 2 and len(c1) == 1
+    assert tuple(c1[0][:2]) == (60, 190)

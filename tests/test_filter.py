@@ -1,4 +1,5 @@
 """Marker QC filters."""
+import pytest
 
 import numpy as np
 
@@ -92,3 +93,14 @@ def test_filter_leaky_invalidates_neighbors_of_bright_blanks():
     out2 = filter_leaky_buttons(ds2)
     assert out2.valid.values[0, 0]
     assert out2.valid.values[2, 0]
+
+
+def test_quantify_component():
+    from magnify_tpu.components.quantify import quantify
+
+    ds = assay_with_rois([50.0, 150.0])
+    out = quantify(ds)
+    assert out.intensity.dims == ("mark", "channel", "time")
+    vals = out.intensity.values[:, 0, 0]
+    assert vals[0] == pytest.approx(40.0, abs=1.0)
+    assert vals[1] == pytest.approx(140.0, abs=1.0)
