@@ -75,8 +75,30 @@ def rename_labels(xp, **coords):
 
 @component("rotate")
 def rotate(xp, rotation=0):
-    """Stub, matching the reference where rotation is commented out
-    (/root/reference/src/magnify/preprocess.py:54-59)."""
+    """Rotate the stitched image about its center.
+
+    The reference registers this component but its body is commented out
+    (/root/reference/src/magnify/preprocess.py:54-59), making it a silent
+    no-op; here ``rotation`` (degrees) is applied for real — bilinear
+    resampling on device, shape preserved — and ``rotation=0`` remains a
+    no-op for exact parity with the default pipelines.
+    """
+    if rotation == 0 or "image" not in xp:
+        return xp
+    import jax
+    import jax.numpy as jnp
+
+    from magnify_tpu.ops.geom import rotate_plane
+
+    var = xp["image"]
+    image = var.values
+    lead = image.shape[:-2]
+    flat = image.reshape((-1,) + image.shape[-2:])
+    rotated = jax.vmap(lambda p: rotate_plane(p, float(rotation)))(
+        jnp.asarray(flat, jnp.float32)
+    )
+    out = np.asarray(rotated).reshape(image.shape).astype(image.dtype)
+    xp["image"] = Variable(var.dims, out, var.variable.attrs)
     return xp
 
 

@@ -426,33 +426,42 @@ def find_circles_stack(
     min_roundness: float,
     min_dist: int,
     nms_cap: int = 4096,
+    batch: int = 4,
 ) -> list:
-    """Dense detection over a stack of planes in one dispatch.
+    """Dense detection over a stack of planes, sub-batched per dispatch.
 
-    The streaming/4D entry point: (B, H, W) planes are processed by the
-    vmapped dense detector — edge stack, MXU score maps, compaction, and
-    per-plane NMS all batched — so per-dispatch overhead amortizes across
-    the stack. Returns a list of (circles, scores) per plane.
+    The streaming/4D entry point: (B, H, W) planes run through the vmapped
+    dense detector ``batch`` at a time — edge stack, MXU score maps,
+    compaction, and per-plane NMS all batched — so per-dispatch overhead
+    amortizes across the stack while HBM temporaries stay bounded. Returns a
+    list of (circles, scores) per plane.
     """
-    images = jnp.asarray(np.ascontiguousarray(images), dtype=jnp.float32)
-    cap = 32768
-    while True:
-        circles, scores, accepted, n_keep = _stage_dense_batch(
-            images, float(low_edge_quantile), float(high_edge_quantile),
-            float(min_roundness), min_radius=int(min_radius),
-            max_radius=int(max_radius), cap=cap, nms_cap=min(nms_cap, cap),
-            min_dist=int(min_dist),
+    images = np.ascontiguousarray(images)
+    results = []
+    for start in range(0, images.shape[0], batch):
+        chunk = jnp.asarray(images[start:start + batch], dtype=jnp.float32)
+        cap = 32768
+        ncap = nms_cap
+        while True:
+            circles, scores, accepted, n_keep = _stage_dense_batch(
+                chunk, float(low_edge_quantile), float(high_edge_quantile),
+                float(min_roundness), min_radius=int(min_radius),
+                max_radius=int(max_radius), cap=cap, nms_cap=min(ncap, cap),
+                min_dist=int(min_dist),
+            )
+            worst = int(np.max(np.asarray(n_keep)))
+            if worst <= min(ncap, cap):
+                break
+            cap = _pow2_at_least(worst, cap, 1 << 24)
+            ncap = _pow2_at_least(worst, ncap, 1 << 24)
+        circles = np.asarray(circles)
+        scores = np.asarray(scores)
+        accepted = np.asarray(accepted)
+        results.extend(
+            (circles[b][accepted[b]], scores[b][accepted[b]])
+            for b in range(circles.shape[0])
         )
-        worst = int(np.max(np.asarray(n_keep)))
-        if worst <= min(nms_cap, cap):
-            break
-        cap = _pow2_at_least(worst, cap, 1 << 24)
-        nms_cap = _pow2_at_least(worst, nms_cap, 1 << 24)
-    circles = np.asarray(circles)
-    scores = np.asarray(scores)
-    accepted = np.asarray(accepted)
-    return [(circles[b][accepted[b]], scores[b][accepted[b]])
-            for b in range(circles.shape[0])]
+    return results
 
 
 @functools.partial(

@@ -26,6 +26,7 @@ __all__ = [
     "extent_lut",
     "extract_rois",
     "perimeter_tables",
+    "rotate_plane",
 ]
 
 
@@ -95,6 +96,47 @@ def bounding_box_corners(x, y, box_length: int, image_width: int,
     top = jnp.clip(y - box_length // 2, 0, image_height - box_length)
     left = jnp.clip(x - box_length // 2, 0, image_width - box_length)
     return top, left
+
+
+@functools.partial(jax.jit, static_argnames=())
+def rotate_plane(image, degrees):
+    """Rotate a 2-D plane about its center (bilinear, zero fill).
+
+    Device implementation of the rotation the reference left commented out
+    (/root/reference/src/magnify/preprocess.py:54-59, dask_image rotate with
+    reshape=False): output keeps the input shape.
+    """
+    h, w = image.shape
+    theta = jnp.deg2rad(degrees)
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    rows = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    cols = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    # Inverse mapping: output pixel <- input coordinates.
+    src_r = cos_t * rows + sin_t * cols + cy
+    src_c = -sin_t * rows + cos_t * cols + cx
+
+    r0 = jnp.floor(src_r)
+    c0 = jnp.floor(src_c)
+    fr = src_r - r0
+    fc = src_c - c0
+
+    img = image.astype(jnp.float32)
+
+    def sample(rr, cc):
+        inside = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+        rr = jnp.clip(rr, 0, h - 1).astype(jnp.int32)
+        cc = jnp.clip(cc, 0, w - 1).astype(jnp.int32)
+        return jnp.where(inside, img[rr, cc], 0.0)
+
+    out = (
+        sample(r0, c0) * (1 - fr) * (1 - fc)
+        + sample(r0, c0 + 1) * (1 - fr) * fc
+        + sample(r0 + 1, c0) * fr * (1 - fc)
+        + sample(r0 + 1, c0 + 1) * fr * fc
+    )
+    return out
 
 
 def extract_rois(image, tops, lefts, roi_length: int):

@@ -1,0 +1,131 @@
+"""Preprocess/postprocess component behaviors."""
+
+import numpy as np
+import pytest
+
+import magnify_tpu as mg
+from magnify_tpu.components.postprocess import drop, restore_format
+from magnify_tpu.components.preprocess import (
+    circle_mask,
+    flatfield_correct,
+    horizontal_flip,
+    rename_labels,
+    rotate,
+    standardize_format,
+    vertical_flip,
+)
+from magnify_tpu.core import DataArray, Dataset
+
+
+def test_standardize_2d_array():
+    da = DataArray(np.ones((5, 6)), dims=("y", "x"))
+    xp = standardize_format(da)
+    assert xp.tile.dims == ("channel", "time", "tile_row", "tile_col",
+                            "tile_y", "tile_x")
+    assert xp.tile.shape == (1, 1, 1, 1, 5, 6)
+    assert xp.attrs["__original_tile_dims__"] == ["tile_y", "tile_x"]
+
+
+def test_standardize_extra_dims_fold_into_time():
+    da = DataArray(np.ones((2, 3, 4, 5)), dims=("z", "time", "y", "x"))
+    xp = standardize_format(da)
+    assert xp.sizes["time"] == 6  # z x original time
+    restored = restore_format(_with_image(xp))
+    assert "z" in restored.dims
+    assert restored.sizes["z"] == 2
+    assert restored.sizes["time"] == 3
+
+
+def _with_image(xp):
+    # restore_format runs after stitch in real pipelines; emulate minimal.
+    return xp
+
+
+def test_restore_format_roundtrip_order():
+    da = DataArray(np.random.default_rng(0).random((3, 4)), dims=("y", "x"))
+    xp = standardize_format(da)
+    out = restore_format(xp)
+    assert out.tile.dims == ("tile_y", "tile_x")
+
+
+def test_rename_labels():
+    ds = Dataset({"tile": (("channel", "tile_y"), np.ones((2, 3)))},
+                 coords={"channel": ["a", "b"]})
+    out = rename_labels(ds, channel={"a": "red"})
+    assert list(out.channel.values) == ["red", "b"]
+    out2 = rename_labels(ds, channel=["x", "y"])
+    assert list(out2.channel.values) == ["x", "y"]
+
+
+def test_flatfield_scalar_math():
+    tile = np.full((1, 1, 1, 1, 4, 4), 100, np.uint16)
+    tile[0, 0, 0, 0, 0, 0] = 200
+    ds = Dataset({"tile": (("channel", "time", "tile_row", "tile_col",
+                            "tile_y", "tile_x"), tile)})
+    out = flatfield_correct(ds, flatfield=2.0, darkfield=50.0)
+    vals = out.tile.values
+    # (tile - 50).clip / 2, rescaled so the max is preserved.
+    assert vals.max() == 150
+    assert vals.dtype == np.uint16
+
+
+def test_flatfield_identity_fast_path():
+    tile = np.full((1, 1, 1, 1, 4, 4), 77, np.uint16)
+    ds = Dataset({"tile": (("channel", "time", "tile_row", "tile_col",
+                            "tile_y", "tile_x"), tile)})
+    out = flatfield_correct(ds)
+    np.testing.assert_array_equal(out.tile.values, tile)
+
+
+def test_flips():
+    img = np.arange(16.0).reshape(1, 1, 4, 4)
+    ds = Dataset({"image": (("channel", "time", "im_y", "im_x"), img)})
+    np.testing.assert_array_equal(horizontal_flip(ds).image.values,
+                                  img[..., ::-1])
+    ds2 = Dataset({"image": (("channel", "time", "im_y", "im_x"), img)})
+    np.testing.assert_array_equal(vertical_flip(ds2).image.values,
+                                  img[..., ::-1, :])
+    # Tile fallback when no image exists.
+    ds3 = Dataset({"tile": (("tile_y", "tile_x"), img[0, 0])})
+    np.testing.assert_array_equal(horizontal_flip(ds3).tile.values,
+                                  img[0, 0, :, ::-1])
+
+
+def test_circle_mask():
+    img = np.ones((1, 1, 21, 21))
+    ds = Dataset({"image": (("channel", "time", "im_y", "im_x"), img)})
+    out = circle_mask(ds, center=(10, 10), diameter=10)
+    vals = out.image.values[0, 0]
+    assert vals[10, 10] == 1 and vals[0, 0] == 0
+    ds2 = Dataset({"image": (("channel", "time", "im_y", "im_x"), img.copy())})
+    inv = circle_mask(ds2, center=(10, 10), diameter=10, mask_inner=True)
+    assert inv.image.values[0, 0][10, 10] == 0
+    assert inv.image.values[0, 0][0, 0] == 1
+
+
+def test_rotate_noop_and_real():
+    img = np.zeros((1, 1, 32, 32), np.float32)
+    img[0, 0, 10, 16] = 100.0
+    ds = Dataset({"image": (("channel", "time", "im_y", "im_x"), img.copy())})
+    out = rotate(ds, rotation=0)
+    np.testing.assert_array_equal(out.image.values, img)
+
+    ds2 = Dataset({"image": (("channel", "time", "im_y", "im_x"), img.copy())})
+    out180 = rotate(ds2, rotation=180)
+    # 180-degree rotation moves (10, 16) to (21, 15) around center 15.5.
+    assert out180.image.values[0, 0, 21, 15] == pytest.approx(100.0, abs=1.0)
+    assert out180.image.values[0, 0, 10, 16] == 0
+
+
+def test_drop_variants():
+    ds = Dataset({
+        "roi": (("mark", "roi_y"), np.ones((2, 3))),
+        "tile": (("tile_y", "tile_x"), np.ones((4, 4))),
+    }, attrs={"name": "n", "__original_tile_dims__": ["tile_y", "tile_x"]})
+    only = drop(ds, roi_only=True)
+    assert isinstance(only, DataArray)
+    assert only.attrs["name"] == "n"
+    no_tiles = drop(ds, drop_tiles=True)
+    assert "tile" not in no_tiles
+    keep = drop(ds, drop_tiles=False)
+    assert "tile" in keep
