@@ -215,18 +215,11 @@ def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
     ok &= (rows - rads < h) & (cols - rads < w)
     keep = ok & (maps >= min_roundness)
 
-    flat_keep = keep.reshape(-1)
-    flat_scores = jnp.where(flat_keep, maps.reshape(-1), -jnp.inf)
-    n_keep = flat_keep.sum()
-    rank = jnp.cumsum(flat_keep) - 1
-    dest = jnp.where(flat_keep, jnp.minimum(rank, cap), cap)
-    lin = jnp.arange(flat_keep.shape[0], dtype=jnp.int32)
-    cand_lin = jnp.zeros((cap,), jnp.int32).at[dest].set(lin, mode="drop")
-    cand_scores = jnp.full((cap,), -jnp.inf).at[dest].set(flat_scores,
-                                                          mode="drop")
-    order = jnp.argsort(-cand_scores)
-    cand_lin = cand_lin[order]
-    cand_scores = cand_scores[order]
+    # top_k over the masked maps yields the score-sorted survivors AND their
+    # linear indices in one pass — no cumsum/scatter/argsort compaction.
+    flat_scores = jnp.where(keep, maps, -jnp.inf).reshape(-1)
+    n_keep = keep.sum()
+    cand_scores, cand_lin = jax.lax.top_k(flat_scores, cap)
 
     r_idx = cand_lin // (hp * wp)
     rem = cand_lin % (hp * wp)
@@ -280,20 +273,18 @@ def find_circles(
     h, w = image.shape
 
     if resolve_detector(detector) == "dense":
-        cap = 32768
-        nms_cap = 4096
+        cap = 4096
         while True:
             circles, scores, accepted, n_keep = _stage_dense_full(
                 image, float(low_edge_quantile), float(high_edge_quantile),
                 float(min_roundness), min_radius=int(min_radius),
-                max_radius=int(max_radius), cap=cap,
-                nms_cap=min(nms_cap, cap), min_dist=int(min_dist),
+                max_radius=int(max_radius), cap=cap, nms_cap=cap,
+                min_dist=int(min_dist),
             )
             n_keep = int(n_keep)
-            if n_keep <= min(nms_cap, cap):
+            if n_keep <= cap:
                 break
             cap = _pow2_at_least(n_keep, cap, 1 << 24)
-            nms_cap = _pow2_at_least(n_keep, nms_cap, 1 << 24)
         accepted = np.asarray(accepted)
         circles = np.asarray(circles)[accepted]
         scores = np.asarray(scores)[accepted]
@@ -440,20 +431,18 @@ def find_circles_stack(
     results = []
     for start in range(0, images.shape[0], batch):
         chunk = jnp.asarray(images[start:start + batch], dtype=jnp.float32)
-        cap = 32768
-        ncap = nms_cap
+        cap = nms_cap
         while True:
             circles, scores, accepted, n_keep = _stage_dense_batch(
                 chunk, float(low_edge_quantile), float(high_edge_quantile),
                 float(min_roundness), min_radius=int(min_radius),
-                max_radius=int(max_radius), cap=cap, nms_cap=min(ncap, cap),
+                max_radius=int(max_radius), cap=cap, nms_cap=cap,
                 min_dist=int(min_dist),
             )
             worst = int(np.max(np.asarray(n_keep)))
-            if worst <= min(ncap, cap):
+            if worst <= cap:
                 break
             cap = _pow2_at_least(worst, cap, 1 << 24)
-            ncap = _pow2_at_least(worst, ncap, 1 << 24)
         circles = np.asarray(circles)
         scores = np.asarray(scores)
         accepted = np.asarray(accepted)

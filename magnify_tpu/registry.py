@@ -100,20 +100,71 @@ def microfluidic_chip(data, **kwargs):
     """Find buttons in microfluidic-chip images and return the standardized
     dataset.
 
-    Parameters mirror the reference ``microfluidic_chip``
-    (/root/reference/src/magnify/registry.py:32-193): ``data`` may be a
-    path/glob with ``(assay)/(channel)/(time)/(row)/(col)`` specifiers, a
-    DataArray/Dataset, or a sequence of them. ``shape`` or ``pinlist``
-    defines the button grid and tags; ``chip_type`` presets override
-    ``row_dist``/``col_dist``; detection is tuned by
-    ``min/max_button_diameter``, ``chamber_diameter``,
-    ``low/high_edge_quantile``, ``num_iter``, ``min_roundness``,
-    ``cluster_penalty``; ``search_timestep``/``search_channel`` control where
-    detection runs (other timesteps copy positions); ``roi_only``/
-    ``drop_tiles`` shape the output.
+    Parameter surface mirrors the reference ``microfluidic_chip``
+    (/root/reference/src/magnify/registry.py:32-193).
 
-    Returns the processed dataset (or a list, one per assay) with ``roi``
-    plus ``fg``/``bg``/``x``/``y``/``tag``/``valid`` coordinates.
+    Parameters
+    ----------
+    data :
+        A file path or glob (with ``(assay)``, ``(channel)``,
+        ``(time|FMT)``, ``(row)``, ``(col)`` specifiers), a
+        DataArray/Dataset, or a sequence of any of these.
+    shape :
+        (rows, cols) of the button grid; every chamber is tagged
+        "default". Either ``shape`` or ``pinlist`` must be given.
+    pinlist :
+        CSV with an ``Indices`` column of 1-indexed "(col, row)" pairs and a
+        ``MutantID`` column of chamber names; ``blank`` values (default
+        ["", "blank", "BLANK"]) become the empty tag.
+    overlap :
+        Pixels to crop between adjacent tiles while stitching.
+    rotation :
+        Degrees to rotate the stitched image about its center.
+    row_dist, col_dist :
+        Pitch between button rows/columns in pixels.
+    chip_type :
+        Preset pitch: "minichip", "pc", or "ps" (overrides
+        row_dist/col_dist).
+    min_button_diameter, max_button_diameter :
+        Detection diameter bounds in pixels.
+    chamber_diameter :
+        Chamber diameter in pixels (sets the background annulus and the
+        center-clustering distance).
+    top_chamber, left_chamber :
+        Known pixel offset of the first chamber edge; when given, row/col
+        clustering uses the fixed geometry instead of the offset sweep.
+    low_edge_quantile, high_edge_quantile :
+        Gradient-magnitude quantiles for the Canny thresholds (0..1).
+    num_iter :
+        RANSAC proposal budget (shared across chambers); ignored by the
+        dense detector.
+    min_roundness :
+        Minimum perimeter-alignment score for accepted buttons (0..1).
+    cluster_penalty :
+        Weight of the count-mismatch term in the row/col clustering cost.
+    roi_length :
+        ROI window edge length (default ``1.2 * chamber_diameter``).
+    progress_bar :
+        Show progress over timesteps.
+    search_timestep :
+        Timestep(s) to run detection on; others copy positions from the
+        nearest searched timestep before them (or the first after).
+    search_channel :
+        Channel(s) used for detection (default: all).
+    roi_only :
+        Return only the roi DataArray.
+    drop_tiles :
+        Remove the tile variable after stitching.
+    interactive :
+        Open the step-tuning UI.
+    detector :
+        "auto" (dense on TPU, ransac elsewhere), "dense", or "ransac".
+
+    Returns
+    -------
+    Dataset (or list of Datasets, one per assay) with ``roi`` plus
+    ``fg``/``bg``/``x``/``y``/``tag``/``valid`` coordinates over
+    ``mark = (mark_row, mark_col)``.
     """
     return microfluidic_chip_pipe(**kwargs)(data=data)
 
@@ -167,11 +218,45 @@ def mrbles_pipe(
 def mrbles(data, spectra, codes, **kwargs):
     """Find and spectrally decode MRBLEs beads.
 
-    Parameters mirror the reference ``mrbles`` (registry.py:274-399):
-    ``spectra``/``codes`` are CSVs of per-lanthanide reference spectra and
-    code compositions; ``reference`` names the normalizing lanthanide;
-    detection parameters are shared with :func:`beads`. Returns the dataset
-    with ``ln_vol``/``ln_ratio`` variables and a per-bead ``tag`` coord.
+    Parameter surface mirrors the reference ``mrbles``
+    (/root/reference/src/magnify/registry.py:274-399).
+
+    Parameters
+    ----------
+    data :
+        Path/glob, DataArray/Dataset, or a sequence of them.
+    spectra :
+        CSV of per-lanthanide emission across channels: a ``name`` column
+        plus one column per imaging channel.
+    codes :
+        CSV of code compositions: a ``name`` column plus one column per
+        lanthanide (ratios relative to the reference lanthanide).
+    flatfield, darkfield :
+        Scalar factors, TIFF paths, or store directories for illumination
+        correction.
+    overlap :
+        Pixels to crop between adjacent tiles while stitching.
+    min_bead_diameter, max_bead_diameter :
+        Detection diameter bounds in pixels.
+    low_edge_quantile, high_edge_quantile :
+        Gradient-magnitude quantiles for the Canny thresholds (0..1).
+    num_iter :
+        RANSAC proposal budget; ignored by the dense detector.
+    min_roundness :
+        Minimum perimeter-alignment score for accepted beads (0..1).
+    roi_length :
+        ROI window edge length (default ``2 * max_bead_diameter``).
+    search_channel :
+        Channel(s) used for detection (default: all).
+    reference :
+        The normalizing lanthanide name (default "eu").
+    roi_only, drop_tiles, interactive, detector :
+        As in :func:`beads`.
+
+    Returns
+    -------
+    Dataset with ``roi``, ``ln_vol``/``ln_ratio`` (mark, ln) variables, and
+    a decoded per-bead ``tag`` coordinate ("outlier" for unassigned beads).
     """
     return mrbles_pipe(spectra=spectra, codes=codes, **kwargs)(data=data)
 
@@ -238,15 +323,47 @@ def beads(
 ):
     """Find beads in images and return the standardized dataset.
 
-    Parameters mirror the reference ``beads`` (registry.py:454-565):
-    ``data`` is a path/glob, DataArray/Dataset, or sequence;
-    ``min/max_bead_diameter`` bound detection; ``low/high_edge_quantile``
-    tune edge sensitivity; ``num_iter`` is the RANSAC proposal budget;
-    ``min_roundness`` thresholds the perimeter-alignment score;
-    ``roi_length`` (default ``2 * max_bead_diameter``) sizes the per-bead
-    window; ``search_channel`` restricts detection channels. Returns the
-    dataset with a ``roi`` variable and ``fg``/``bg``/``x``/``y``/``valid``
-    coordinates over marks.
+    Parameter surface mirrors the reference ``beads``
+    (/root/reference/src/magnify/registry.py:454-565).
+
+    Parameters
+    ----------
+    data :
+        Path/glob (with specifier grammar), DataArray/Dataset, or a
+        sequence of them.
+    flatfield, darkfield :
+        Scalar factors, TIFF paths, or store directories for illumination
+        correction.
+    overlap :
+        Pixels to crop between adjacent tiles while stitching.
+    min_bead_diameter, max_bead_diameter :
+        Detection diameter bounds in pixels.
+    low_edge_quantile, high_edge_quantile :
+        Gradient-magnitude quantiles for the Canny thresholds (0..1).
+    num_iter :
+        RANSAC proposal budget — more samples find beads more reliably;
+        the dense detector evaluates every candidate and ignores it.
+    min_roundness :
+        Minimum perimeter-alignment score for accepted beads (0..1).
+    roi_length :
+        ROI window edge length (default ``2 * max_bead_diameter``).
+    search_channel :
+        Channel(s) used for detection (default: all); beads found in later
+        channels within ``2 * min_radius`` of an earlier find are dropped
+        as duplicates.
+    roi_only :
+        Return only the roi DataArray.
+    drop_tiles :
+        Remove the tile variable after stitching.
+    interactive :
+        Open the step-tuning UI.
+    detector :
+        "auto" (dense on TPU, ransac elsewhere), "dense", or "ransac".
+
+    Returns
+    -------
+    Dataset with a ``roi`` (mark, channel, time, roi_y, roi_x) variable and
+    ``fg``/``bg``/``x``/``y``/``valid`` coordinates over marks.
     """
     return beads_pipe(
         flatfield=flatfield,
