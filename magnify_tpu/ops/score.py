@@ -158,14 +158,66 @@ def _ring_conv_kernel(min_radius: int, max_radius: int) -> np.ndarray:
     return kernel
 
 
-def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int):
+@functools.lru_cache(maxsize=None)
+def _s2d_ring_kernel(min_radius: int, max_radius: int, s: int):
+    """Space-to-depth rewrite of the ring kernel.
+
+    The plain formulation convolves 12 -> n_radii channels with a
+    (2R+1)^2 kernel: output-channel count ~5 leaves the 128x128 MXU ~4%
+    utilized. Folding an s x s spatial block into channels yields an
+    equivalent conv with 12*s^2 -> n_radii*s^2 channels and a
+    ceil((2R+s)/s)-wide kernel — the same math at MXU-friendly widths.
+
+    Returns (W2, q0) with W2 shaped (n_radii*s*s, C*s*s, nQ, nQ).
+    """
+    k = _ring_conv_kernel(min_radius, max_radius)
+    n_r, c_in, ksz, _ = k.shape
+    rpad = max_radius
+    q0 = (rpad + s - 1) // s
+    nq = 2 * q0 + 1
+    w2 = np.zeros((n_r * s * s, c_in * s * s, nq, nq), np.float32)
+    oy = np.arange(-rpad, rpad + 1)
+    for u in range(s):
+        qy = (oy + u) // s
+        dy = (oy + u) % s
+        for v in range(s):
+            qx = (oy + v) // s
+            dx = (oy + v) % s
+            # For each (r, c): scatter K[r, c, oy, ox] into
+            # W2[(r,u,v), (c,dy,dx), qy+q0, qx+q0].
+            out_ch = (np.arange(n_r) * s * s + u * s + v)  # (n_r,)
+            in_ch = (np.arange(c_in)[:, None, None] * s * s
+                     + dy[None, :, None] * s + dx[None, None, :])  # (C,K,K)
+            w2[out_ch[:, None, None, None],
+               in_ch[None],
+               (qy + q0)[None, None, :, None],
+               (qx + q0)[None, None, None, :]] = k[:, :, :, :]
+    return w2, q0
+
+
+def _space_to_depth(x, s):
+    c, h, w = x.shape
+    x = x.reshape(c, h // s, s, w // s, s)
+    return x.transpose(0, 2, 4, 1, 3).reshape(c * s * s, h // s, w // s)
+
+
+def _depth_to_space(x, s):
+    cs, h, w = x.shape
+    c = cs // (s * s)
+    x = x.reshape(c, s, s, h, w)
+    return x.transpose(0, 3, 1, 4, 2).reshape(c, h * s, w * s)
+
+
+def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
+               s2d: int = 4):
     """Roundness score for every (center, radius) as one MXU convolution.
 
     ``grad_angles``/``edges`` must be padded by 2*max_radius (the caller's
     existing contract). Returns (n_radii, Hp, Wp) float32 score maps indexed
     by [radius - min_radius, row + pad, col + pad]. Replaces the per-circle
     perimeter gathers of ``score_circles`` with dense convolutions — cost is
-    independent of the candidate count and runs on the systolic array.
+    independent of the candidate count and runs on the systolic array, with
+    an s2d channel fold keeping the MXU wide.
     """
     e = edges.astype(jnp.float32)
     feats = []
@@ -175,7 +227,24 @@ def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int):
     # bf16 inputs halve MXU time; accumulation stays f32. The feature values
     # are in [-1, 1] and ring sums have ~L terms, so bf16's ~0.4% relative
     # error is far below the harmonic-truncation bound.
-    x = jnp.stack(feats)[None].astype(jnp.bfloat16)  # (1, C, Hp, Wp)
+    feats = jnp.stack(feats)  # (C, Hp, Wp)
+    c, hp, wp = feats.shape
+
+    if s2d > 1:
+        hpad = (-hp) % s2d
+        wpad = (-wp) % s2d
+        x = jnp.pad(feats, ((0, 0), (0, hpad), (0, wpad)))
+        x = _space_to_depth(x, s2d)[None].astype(jnp.bfloat16)
+        w2, q0 = _s2d_ring_kernel(min_radius, max_radius, s2d)
+        out = jax.lax.conv_general_dilated(
+            x, jnp.asarray(w2, jnp.bfloat16), window_strides=(1, 1),
+            padding="SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )
+        maps = _depth_to_space(out[0], s2d)
+        return maps[:, :hp, :wp]
+
+    x = feats[None].astype(jnp.bfloat16)
     kernel = jnp.asarray(_ring_conv_kernel(min_radius, max_radius),
                          jnp.bfloat16)
     out = jax.lax.conv_general_dilated(

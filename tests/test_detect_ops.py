@@ -269,3 +269,21 @@ def test_find_circles_stack_batches_planes():
     c1, s1 = out[1]
     assert len(c0) == 2 and len(c1) == 1
     assert tuple(c1[0][:2]) == (60, 190)
+
+
+def test_s2d_conv_matches_plain_conv():
+    from magnify_tpu.ops.score import score_maps
+
+    rng = np.random.default_rng(11)
+    img = draw_beads((96, 128), [[40, 40], [60, 90]], diameters=20)
+    edges, _, _, ga = jax.jit(edge_ops.edge_pipeline)(
+        jnp.asarray(img, jnp.float32), 0.1, 0.9
+    )
+    pad = 24
+    gap, egp = jnp.pad(ga, pad), jnp.pad(edges, pad)
+    plain = np.asarray(score_maps(gap, egp, min_radius=8, max_radius=12,
+                                  s2d=1))
+    folded = np.asarray(score_maps(gap, egp, min_radius=8, max_radius=12,
+                                   s2d=4))
+    assert plain.shape == folded.shape
+    np.testing.assert_allclose(folded, plain, atol=5e-3)

@@ -1,0 +1,80 @@
+"""Plot layer smoke tests (Agg backend)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+import magnify_tpu as mg
+from magnify_tpu import plot as mp
+from tests.synth import bead_image
+
+
+@pytest.fixture(scope="module")
+def bead_result():
+    data = bead_image((512, 512), [[150, 150], [350, 300]])
+    return mg.beads(data=data, min_bead_diameter=16, max_bead_diameter=24,
+                    overlap=0, num_iter=5000, drop_tiles=True)
+
+
+def test_imshow_renders(bead_result):
+    fig = mp.imshow(bead_result, show=False)
+    assert fig is not None
+    assert len(fig.axes) >= 1
+
+
+def test_roishow_renders(bead_result):
+    fig = mp.roishow(bead_result, show=False)
+    assert fig is not None
+
+
+def test_mrbles_clusters_renders():
+    from magnify_tpu.core import Dataset
+
+    rng = np.random.default_rng(0)
+    n = 60
+    ratios = np.column_stack([
+        np.ones(n),
+        np.repeat([0.1, 1.0, 2.0], n // 3) + rng.normal(0, 0.02, n),
+        np.repeat([0.5, 1.5, 0.5], n // 3) + rng.normal(0, 0.02, n),
+    ])
+    tags = np.repeat(["a", "b", "c"], n // 3)
+    ds = Dataset({"ln_ratio": (("mark", "ln"), ratios)},
+                 coords={"tag": (("mark",), tags)})
+    fig = mp.mrbles_clusters(ds, show=False)
+    assert fig is not None
+
+
+def test_roi_to_image_labels():
+    from magnify_tpu.plot.image import roi_to_image_labels
+
+    masks = np.zeros((2, 1, 4, 4), bool)
+    masks[0, 0, 1:3, 1:3] = True
+    masks[1, 0, 0:2, 0:2] = True
+    bboxes = np.array([[[0, 4, 0, 4]], [[4, 8, 4, 8]]])
+    labels = roi_to_image_labels(masks, bboxes, (8, 8))
+    assert labels.shape == (1, 8, 8)
+    assert labels[0, 1, 1] == 1
+    assert labels[0, 4, 4] == 2
+    assert labels[0, 7, 7] == 0
+
+
+def test_interactive_ui_headless():
+    from magnify_tpu.plot.vis import InteractiveUI
+
+    ui = InteractiveUI()
+    out = ui.run_widget(lambda: [(np.zeros((4, 4)), {"name": "x"})])
+    assert out[0][1]["name"] == "x"
+
+
+def test_interactive_find_circles_headless():
+    from magnify_tpu.ops.detect import find_circles
+    from magnify_tpu.plot.vis import InteractiveUI
+    from tests.synth import draw_beads
+
+    img = draw_beads((256, 256), [[128, 128]], diameters=20)
+    c, s = find_circles(img, 0.1, 0.9, 20, 2000, 8, 12, 0.3, 8,
+                        gui=InteractiveUI())
+    assert len(c) == 1
