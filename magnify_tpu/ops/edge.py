@@ -15,6 +15,8 @@ fixed-point sector tests.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -154,6 +156,13 @@ def canny(dx, dy, low_thresh, high_thresh):
     non-max-suppression, and 8-connected hysteresis grown to fixpoint.
     """
     strong, weak = canny_nms(dx, dy, low_thresh, high_thresh)
+
+    if os.environ.get("MAGNIFY_TPU_PALLAS", "1") != "0" \
+            and jax.default_backend() == "tpu":
+        from magnify_tpu.ops.pallas_kernels import hysteresis, pallas_supported
+
+        if pallas_supported(strong.shape):
+            return hysteresis(strong, weak)
 
     def cond(state):
         cur, changed = state

@@ -1,0 +1,98 @@
+"""Pallas TPU kernels for ops where XLA's schedule leaves time on the table.
+
+Currently: Canny hysteresis. XLA lowers the dilate-until-fixpoint loop with
+its carry in HBM, paying ~16MB of HBM traffic per iteration; edge chains in
+microscopy images commonly need tens of iterations. The Pallas kernel keeps
+the strong/weak masks resident in VMEM for the whole loop, so each iteration
+is pure VPU work.
+
+Kernels run compiled on TPU and in interpreter mode elsewhere, so the same
+code path is exercised by the CPU test suite.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["hysteresis", "pallas_supported"]
+
+# VMEM is ~16MB more is needed for doubles/temps; stay well inside it.
+_MAX_VMEM_ELEMENTS = 4 * 1024 * 1024
+
+
+def pallas_supported(shape) -> bool:
+    h, w = shape
+    return h * w <= _MAX_VMEM_ELEMENTS and h >= 8 and w >= 128
+
+
+def _shift_zero(x, dr: int, dc: int):
+    """Shift with zero fill using (non-negative) roll + edge masking."""
+    h, w = x.shape
+    out = pltpu.roll(x, (-dr) % h, axis=0) if dr else x
+    out = pltpu.roll(out, (-dc) % w, axis=1) if dc else out
+    if dr:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        valid = rows < h - dr if dr > 0 else rows >= -dr
+        out = jnp.where(valid, out, 0)
+    if dc:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        valid = cols < w - dc if dc > 0 else cols >= -dc
+        out = jnp.where(valid, out, 0)
+    return out
+
+
+def _hysteresis_kernel(strong_ref, weak_ref, out_ref):
+    weak = weak_ref[:]
+    cur = strong_ref[:]
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        cur, _ = state
+        acc = cur
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                acc = jnp.maximum(acc, _shift_zero(cur, dr, dc))
+        grown = jnp.where(weak > 0, acc, 0)
+        grown = jnp.maximum(grown, cur)
+        changed = jnp.any(grown != cur)
+        return grown, changed
+
+    final, _ = jax.lax.while_loop(cond, body, (cur, jnp.asarray(True)))
+    out_ref[:] = final
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _hysteresis_call(strong, weak, interpret: bool):
+    h, w = strong.shape
+    return pl.pallas_call(
+        _hysteresis_kernel,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(strong.astype(jnp.int32), weak.astype(jnp.int32))
+
+
+def hysteresis(strong, weak):
+    """Grow strong seeds through weak pixels (8-connectivity) to fixpoint.
+
+    Drop-in replacement for the XLA while_loop in
+    :func:`magnify_tpu.ops.edge.canny`; both masks stay in VMEM for the whole
+    iteration. Falls back to interpreter mode off-TPU so tests cover the same
+    kernel.
+    """
+    interpret = jax.default_backend() != "tpu"
+    return _hysteresis_call(strong, weak, interpret) > 0

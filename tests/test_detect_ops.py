@@ -287,3 +287,27 @@ def test_s2d_conv_matches_plain_conv():
                                    s2d=4))
     assert plain.shape == folded.shape
     np.testing.assert_allclose(folded, plain, atol=5e-3)
+
+
+def test_pallas_hysteresis_matches_xla_loop():
+    from magnify_tpu.ops.edge import dilate8
+    from magnify_tpu.ops.pallas_kernels import hysteresis
+
+    rng = np.random.default_rng(12)
+    strong = jnp.asarray(rng.random((64, 128)) > 0.97)
+    weak = strong | jnp.asarray(rng.random((64, 128)) > 0.7)
+
+    def xla_fixpoint(s, w):
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            cur, _ = state
+            grown = dilate8(cur) & w | cur
+            return grown, jnp.any(grown != cur)
+
+        return jax.lax.while_loop(cond, body, (s, jnp.asarray(True)))[0]
+
+    a = np.asarray(jax.jit(xla_fixpoint)(strong, weak))
+    b = np.asarray(hysteresis(strong, weak))
+    np.testing.assert_array_equal(a, b)
