@@ -46,7 +46,7 @@ __all__ = [
 ]
 
 import magnify_tpu.core.jaxcache  # noqa: F401  (persistent XLA cache)
-from magnify_tpu import io, ops, utils  # noqa: F401
+from magnify_tpu import accessor, io, ops, utils  # noqa: F401
 from magnify_tpu.components import (  # noqa: F401
     filter,
     find,

@@ -21,8 +21,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["hysteresis", "pallas_supported"]
 
-# VMEM is ~16MB more is needed for doubles/temps; stay well inside it.
-_MAX_VMEM_ELEMENTS = 4 * 1024 * 1024
+# The loop keeps cur/weak plus a few shift temps live as int32 vectors
+# (Mosaic's dynamic_rotate has no 8-bit path); a raised vmem_limit_bytes
+# covers ~8 resident 4MB buffers for a 1024^2 plane on v5e.
+_MAX_VMEM_ELEMENTS = 1024 * 1024
 
 
 def pallas_supported(shape) -> bool:
@@ -83,6 +85,9 @@ def _hysteresis_call(strong, weak, interpret: bool):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(strong.astype(jnp.int32), weak.astype(jnp.int32))
 
 

@@ -189,3 +189,17 @@ def test_pipeline_remove_missing():
     pipe.add_pipe("_add_one")
     with pytest.raises(ValueError, match="not found"):
         pipe.remove_pipe("_zzz")
+
+
+def test_pipeline_multiple_assays_returns_list():
+    import magnify_tpu as mg
+    from tests.synth import bead_image
+
+    a = bead_image((256, 256), [[100, 100]])
+    b = bead_image((256, 256), [[60, 200]])
+    out = mg.beads(data=[a, b], min_bead_diameter=16, max_bead_diameter=24,
+                   overlap=0, num_iter=2000)
+    assert isinstance(out, list) and len(out) == 2
+    assert out[0].roi.sizes["mark"] == 1
+    assert out[1].roi.sizes["mark"] == 1
+    assert round(out[1].x.squeeze().values.item() / 10) == 20
