@@ -164,14 +164,70 @@ def sharded_edge_pipeline(images, mesh: Mesh, low_q: float, high_q: float):
                jnp.asarray([high_q], jnp.float32))
 
 
+def _sharded_best_circle(edges, grad_angles, min_radius, max_radius,
+                         min_roundness):
+    """Per-plane best circle from row-sharded score maps (inside shard_map).
+
+    Each shard convolves its rows (with a 2R-row halo so rings crossing the
+    shard boundary score correctly), takes its local argmax, and a pmax over
+    ``space`` picks the global winner — the sharded analog of the dense
+    detector's argmax path.
+    """
+    from magnify_tpu.ops.score import score_maps
+
+    halo = 2 * max_radius
+    ga = _exchange_halo(grad_angles, halo, "space")
+    eg = _exchange_halo(edges, halo, "space")
+    # Pad columns only (rows already extended by the halo exchange).
+    ga = jnp.pad(ga, ((0, 0), (halo, halo)))
+    eg = jnp.pad(eg, ((0, 0), (halo, halo)))
+    maps = score_maps(ga, eg, min_radius=min_radius, max_radius=max_radius,
+                      s2d=1)
+    # Keep only centers whose row belongs to this shard.
+    maps = maps[:, halo:-halo, :]
+
+    local_rows = edges.shape[0]
+    shard = jax.lax.axis_index("space")
+    n_r, lh, wp = maps.shape
+    rows_local = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 2) - halo
+    rads = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 0) + min_radius
+    rows_global = rows_local + shard * local_rows
+    total_rows = local_rows * jax.lax.axis_size("space")
+    ok = (rows_global + rads >= 0) & (cols + rads >= 0)
+    ok &= (rows_global - rads < total_rows) & (cols - rads < edges.shape[1])
+    masked = jnp.where(ok & (maps >= min_roundness), maps, -jnp.inf)
+
+    flat = masked.reshape(-1)
+    best = jnp.argmax(flat)
+    best_score = flat[best]
+    r_idx = best // (lh * wp)
+    rem = best % (lh * wp)
+    circle = jnp.stack([
+        rem // wp + shard * local_rows,
+        rem % wp - halo,
+        r_idx + min_radius,
+    ])
+    # Global winner across shards: pmax on score, then broadcast the
+    # winning shard's circle.
+    global_best = jax.lax.pmax(best_score, "space")
+    is_winner = (best_score == global_best) & jnp.isfinite(global_best)
+    circle = jax.lax.pmax(
+        jnp.where(is_winner, circle, -jnp.ones_like(circle)), "space"
+    )
+    return circle, global_best
+
+
 def sharded_detect_step(images, mesh: Mesh, low_q: float = 0.1,
-                        high_q: float = 0.9):
+                        high_q: float = 0.9, min_radius: int = 4,
+                        max_radius: int = 8, min_roundness: float = 0.2):
     """One full sharded processing step over a plane batch.
 
-    The framework's "training step" equivalent: flat-field normalize, run
-    the sharded edge stack, and reduce per-plane edge statistics (count and
-    gradient-energy) — the quantities the detection stages consume. Returns
-    a dict of per-plane scalars, fully sharded along ``batch``.
+    The framework's flagship multi-chip step: the sharded edge stack (halo
+    stencils + psum quantiles + collective hysteresis), sharded MXU score
+    maps, per-plane global-best circle via cross-shard pmax, and psum'd edge
+    statistics. Everything shards over (batch, space); per-plane summaries
+    come back replicated along ``space``.
     """
     edges, grad_angles = sharded_edge_pipeline(images, mesh, low_q, high_q)
 
@@ -179,14 +235,21 @@ def sharded_detect_step(images, mesh: Mesh, low_q: float = 0.1,
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(spec, spec),
-        out_specs=(P("batch"), P("batch")),
+        out_specs=(P("batch"), P("batch"), P("batch"), P("batch")),
     )
     def reduce_stats(e, ga):
         count = jax.lax.psum(e.sum(axis=(1, 2)), "space")
         energy = jax.lax.psum(
             jnp.where(e, jnp.abs(ga), 0.0).sum(axis=(1, 2)), "space"
         )
-        return count, energy
 
-    count, energy = reduce_stats(edges, grad_angles)
-    return {"edges": edges, "edge_count": count, "edge_energy": energy}
+        def one(e1, ga1):
+            return _sharded_best_circle(e1, ga1, min_radius, max_radius,
+                                        min_roundness)
+
+        circles, scores = jax.vmap(one)(e, ga)
+        return count, energy, circles, scores
+
+    count, energy, circles, scores = reduce_stats(edges, grad_angles)
+    return {"edges": edges, "edge_count": count, "edge_energy": energy,
+            "best_circle": circles, "best_score": scores}

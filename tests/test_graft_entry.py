@@ -1,0 +1,31 @@
+"""The driver entry points must always compile and run."""
+
+import importlib.util
+import pathlib
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def graft():
+    path = pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    spec = importlib.util.spec_from_file_location("graft_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_compiles_and_runs(graft):
+    fn, args = graft.entry()
+    jax.jit(fn).lower(*args).compile()
+    circles, scores, n_keep = fn(*args)
+    assert int(n_keep) > 0
+    assert np.asarray(circles).shape[1] == 3
+
+
+def test_dryrun_multichip(graft):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    graft.dryrun_multichip(8)

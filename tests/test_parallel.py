@@ -85,3 +85,17 @@ def test_stream_planes_over_dataset():
         seen[key] = np.asarray(plane)
     assert len(seen) == 6
     np.testing.assert_array_equal(seen[(1, 2)], data[1, 2])
+
+
+def test_sharded_best_circle_matches_truth(devices):
+    mesh = make_mesh(batch=2, space=4)
+    img = draw_beads((64, 128), [[30, 70]], diameters=12).astype(np.float32)
+    img2 = draw_beads((64, 128), [[50, 40]], diameters=14).astype(np.float32)
+    batch = np.stack([img, img2])
+    out = sharded_detect_step(jnp.asarray(batch), mesh, min_radius=4,
+                              max_radius=8, min_roundness=0.2)
+    circles = np.asarray(out["best_circle"])
+    scores = np.asarray(out["best_score"])
+    assert np.isfinite(scores).all()
+    assert tuple(circles[0][:2]) == (30, 70) and circles[0][2] == 6
+    assert tuple(circles[1][:2]) == (50, 40) and circles[1][2] == 7
