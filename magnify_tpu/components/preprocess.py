@@ -172,38 +172,81 @@ def flatfield_correct(xp, flatfield=1.0, darkfield=0.0):
     return xp
 
 
+def _estimate_shading(train_tiles: np.ndarray, sigma_frac: float = 0.125):
+    """Retrospective shading estimate from a stack of same-channel tiles.
+
+    A self-contained stand-in for BaSiC's low-rank + smooth decomposition:
+    the flatfield is the smoothed pixelwise median across tiles, normalized
+    to unit mean — the multiplicative illumination profile. Separating an
+    additive darkfield robustly needs many content-varying tiles, so the
+    fallback estimates the multiplicative term only (darkfield 0), the same
+    default BaSiC users get with ``get_darkfield=False``.
+    """
+    import scipy.ndimage
+
+    sigma = max(train_tiles.shape[-1], train_tiles.shape[-2]) * sigma_frac
+    med = np.median(train_tiles, axis=0).astype(float)
+    flat = scipy.ndimage.gaussian_filter(med, sigma)
+    mean = flat.mean()
+    flat = flat / mean if mean > 0 else np.ones_like(flat)
+    flat = np.clip(flat, 0.05, None)
+    return flat, np.zeros_like(flat)
+
+
 @component("basic_correct")
 def basic_correct(xp):
-    """Optional BaSiC illumination correction (reference preprocess.py:91-115).
+    """Retrospective illumination correction (reference preprocess.py:91-115).
 
-    The ``basicpy`` dependency is optional; this component raises a clear
-    error when it is unavailable in the environment.
+    Uses BaSiC when the optional ``basicpy`` package is installed; otherwise
+    a self-contained estimator: per channel, the flatfield/darkfield are fit
+    on the t=0 tiles (matching the reference's fit choice) and applied as
+    ``(tile - darkfield) / flatfield`` to all tiles of that channel. Lazy
+    tiles stay lazy.
     """
     try:
-        import basicpy  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "basic_correct requires the optional 'basicpy' package, which is "
-            "not installed in this environment."
-        ) from e
+        import basicpy
+    except ImportError:
+        basicpy = None
 
-    import basicpy
+    from magnify_tpu.core.lazy import ChunkedArray
 
     tile_var = xp["tile"]
-    tiles = xp.tile
-    for i, _channel in enumerate(tiles.coords.get("channel", tiles).values
-                                 if "channel" in tiles.coords else
-                                 range(xp.sizes["channel"])):
-        sub = tiles.isel(channel=i, time=0).values
-        train = sub.reshape(-1, sub.shape[-2], sub.shape[-1])
-        model = basicpy.basicpy.BaSiC(get_darkfield=True, smoothness_flatfield=1)
-        model.fit(train)
-        full = tiles.isel(channel=i).values
-        shape = full.shape
-        out = model.transform(full.reshape(-1, shape[-2], shape[-1]))
-        data = tile_var.values
-        data[i] = out.reshape(shape)
-        xp["tile"] = Variable(tile_var.dims, data, tile_var.attrs)
+    dtype = tile_var.dtype
+    n_ch = xp.sizes["channel"]
+    models = []
+    for ci in range(n_ch):
+        train = xp.tile.isel(channel=ci, time=0).values
+        train = np.asarray(train).reshape(-1, train.shape[-2], train.shape[-1])
+        if basicpy is not None:
+            model = basicpy.basicpy.BaSiC(get_darkfield=True,
+                                          smoothness_flatfield=1)
+            model.fit(train)
+            models.append((np.asarray(model.flatfield),
+                           np.asarray(model.darkfield)))
+        else:
+            models.append(_estimate_shading(train))
+
+    def correct(block, slices):
+        out = np.empty_like(block, dtype=float)
+        for k, ci in enumerate(range(slices[0].start, slices[0].stop)):
+            flat, dark = models[ci]
+            out[k] = (block[k].astype(float) - dark) / flat
+        return np.clip(out, 0, None).astype(dtype)
+
+    data = tile_var.data
+    if isinstance(data, ChunkedArray):
+        xp["tile"] = Variable(
+            tile_var.dims, data.map_chunks(correct, with_slices=True),
+            tile_var.attrs,
+        )
+    else:
+        out = np.empty_like(np.asarray(data))
+        for ci in range(n_ch):
+            flat, dark = models[ci]
+            out[ci] = np.clip(
+                (np.asarray(data)[ci].astype(float) - dark) / flat, 0, None
+            ).astype(dtype)
+        xp["tile"] = Variable(tile_var.dims, out, tile_var.attrs)
     xp.cache("tile")
     return xp
 

@@ -129,3 +129,26 @@ def test_drop_variants():
     assert "tile" not in no_tiles
     keep = drop(ds, drop_tiles=False)
     assert "tile" in keep
+
+
+def test_basic_correct_fallback_estimator():
+    from magnify_tpu.components.preprocess import basic_correct
+
+    rng = np.random.default_rng(0)
+    # Multiplicative vignette + additive offset shared by all tiles.
+    yy, xx = np.mgrid[0:32, 0:32]
+    vignette = 1.0 - 0.5 * (((yy - 16) / 16) ** 2 + ((xx - 16) / 16) ** 2) / 2
+    dark = 20.0
+    tiles = np.empty((1, 1, 2, 2, 32, 32), np.float32)
+    for i in range(2):
+        for j in range(2):
+            scene = rng.uniform(80, 120) * np.ones((32, 32))
+            tiles[0, 0, i, j] = scene * vignette + dark
+    ds = Dataset({"tile": (("channel", "time", "tile_row", "tile_col",
+                            "tile_y", "tile_x"), tiles.copy())})
+    out = basic_correct(ds)
+    corrected = out.tile.values[0, 0]
+    # Corner-vs-center brightness ratio should move toward 1 after correction.
+    def unevenness(t):
+        return np.abs(t[:, :, 16, 16] / np.maximum(t[:, :, 2, 2], 1e-6) - 1).mean()
+    assert unevenness(corrected) < unevenness(tiles[0, 0]) * 0.5
