@@ -143,8 +143,8 @@ def _button_masks(y_rel, x_rel, radii, *, roi_length, max_radius,
 
 
 def _extract_rois_host(images, xs, ys, roi_length):
-    """Batched ROI crop. images (C, H, W) or (H, W); returns numpy
-    (N, C, L, L) plus the (top, left) corners used."""
+    """Batched ROI crop. images (C, H, W) or (H, W), numpy or device;
+    returns (numpy crops, tops, lefts, device crops)."""
     h, w = images.shape[-2:]
     tops = np.empty(len(xs), np.int32)
     lefts = np.empty(len(xs), np.int32)
@@ -155,11 +155,13 @@ def _extract_rois_host(images, xs, ys, roi_length):
         tops[i], lefts[i] = top, left
     if len(xs) == 0:
         lead = images.shape[:-2]
-        return (np.empty((0,) + lead + (roi_length, roi_length),
-                         images.dtype), tops, lefts)
+        empty = np.empty((0,) + tuple(lead) + (roi_length, roi_length),
+                         np.asarray(images).dtype if not isinstance(
+                             images, jax.Array) else np.dtype(images.dtype))
+        return empty, tops, lefts, None
     rois = ops_geom.extract_rois(jnp.asarray(images), jnp.asarray(tops),
                                  jnp.asarray(lefts), roi_length)
-    return np.asarray(rois), tops, lefts
+    return np.asarray(rois), tops, lefts, rois
 
 
 # ---------------------------------------------------------------------------
@@ -202,11 +204,29 @@ class BeadFinder:
     def __call__(self, assay):
         search_channels = self.search_channels or _channel_values(assay)
 
+        # One host->device transfer for the whole (channel, time) stack when
+        # it fits comfortably; detection and ROI work then slice the
+        # device-resident copy. Oversized stacks fall back to per-channel
+        # host reads (out-of-core path).
+        img_var = assay["image"]
+        stack_bytes = (np.prod(img_var.shape)
+                       * np.dtype(img_var.dtype).itemsize)
+        image_dev = None
+        if stack_bytes <= 512 * 1024 * 1024:
+            image_dev = jnp.asarray(
+                np.ascontiguousarray(assay.image.to_numpy())
+            )
+
         beads = np.empty((0, 3))
         for channel in search_channels:
-            image = assay.image.isel(time=0).sel(channel=channel).to_numpy()
+            ci = (_channel_index(assay, channel)
+                  if not isinstance(channel, int) else channel)
+            if image_dev is not None:
+                det_input = image_dev[ci, 0]
+            else:
+                det_input = assay.image.isel(time=0, channel=ci).to_numpy()
             found = ops_detect.find_circles(
-                image,
+                det_input,
                 low_edge_quantile=self.low_edge_quantile,
                 high_edge_quantile=self.high_edge_quantile,
                 grid_length=20,
@@ -278,12 +298,12 @@ class BeadFinder:
         tops_j = jnp.asarray(tops)
         lefts_j = jnp.asarray(lefts)
         roi_bytes = roi.size * roi.itemsize
-        if roi_bytes <= 512 * 1024 * 1024:
-            # Fused path: masks + every channel's ROI crops in one dispatch.
-            image_all = assay.image.to_numpy()  # (channel, time, H, W)
+        if image_dev is not None and roi_bytes <= 512 * 1024 * 1024:
+            # Fused path: masks + every channel's ROI crops in one dispatch,
+            # reading the already-resident device image.
             fg_dev, bg_dev, crops = _bead_masks_and_rois(
                 jnp.asarray(ints), tops_j, lefts_j,
-                jnp.asarray(neighbor_idx), jnp.asarray(image_all),
+                jnp.asarray(neighbor_idx), image_dev,
                 roi_length=L, max_radius=self.max_bead_radius,
                 max_neighbors=max_nb,
             )
@@ -409,13 +429,17 @@ class ButtonFinder:
 
         for t in _progress(self.search_timesteps, self.progress_bar):
             images = assay.image.isel(time=t).to_numpy()  # (channel, H, W)
-            search_imgs = images[[_channel_index(assay, c)
-                                  for c in search_channels]]
-            x[..., t], y[..., t] = self.find_centers(search_imgs, assay, tag)
+            # One transfer per searched timestep; detection/ROI slicing runs
+            # on the device-resident stack.
+            images_dev = jnp.asarray(np.ascontiguousarray(images))
+            search_idxs = [_channel_index(assay, c) for c in search_channels]
+            x[..., t], y[..., t] = self.find_centers(
+                images_dev, search_idxs, assay, tag
+            )
             (roi[:, :, :, t], fg[:, :, t], bg[:, :, t], x[..., t], y[..., t],
              valid[..., t]) = self.find_rois(
-                images, tag, x[..., t], y[..., t], valid[..., t],
-                [_channel_index(assay, c) for c in search_channels],
+                images_dev, tag, x[..., t], y[..., t], valid[..., t],
+                search_idxs,
             )
 
         for t in _progress(range(n_t), self.progress_bar):
@@ -426,7 +450,7 @@ class ButtonFinder:
             images = assay.image.isel(time=t).to_numpy()
             xs = x[..., copy_t].reshape(-1)
             ys = y[..., copy_t].reshape(-1)
-            crops, _tops, _lefts = _extract_rois_host(images, xs, ys, L)
+            crops, _tops, _lefts, _dev = _extract_rois_host(images, xs, ys, L)
             roi[:, :, :, t] = crops.reshape(num_rows, num_cols, n_ch, L, L)
             fg[:, :, t] = fg[:, :, copy_t]
             bg[:, :, t] = bg[:, :, copy_t]
@@ -448,14 +472,14 @@ class ButtonFinder:
         assay.cache(["roi", "fg", "bg"])
         return assay
 
-    def find_centers(self, images, assay, tag):
+    def find_centers(self, images_dev, search_idxs, assay, tag):
         """Grid-constrained center estimation (reference find.py:205-306)."""
         points = np.empty((0, 2))
         min_button_dist = self.chamber_radius
-        img_shape = images.shape[-2:]
-        for image in images:
+        img_shape = images_dev.shape[-2:]
+        for ci in search_idxs:
             found = ops_detect.find_circles(
-                image,
+                images_dev[ci],
                 low_edge_quantile=self.low_edge_quantile,
                 high_edge_quantile=self.high_edge_quantile,
                 grid_length=20,
@@ -533,7 +557,7 @@ class ButtonFinder:
 
         xs = x.reshape(-1)
         ys = y.reshape(-1)
-        crops, tops, lefts = _extract_rois_host(images, xs, ys, L)
+        crops, tops, lefts, crops_dev = _extract_rois_host(images, xs, ys, L)
 
         roi_iter = max(self.num_iter // n, 1)
         high_q = 1 - np.pi * self.min_button_radius / L**2
@@ -542,7 +566,7 @@ class ButtonFinder:
         best_circle = np.zeros((n, 3), np.int32)
         for ci in search_channel_idxs:
             circles, scores, found = ops_detect.detect_best_in_rois(
-                crops[:, ci],
+                crops_dev[:, ci] if crops_dev is not None else crops[:, ci],
                 low_edge_quantile=self.low_edge_quantile,
                 high_edge_quantile=high_q,
                 grid_length=20,
@@ -565,7 +589,7 @@ class ButtonFinder:
 
         # Re-crop at refined centers so the button is centered
         # (find.py:369-377).
-        crops, tops, lefts = _extract_rois_host(images, out_x, out_y, L)
+        crops, tops, lefts, _ = _extract_rois_host(images, out_x, out_y, L)
         x_rel = np.round(out_x).astype(np.int32) - lefts
         y_rel = np.round(out_y).astype(np.int32) - tops
 

@@ -269,7 +269,10 @@ def find_circles(
             min_dist=min_dist, seed=seed,
         )
 
-    image = jnp.asarray(np.ascontiguousarray(image), dtype=jnp.float32)
+    if isinstance(image, jax.Array):
+        image = image.astype(jnp.float32)
+    else:
+        image = jnp.asarray(np.ascontiguousarray(image), dtype=jnp.float32)
     h, w = image.shape
 
     if resolve_detector(detector) == "dense":
@@ -505,7 +508,10 @@ def detect_best_in_rois(
     (find.py:324-360, min_dist=0 and argmax over scores). Returns
     (circles (N, 3) int32, scores (N,), found (N,) bool).
     """
-    rois = jnp.asarray(np.ascontiguousarray(rois), dtype=jnp.float32)
+    if isinstance(rois, jax.Array):
+        rois = rois.astype(jnp.float32)
+    else:
+        rois = jnp.asarray(np.ascontiguousarray(rois), dtype=jnp.float32)
     n = rois.shape[0]
     if resolve_detector(detector) == "dense":
         circles, scores = _detect_rois_dense(
