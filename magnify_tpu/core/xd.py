@@ -315,17 +315,13 @@ class DataArray:
             var = var.isel({d: idx})
         coords = {}
         for cname, cvar in self._coords.items():
-            sub = {d: i for d, i in indexers.items() if d in cvar.dims}
             v = cvar
-            for d, i in sub.items():
-                v = v.isel({d: i})
-            if cname in indexers and np.isscalar(indexers[cname]) is False and \
-               isinstance(indexers.get(cname), (int, np.integer)):
-                continue
-            # Drop coords whose own dim vanished but keep scalar coords.
+            for d, i in indexers.items():
+                if d in v.dims:
+                    v = v.isel({d: i})
+            # Coordinates reduced to scalars stay as 0-d variables (xarray
+            # keeps scalar coords; so do we).
             coords[cname] = v
-        # Remove dim coords whose dim was dropped to a scalar, except keep them
-        # as 0-d coords (xarray keeps scalar coords; we keep them too).
         return self._with(var, coords=coords)
 
     def sel(self, indexers=None, **kw) -> "DataArray":
@@ -493,7 +489,9 @@ class DataArray:
     def unstack(self, dim=None) -> "DataArray":
         ds = Dataset({self.name or "__da__": self})
         ds = ds.unstack(dim)
-        return ds[self.name or "__da__"]
+        out = ds[self.name or "__da__"]
+        out.attrs = dict(self.attrs)
+        return out
 
     def groupby(self, name):
         coord = self._coords[name]
@@ -856,8 +854,8 @@ class Dataset:
         return out
 
     def groupby(self, name):
-        return self[list(self.data_vars)[0]].groupby(name) if name not in self._vars \
-            else DataArrayGroupBy(self, name)
+        """Iterate (label, sub-dataset) groups over a 1-d coordinate."""
+        return DataArrayGroupBy(self, name)
 
     def __repr__(self):
         lines = [f"<magnify_tpu.Dataset> dims={self.dims}"]

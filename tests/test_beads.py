@@ -169,3 +169,25 @@ def test_beads_deterministic_given_same_input():
     b = detect(data, num_iter=2000)
     np.testing.assert_array_equal(a.x.values, b.x.values)
     np.testing.assert_array_equal(a.fg.values, b.fg.values)
+
+
+def test_roi_only_returns_dataarray():
+    xp = detect(bead_image((512, 512), [256, 256]), num_iter=2000,
+                roi_only=True)
+    from magnify_tpu.core import DataArray
+
+    assert isinstance(xp, DataArray)
+    assert "mark" in xp.dims
+    assert xp.sizes["mark"] == 1
+
+
+def test_beads_from_tiff_path(tmp_path):
+    from magnify_tpu.io.tiff import write_tiff
+    from tests.synth import draw_beads
+
+    img = draw_beads((512, 512), [[200, 300]])
+    write_tiff(tmp_path / "beads.tif", img, ome=False)
+    xp = mg.beads(data=str(tmp_path / "beads.tif"), min_bead_diameter=16,
+                  max_bead_diameter=24, overlap=0, num_iter=2000)
+    assert xp.roi.sizes["mark"] == 1
+    assert 290 < xp.x.squeeze().values.item() < 310
