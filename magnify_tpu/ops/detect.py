@@ -166,6 +166,7 @@ def _stage_dense_full(image, low_q, high_q, min_roundness, *, min_radius,
                       max_radius, cap, nms_cap, min_dist):
     """Single-dispatch dense detection: edges -> maps -> compact -> sort ->
     NMS. One program, one host sync — the default TPU path."""
+    image = image.astype(jnp.float32)
     h, w = image.shape
     circles, scores, n_keep = _dense_candidates(
         image, low_q, high_q, min_roundness, min_radius=min_radius,
@@ -269,10 +270,10 @@ def find_circles(
             min_dist=min_dist, seed=seed,
         )
 
-    if isinstance(image, jax.Array):
-        image = image.astype(jnp.float32)
-    else:
-        image = jnp.asarray(np.ascontiguousarray(image), dtype=jnp.float32)
+    if not isinstance(image, jax.Array):
+        # Ship the raw dtype (often uint16: half the bytes) and cast on
+        # device inside the jitted stages.
+        image = jnp.asarray(np.ascontiguousarray(image))
     h, w = image.shape
 
     if resolve_detector(detector) == "dense":
@@ -335,6 +336,7 @@ def find_circles(
 )
 def _detect_rois(rois, low_q, high_q, min_roundness, keys, *, grid_length,
                  num_iter, min_radius, max_radius, unique_cap, use_conv):
+    rois = rois.astype(jnp.float32)
     n, l, _ = rois.shape
 
     # 3x3x3 neighborhood for the deterministic local refinement step.
@@ -433,7 +435,7 @@ def find_circles_stack(
     images = np.ascontiguousarray(images)
     results = []
     for start in range(0, images.shape[0], batch):
-        chunk = jnp.asarray(images[start:start + batch], dtype=jnp.float32)
+        chunk = jnp.asarray(images[start:start + batch])
         cap = nms_cap
         while True:
             circles, scores, accepted, n_keep = _stage_dense_batch(
@@ -464,6 +466,7 @@ def _detect_rois_dense(rois, low_q, high_q, min_roundness, *, min_radius,
     """Dense per-ROI detection: the best (center, radius) by exhaustive
     score-map argmax — the num_iter -> inf limit of the RANSAC chamber
     search, with no sampling and no hill-climb needed."""
+    rois = rois.astype(jnp.float32)
     n, l, _ = rois.shape
 
     def one(roi):
@@ -508,10 +511,8 @@ def detect_best_in_rois(
     (find.py:324-360, min_dist=0 and argmax over scores). Returns
     (circles (N, 3) int32, scores (N,), found (N,) bool).
     """
-    if isinstance(rois, jax.Array):
-        rois = rois.astype(jnp.float32)
-    else:
-        rois = jnp.asarray(np.ascontiguousarray(rois), dtype=jnp.float32)
+    if not isinstance(rois, jax.Array):
+        rois = jnp.asarray(np.ascontiguousarray(rois))
     n = rois.shape[0]
     if resolve_detector(detector) == "dense":
         circles, scores = _detect_rois_dense(
