@@ -434,8 +434,11 @@ def find_circles_stack(
     """
     images = np.ascontiguousarray(images)
     results = []
-    for start in range(0, images.shape[0], batch):
-        chunk = jnp.asarray(images[start:start + batch])
+    # device_put is asynchronous: queue every chunk's transfer up front so
+    # uploads overlap with the previous chunk's compute.
+    chunks = [jax.device_put(images[start:start + batch])
+              for start in range(0, images.shape[0], batch)]
+    for chunk in chunks:
         cap = nms_cap
         while True:
             circles, scores, accepted, n_keep = _stage_dense_batch(

@@ -268,3 +268,36 @@ def test_native_read_regions_roundtrip(tmp_path):
     native.read_regions(p, [100, 2000], [200, 400], [0, 200], [200, 400], out)
     np.testing.assert_array_equal(out[:200], blob[100:300])
     np.testing.assert_array_equal(out[200:], blob[2000:2400])
+
+
+def test_open_zarr_v2_layout(tmp_path):
+    """Read a hand-built zarr-v2 directory (the legacy-store format the
+    reference reopens, reader.py:57-65)."""
+    import json
+    import zlib
+
+    from magnify_tpu.io.zarrlite import open_zarr_v2
+
+    root = tmp_path / "legacy"
+    (root / "image").mkdir(parents=True)
+    (root / ".zattrs").write_text(json.dumps({"name": "legacy-run"}))
+    (root / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
+    arr = np.arange(24, dtype=np.float64).reshape(4, 6)
+    meta = {
+        "zarr_format": 2, "shape": [4, 6], "chunks": [2, 6],
+        "dtype": "<f8", "order": "C", "fill_value": 0,
+        "compressor": {"id": "zlib", "level": 1}, "filters": None,
+    }
+    (root / "image" / ".zarray").write_text(json.dumps(meta))
+    (root / "image" / ".zattrs").write_text(
+        json.dumps({"_ARRAY_DIMENSIONS": ["y", "x"]})
+    )
+    for i in range(2):
+        chunk = arr[i * 2:(i + 1) * 2]
+        (root / "image" / f"{i}.0").write_bytes(
+            zlib.compress(np.ascontiguousarray(chunk).tobytes())
+        )
+    ds = open_zarr_v2(root)
+    np.testing.assert_array_equal(ds.image.values, arr)
+    assert ds.image.dims == ("y", "x")
+    assert ds.attrs["name"] == "legacy-run"
