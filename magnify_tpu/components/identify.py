@@ -151,7 +151,10 @@ def _gmm_em(X, means0, covs0, proportions0, bounds_log_vol, num_iters: int = 50)
     means, covs, proportions, probs, ok = jax.lax.fori_loop(
         0, num_iters, step, state
     )
-    return probs, ok
+    # ok=False means an iteration went singular; `probs` then holds the last
+    # good posteriors (all-zero if the very first iteration failed).
+    had_probs = jnp.any(probs > 0)
+    return probs, ok, had_probs
 
 
 @component("identify_mrbles")
@@ -242,16 +245,20 @@ def identify_mrbles(assay, spectra, codes, reference="eu"):
     proportions /= proportions.sum()
     span = np.log(X_r.max(axis=0) - X_r.min(axis=0)).sum()
 
-    probs, ok = _gmm_em(
+    probs, ok, had_probs = _gmm_em(
         jnp.asarray(X, jnp.float32), jnp.asarray(means, jnp.float32),
         jnp.asarray(covs, jnp.float32),
         jnp.asarray(proportions, jnp.float32), float(span),
     )
     tag_names = np.append(tag_names, "outlier")
-    if bool(ok):
+    if not bool(ok):
+        # Matches the reference's divergence handling (identify.py:196-199,
+        # 224-232): warn, keep the last good posteriors if any iteration
+        # succeeded, else fall back to nearest-code assignment.
+        print("Warning: Code clustering did not converge.")
+    if bool(had_probs):
         final_idxs = np.argmax(np.asarray(probs), axis=1)
     else:
-        print("Warning: Code clustering did not converge.")
         final_idxs = np.argmin(
             np.linalg.norm(X[:, None] - lattice[None], axis=-1), axis=1
         )

@@ -30,7 +30,7 @@ def restore_format(xp):
 
     original = xp.attrs["__original_tile_dims__"]
     for dim in _STANDARD_DIMS:
-        if dim not in original and dim in xp.dims:
+        if dim not in original and dim in xp.dims and xp.sizes[dim] == 1:
             xp = xp.squeeze(dim)
 
     if isinstance(xp, DataArray):
