@@ -79,6 +79,48 @@ def measure_stream(data, n_planes: int = 16) -> dict:
     }
 
 
+def measure_chip() -> dict:
+    """Chip-pipeline throughput (BASELINE.json config 4)."""
+    import magnify_tpu as mg
+    from magnify_tpu.core import DataArray
+    from magnify_tpu.utils import filled_circle_points
+
+    grid = (8, 8)
+    img = np.zeros(((grid[0] + 1) * 100, (grid[1] + 1) * 100), np.uint16)
+    pts = filled_circle_points(10)
+    for i in range(grid[0]):
+        for j in range(grid[1]):
+            img[pts[:, 0] + (i + 1) * 100, pts[:, 1] + (j + 1) * 100] = 1000
+    data = DataArray(img, dims=("y", "x"))
+    kw = dict(shape=grid, min_button_diameter=16, max_button_diameter=32,
+              overlap=0, row_dist=100, col_dist=100, num_iter=NUM_ITER)
+    mg.microfluidic_chip(data=data, **kw)  # warmup
+    t0 = time.perf_counter()
+    xp = mg.microfluidic_chip(data=data, **kw)
+    dt = time.perf_counter() - t0
+    mpix = img.size / 1e6
+    return {"chip_mpix_per_s": round(mpix / dt, 3),
+            "chip_buttons_found": int(xp.sizes["mark_row"]
+                                      * xp.sizes["mark_col"])}
+
+
+def measure_stitch() -> dict:
+    """Stitch throughput (BASELINE.json config 3): 4x4 tile grid with
+    overlap cropping, through the image pipeline."""
+    import magnify_tpu as mg
+    from magnify_tpu.core import DataArray
+
+    rng = np.random.default_rng(1)
+    tiles = (rng.random((1, 1, 4, 4, 512, 512)) * 999).astype(np.uint16)
+    data = DataArray(tiles, dims=("channel", "time", "row", "col", "y", "x"))
+    mg.image(data, overlap=102)  # warmup
+    t0 = time.perf_counter()
+    xp = mg.image(data, overlap=102)
+    dt = time.perf_counter() - t0
+    return {"stitch_mpix_per_s": round(tiles.size / 1e6 / dt, 1),
+            "stitched_shape": list(xp.image.shape)}
+
+
 def main():
     data, n_true = make_workload()
 
@@ -108,10 +150,12 @@ def main():
             "beads_per_s": round(found * N_RUNS / elapsed, 1),
         },
     }
-    try:
-        result["detail"].update(measure_stream(data))
-    except Exception as e:  # the headline metric must still print
-        result["detail"]["stream_error"] = str(e)[:200]
+    for name, fn in [("stream", lambda: measure_stream(data)),
+                     ("chip", measure_chip), ("stitch", measure_stitch)]:
+        try:  # the headline metric must still print if an extra fails
+            result["detail"].update(fn())
+        except Exception as e:
+            result["detail"][f"{name}_error"] = str(e)[:200]
     print(json.dumps(result))
 
 
