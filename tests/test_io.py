@@ -301,3 +301,33 @@ def test_open_zarr_v2_layout(tmp_path):
     np.testing.assert_array_equal(ds.image.values, arr)
     assert ds.image.dims == ("y", "x")
     assert ds.attrs["name"] == "legacy-run"
+
+
+def test_reader_path_channels_with_in_file_times(tmp_path):
+    """Channels from the path grammar combined with a time axis inside each
+    OME file (reader.py:259-260 disjointness contract)."""
+    rng = np.random.default_rng(5)
+    stacks = {}
+    for ch in ["red", "green"]:
+        arr = rng.integers(0, 999, (3, 1, 12, 14)).astype(np.uint16)  # TCYX
+        (tmp_path / ch).mkdir()
+        tiff.write_tiff(tmp_path / ch / "s.ome.tif", arr)
+        stacks[ch] = arr[:, 0]
+    reader = Reader()
+    (ds,) = list(reader(str(tmp_path / "(channel)/s.ome.tif")))
+    assert ds.tile.dims == ("channel", "time", "tile_y", "tile_x")
+    assert ds.sizes["channel"] == 2 and ds.sizes["time"] == 3
+    np.testing.assert_array_equal(ds.tile.sel(channel="red").values,
+                                  stacks["red"])
+    np.testing.assert_array_equal(ds.tile.sel(channel="green").values,
+                                  stacks["green"])
+
+
+def test_reader_rejects_overlapping_dims(tmp_path):
+    # Time both in the path and inside the file must be rejected.
+    arr = np.zeros((3, 1, 8, 8), np.uint16)
+    (tmp_path / "t0").mkdir()
+    tiff.write_tiff(tmp_path / "t0" / "s.ome.tif", arr)
+    reader = Reader()
+    with pytest.raises(ValueError, match="overlap"):
+        list(reader(str(tmp_path / "t(time|%S)/s.ome.tif")))

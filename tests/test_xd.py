@@ -185,3 +185,21 @@ def test_where_broadcast_channel():
     sel = ds.roi
     out = sel.where(ds.fg).mean(dim=["y", "x"])
     np.testing.assert_allclose(out.values, roi[:, :, 1, 1])
+
+
+def test_concat():
+    from magnify_tpu.core import concat
+
+    a = DataArray(np.ones((2, 3)), dims=("t", "x"))
+    b = DataArray(np.zeros((1, 3)), dims=("t", "x"))
+    out = concat([a, b], dim="t")
+    assert out.shape == (3, 3)
+    stacked = concat([a, a], dim="new")
+    assert stacked.dims == ("new", "t", "x")
+
+
+def test_any_all_reductions():
+    da = DataArray(np.array([[True, False], [True, True]]), dims=("a", "b"))
+    assert da.any().values.item()
+    assert not da.all().values.item()
+    np.testing.assert_array_equal(da.all(dim="b").values, [False, True])
