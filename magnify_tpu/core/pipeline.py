@@ -1,9 +1,10 @@
 """The component pipeline engine (layer L5).
 
 An ordered list of named ``Dataset -> Dataset`` components folded over each
-assay produced by a reader. Mirrors the engine in
-/root/reference/src/magnify/pipeline.py:9-87: insertion by name/index/
-first/last, duplicate-name rejection, and removal by name.
+assay produced by a reader. Matches the behavioral contract of the engine in
+/root/reference/src/magnify/pipeline.py:9-87 — insertion by name/index/
+first/last, duplicate-name rejection, removal by name — with per-stage
+timing hooks from :mod:`magnify_tpu.diagnostics`.
 """
 
 from __future__ import annotations
@@ -20,20 +21,52 @@ class Pipeline:
         self.reader = _registry.readers.get(reader)()
         self.components: list[tuple[str, Callable]] = []
 
+    @property
+    def component_names(self) -> list[str]:
+        return [name for name, _ in self.components]
+
     def __call__(self, data):
         from magnify_tpu.diagnostics import stage_timer
 
-        outputs = []
         with stage_timer("read"):
             assays = list(self.reader(data=data))
+
+        outputs = []
         for assay in assays:
             for name, comp in self.components:
                 with stage_timer(name):
                     assay = comp(assay)
             outputs.append(assay)
-        if len(outputs) == 1:
-            return outputs[0]
-        return outputs
+        return outputs[0] if len(outputs) == 1 else outputs
+
+    def _resolve_component(self, component, name, kwargs):
+        if isinstance(component, str):
+            factory = _registry.components.get(component)
+            return name or component, factory(**kwargs)
+
+        def bound(xp, _fn=component, _kw=kwargs):
+            return _fn(xp, **_kw)
+
+        return name or component.__name__, bound
+
+    def _insertion_index(self, after, before, first, last) -> int:
+        placements = (after is not None) + (before is not None) + first + last
+        if placements == 0:
+            last = True
+        elif placements > 1:
+            raise ValueError(
+                "Only one of after, before, first, and last can be set."
+            )
+        if first:
+            return 0
+        if last:
+            return len(self.components)
+        anchor, offset = (before, 0) if before is not None else (after, 1)
+        if isinstance(anchor, int):
+            return anchor + offset
+        if isinstance(anchor, str):
+            return self.component_names.index(anchor) + offset
+        raise ValueError("before/after must be a string or int.")
 
     def add_pipe(
         self,
@@ -45,48 +78,23 @@ class Pipeline:
         last: bool = False,
         **kwargs,
     ) -> None:
-        if isinstance(component, str):
-            name = component if name is None else name
-            factory = _registry.components.get(component)
-            func = factory(**kwargs)
-        else:
-            name = component.__name__ if name is None else name
-
-            def func(xp, _c=component, _kw=kwargs):
-                return _c(xp, **_kw)
-
-        if after is None and before is None and not first and not last:
-            last = True
-        if (after is not None) + (before is not None) + first + last > 1:
-            raise ValueError("Only one of after, before, first, and last can be set.")
-
-        names = [n for n, _ in self.components]
-        if name in names:
+        """Insert a component (registered name or callable) into the chain."""
+        name, func = self._resolve_component(component, name, kwargs)
+        if name in self.component_names:
             raise ValueError(
-                f"A component with the name '{name}' already exists in the pipeline."
+                f"A component with the name '{name}' already exists in the "
+                "pipeline."
             )
-
-        if first:
-            idx = 0
-        elif last:
-            idx = len(self.components)
-        elif isinstance(before, int):
-            idx = before
-        elif isinstance(before, str):
-            idx = names.index(before)
-        elif isinstance(after, int):
-            idx = after + 1
-        elif isinstance(after, str):
-            idx = names.index(after) + 1
-        else:
-            raise ValueError("before/after must be a string or int.")
-
+        idx = self._insertion_index(after, before, first, last)
         self.components.insert(idx, (name, func))
 
     def remove_pipe(self, name: str) -> None:
+        """Remove the component registered under ``name``."""
         if not self.components:
-            raise ValueError(f"Cannot remove pipe '{name}': pipeline has no components")
-        names = [n for n, _ in self.components]
+            raise ValueError(
+                f"Cannot remove pipe '{name}': pipeline has no components"
+            )
+        names = self.component_names
         if name not in names:
             raise ValueError(f"Component '{name}' not found in pipeline")
-        self.components.pop(names.index(name))
+        del self.components[names.index(name)]
