@@ -177,27 +177,66 @@ def canny(dx, dy, low_thresh, high_thresh):
     return edges
 
 
-def histogram_quantile(values, q, bins: int = 1 << 16):
-    """Approximate quantile via an on-device histogram CDF.
+def _order_statistic(flat, k, bins: int = 1 << 16, rounds: int = 4):
+    """Exact k-th order statistic via iterative histogram narrowing.
 
-    Replaces the reference's full ``np.quantile`` sort
-    (/root/reference/src/magnify/utils.py:126-127) with a fixed-shape
-    histogram + searchsorted: O(N) instead of O(N log N), no XLA sort, and a
-    worst-case value error of range/bins (~1e-5 of the gradient range), far
-    below the detector's tolerance to threshold perturbations.
+    Each round histograms the elements inside the current (lo, hi] bracket
+    and descends into the bin containing rank ``k``. Four rounds shrink the
+    bracket below float32 resolution, so every element left inside is the
+    same value — the exact k-th smallest — with no sort: O(rounds * N).
+    """
+    def body(_, state):
+        lo, hi, below = state
+        span = jnp.maximum(hi - lo, 1e-35)
+        # Elements outside the bracket get parked in an overflow bin.
+        rel = (flat - lo) * (bins / span)
+        idx = jnp.clip(rel.astype(jnp.int32), 0, bins - 1)
+        inside = (flat >= lo) & (flat <= hi)
+        idx = jnp.where(inside, idx, bins)
+        hist = jnp.zeros((bins + 1,), jnp.int32).at[idx].add(
+            1, mode="drop"
+        )[:-1]
+        cdf = below + jnp.cumsum(hist)
+        b = jnp.searchsorted(cdf, k + 1, side="left")
+        b = jnp.minimum(b, bins - 1)
+        # Derive the new bracket from the elements of the chosen bin — exact
+        # under float rounding (the arithmetic bin edges may exclude the
+        # bin's own members).
+        in_bin = inside & (idx == b)
+        new_lo = jnp.min(jnp.where(in_bin, flat, jnp.inf))
+        new_hi = jnp.max(jnp.where(in_bin, flat, -jnp.inf))
+        new_below = jnp.where(b > 0, cdf[jnp.maximum(b - 1, 0)], below)
+        return new_lo, new_hi, new_below
+
+    lo0 = jnp.min(flat)
+    hi0 = jnp.max(flat)
+    lo, hi, below = jax.lax.fori_loop(
+        0, rounds, body, (lo0, hi0, jnp.int32(0))
+    )
+    inside = (flat >= lo) & (flat <= hi)
+    return jnp.min(jnp.where(inside, flat, jnp.inf))
+
+
+def histogram_quantile(values, q, bins: int = 1 << 16):
+    """Exact quantile (numpy ``linear`` interpolation semantics) via
+    iterative histogram narrowing — no XLA sort.
+
+    Matches the reference's ``np.quantile`` thresholds
+    (/root/reference/src/magnify/utils.py:126-127) exactly: the k-th and
+    (k+1)-th order statistics are recovered by histogram descent and
+    interpolated at rank q*(n-1).
     """
     flat = values.reshape(-1)
-    lo = jnp.min(flat)
-    hi = jnp.max(flat)
-    span = jnp.maximum(hi - lo, 1e-30)
-    idx = jnp.clip(((flat - lo) * (bins / span)).astype(jnp.int32), 0, bins - 1)
-    hist = jnp.zeros((bins,), jnp.int32).at[idx].add(1)
-    cdf = jnp.cumsum(hist)
     n = flat.shape[0]
     q = jnp.asarray(q, jnp.float32)
     rank = q * (n - 1)
-    b = jnp.searchsorted(cdf.astype(jnp.float32), rank, side="right")
-    return lo + (b.astype(jnp.float32) + 0.5) * (span / bins)
+    k = jnp.clip(jnp.floor(rank).astype(jnp.int32), 0, n - 1)
+    frac = rank - k.astype(jnp.float32)
+    x_k = _order_statistic(flat, k, bins)
+    x_k1 = jnp.where(k + 1 <= n - 1,
+                     _order_statistic(flat, jnp.minimum(k + 1, n - 1), bins),
+                     x_k)
+    return x_k + frac * (x_k1 - x_k)
 
 
 def edge_pipeline(img, low_edge_quantile, high_edge_quantile):

@@ -55,18 +55,26 @@ def test_edge_stack_close_to_opencv_on_noise():
     edges, _, _, _ = jax.jit(edge_ops.edge_pipeline)(
         jnp.asarray(img), 0.1, 0.9
     )
-    # Histogram quantile + tie-handling may flip a few borderline pixels.
+    # Thresholds interpolate in f32 on device vs numpy's f64: a 1-ulp
+    # difference can flip the integer floor(threshold^2) boundary, flipping
+    # borderline weak pixels and their hysteresis cascades. NMS, thresholds,
+    # and hysteresis are otherwise verified bit-exact against a scalar
+    # transcription of OpenCV's semantics.
     agreement = (np.asarray(edges) == edges_cv).mean()
     assert agreement > 0.995
 
 
-def test_histogram_quantile_close_to_numpy():
+def test_histogram_quantile_exactly_matches_numpy():
     rng = np.random.default_rng(3)
-    x = rng.gamma(2.0, 100.0, (1000, 1000)).astype(np.float32)
-    for q in (0.1, 0.5, 0.9, 0.99):
-        mine = float(jax.jit(edge_ops.histogram_quantile)(jnp.asarray(x), q))
-        ref = float(np.quantile(x, q))
-        assert abs(mine - ref) < (x.max() - x.min()) / 30000
+    for x in (rng.gamma(2.0, 100.0, (512, 512)),
+              np.round(rng.normal(100, 30, (512, 512))),  # heavy ties
+              np.full((64, 64), 3.5)):
+        x = x.astype(np.float32)
+        for q in (0.0, 0.1, 0.5, 0.9, 0.99, 1.0):
+            mine = np.float32(jax.jit(edge_ops.histogram_quantile)(
+                jnp.asarray(x), q))
+            ref = np.float32(np.quantile(x, q))
+            assert mine == ref, (q, mine, ref)
 
 
 def greedy_reference_nms(circles, min_dist):
