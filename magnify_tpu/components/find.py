@@ -442,12 +442,18 @@ class ButtonFinder:
                 search_idxs,
             )
 
-        for t in _progress(range(n_t), self.progress_bar):
-            if t in self.search_timesteps:
-                continue
+        # Non-searched timesteps copy positions; their per-timestep images
+        # stream host->HBM double-buffered behind the ROI gathers.
+        from magnify_tpu.parallel.streaming import DevicePrefetcher
+
+        copy_ts = [t for t in range(n_t) if t not in self.search_timesteps]
+        plane_stream = DevicePrefetcher(
+            copy_ts, lambda t: assay.image.isel(time=int(t)).to_numpy(),
+            depth=2,
+        )
+        for t, images in _progress(plane_stream, self.progress_bar):
             copy_t = (self.search_timesteps[0]
                       if t < self.search_timesteps[0] else t - 1)
-            images = assay.image.isel(time=t).to_numpy()
             xs = x[..., copy_t].reshape(-1)
             ys = y[..., copy_t].reshape(-1)
             crops, _tops, _lefts, _dev = _extract_rois_host(images, xs, ys, L)
