@@ -129,13 +129,18 @@ def main():
     xp = run_pipeline(data)
     found = xp.roi.sizes["mark"]
 
-    t0 = time.perf_counter()
+    # Per-run timing with the median reported: the dev environment reaches
+    # the TPU through a relay whose transfer throughput fluctuates 2-3x
+    # between runs, and the median is robust to those spikes.
+    per_run = []
     for i in range(N_RUNS):
+        t0 = time.perf_counter()
         xp = run_pipeline(data)
-    elapsed = time.perf_counter() - t0
+        per_run.append(time.perf_counter() - t0)
+    sec_frame = float(np.median(per_run))
 
     mpix = SHAPE[0] * SHAPE[1] / 1e6
-    value = mpix * N_RUNS / elapsed
+    value = mpix / sec_frame
     result = {
         "metric": "beads_pipeline_e2e_throughput",
         "value": round(value, 3),
@@ -146,8 +151,9 @@ def main():
             "beads_true": int(n_true),
             "num_iter": NUM_ITER,
             "runs": N_RUNS,
-            "seconds_per_frame": round(elapsed / N_RUNS, 3),
-            "beads_per_s": round(found * N_RUNS / elapsed, 1),
+            "seconds_per_frame": round(sec_frame, 3),
+            "per_run_s": [round(t, 3) for t in per_run],
+            "beads_per_s": round(found / sec_frame, 1),
         },
     }
     for name, fn in [("stream", lambda: measure_stream(data)),
