@@ -142,6 +142,62 @@ def _button_masks(y_rel, x_rel, radii, *, roi_length, max_radius,
     return jax.vmap(one)(y_rel, x_rel, radii)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("search_idxs", "roi_length", "min_radius", "max_radius",
+                     "chamber_radius"),
+)
+def _chip_refine_dense(images, xs, ys, nonblank, low_q, high_q,
+                       min_roundness, *, search_idxs, roi_length, min_radius,
+                       max_radius, chamber_radius):
+    """Fused per-chamber refinement: crop -> dense re-detect (all search
+    channels) -> recrop at refined centers -> fg/bg masks, in one dispatch.
+
+    Device version of the reference's per-chamber loop (find.py:324-402)
+    under the dense detector.
+    """
+    from magnify_tpu.ops.detect import _detect_rois_dense
+
+    c, h, w = images.shape
+    L = roi_length
+
+    def corners(px, py):
+        top = jnp.clip(jnp.round(py).astype(jnp.int32) - L // 2, 0, h - L)
+        left = jnp.clip(jnp.round(px).astype(jnp.int32) - L // 2, 0, w - L)
+        return top, left
+
+    tops, lefts = corners(xs, ys)
+    crops = ops_geom.extract_rois(images, tops, lefts, L)  # (n, C, L, L)
+
+    best_score = jnp.full(xs.shape, -jnp.inf)
+    best_circle = jnp.zeros((xs.shape[0], 3), jnp.int32)
+    for ci in search_idxs:
+        circles, scores = _detect_rois_dense(
+            crops[:, ci], low_q, high_q, min_roundness,
+            min_radius=min_radius, max_radius=max_radius,
+        )
+        better = jnp.isfinite(scores) & (scores > best_score)
+        best_score = jnp.where(better, scores, best_score)
+        best_circle = jnp.where(better[:, None], circles, best_circle)
+
+    refined = jnp.isfinite(best_score) & nonblank
+    new_y = jnp.where(refined, (best_circle[:, 0] + tops).astype(jnp.float32),
+                      ys)
+    new_x = jnp.where(refined,
+                      (best_circle[:, 1] + lefts).astype(jnp.float32), xs)
+    radius = jnp.where(refined, best_circle[:, 2], max_radius)
+
+    tops2, lefts2 = corners(new_x, new_y)
+    crops2 = ops_geom.extract_rois(images, tops2, lefts2, L)
+    y_rel = jnp.round(new_y).astype(jnp.int32) - tops2
+    x_rel = jnp.round(new_x).astype(jnp.int32) - lefts2
+    fg, bg = _button_masks(
+        y_rel, x_rel, radius, roi_length=L, max_radius=max_radius,
+        chamber_radius=chamber_radius, inner_radius=max_radius,
+    )
+    return crops2, fg, bg, new_x, new_y
+
+
 def _extract_rois_host(images, xs, ys, roi_length):
     """Batched ROI crop. images (C, H, W) or (H, W), numpy or device;
     returns (numpy crops, tops, lefts, device crops)."""
@@ -563,6 +619,28 @@ class ButtonFinder:
 
         xs = x.reshape(-1)
         ys = y.reshape(-1)
+
+        if ops_detect.resolve_detector(self.detector) == "dense":
+            high_q = 1 - np.pi * self.min_button_radius / L**2
+            crops, fg_dev, bg_dev, out_x, out_y = _chip_refine_dense(
+                jnp.asarray(images), jnp.asarray(xs, jnp.float32),
+                jnp.asarray(ys, jnp.float32),
+                jnp.asarray(tag.reshape(-1) != ""),
+                float(self.low_edge_quantile), float(high_q),
+                float(self.min_roundness),
+                search_idxs=tuple(search_channel_idxs), roi_length=L,
+                min_radius=self.min_button_radius,
+                max_radius=self.max_button_radius,
+                chamber_radius=self.chamber_radius,
+            )
+            return (
+                np.asarray(crops).reshape(num_rows, num_cols, n_ch, L, L),
+                np.asarray(fg_dev).reshape(num_rows, num_cols, L, L),
+                np.asarray(bg_dev).reshape(num_rows, num_cols, L, L),
+                np.asarray(out_x).astype(float).reshape(num_rows, num_cols),
+                np.asarray(out_y).astype(float).reshape(num_rows, num_cols),
+                valid,
+            )
         crops, tops, lefts, crops_dev = _extract_rois_host(images, xs, ys, L)
 
         roi_iter = max(self.num_iter // n, 1)

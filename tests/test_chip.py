@@ -238,3 +238,18 @@ def test_multichannel_multitimestep():
     assert xp.sizes["channel"] == 2
     for t in range(3):
         grid_positions_ok(xp, (2, 2), t=t)
+
+
+def test_chip_dense_detector_matches_ransac():
+    """The fused dense chamber refinement agrees with the ransac path."""
+    data = chip_image((3, 3))
+    a = run_chip(data, (3, 3), detector="ransac")
+    b = run_chip(chip_image((3, 3)), (3, 3), detector="dense", num_iter=100)
+    np.testing.assert_allclose(a.x.squeeze().values, b.x.squeeze().values,
+                               atol=1.5)
+    np.testing.assert_allclose(a.y.squeeze().values, b.y.squeeze().values,
+                               atol=1.5)
+    areas_a = a.fg.sum(["roi_x", "roi_y"]).values
+    areas_b = b.fg.sum(["roi_x", "roi_y"]).values
+    np.testing.assert_allclose(areas_a, areas_b, rtol=0.25)
+    grid_positions_ok(b, (3, 3))
