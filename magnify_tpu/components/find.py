@@ -145,6 +145,85 @@ def _button_masks(y_rel, x_rel, radii, *, roi_length, max_radius,
 @functools.partial(
     jax.jit,
     static_argnames=("search_idxs", "roi_length", "min_radius", "max_radius",
+                     "cap", "min_dist", "max_neighbors"),
+)
+def _bead_step_dense(images, low_q, high_q, min_roundness, *, search_idxs,
+                     roi_length, min_radius, max_radius, cap, min_dist,
+                     max_neighbors):
+    """Fused dense bead step: per-channel detection, cross-channel dedupe,
+    compaction, neighbor-aware fg/bg masks, and all-channel ROI gathers in
+    one dispatch.
+
+    The device realization of the reference's BeadFinder body
+    (find.py:471-604). Returns padded (S*cap)-row outputs plus the live
+    count and per-bead neighbor counts (the host re-checks that
+    ``max_neighbors`` was sufficient and falls back when not).
+    """
+    from magnify_tpu.ops.detect import _stage_dense_full
+
+    n_ch, n_t, h, w = images.shape
+    L = roi_length
+    blocks = []
+    n_keeps = []
+    for ci in search_idxs:
+        c, s, acc, nk = _stage_dense_full(
+            images[ci, 0], low_q, high_q, min_roundness,
+            min_radius=min_radius, max_radius=max_radius, cap=cap,
+            nms_cap=cap, min_dist=min_dist,
+        )
+        blocks.append((c, acc))
+        n_keeps.append(nk)
+
+    # Cross-channel dedupe: a later channel's circle is dropped when any
+    # earlier channel's accepted circle lies within 2*min_radius
+    # (find.py:490-500).
+    for k in range(1, len(blocks)):
+        ck, vk = blocks[k]
+        for j in range(k):
+            cj, vj = blocks[j]
+            d2 = ((ck[:, None, :2] - cj[None, :, :2]) ** 2).sum(-1)
+            dup = jnp.any(vj[None, :] & (d2 <= (2 * min_radius) ** 2), axis=1)
+            vk = vk & ~dup
+        blocks[k] = (ck, vk)
+
+    circles = jnp.concatenate([c for c, _ in blocks])
+    valid = jnp.concatenate([v for _, v in blocks])
+    total = circles.shape[0]
+
+    # Compact live beads to the front, preserving channel-major score order.
+    rank = jnp.cumsum(valid) - 1
+    n = valid.sum()
+    dest = jnp.where(valid, rank, total)
+    beads = jnp.zeros((total, 3), jnp.int32).at[dest].set(circles,
+                                                          mode="drop")
+    live = jnp.arange(total) < n
+
+    tops = jnp.clip(beads[:, 0] - L // 2, 0, h - L)
+    lefts = jnp.clip(beads[:, 1] - L // 2, 0, w - L)
+
+    # Neighbors: beads whose disks can touch another bead's ROI window.
+    centers_r = tops + L // 2
+    centers_c = lefts + L // 2
+    reach = (L / 2 + max_radius + 2) * np.sqrt(2)
+    cheb = jnp.maximum(
+        jnp.abs(centers_r[:, None] - centers_r[None, :]),
+        jnp.abs(centers_c[:, None] - centers_c[None, :]),
+    )
+    cheb = jnp.where(live[None, :], cheb, jnp.inf)
+    neg_d, nbr = jax.lax.top_k(-cheb, max_neighbors)
+    nbr = jnp.where((-neg_d <= reach), nbr, -1)
+    nbr_count = jnp.where(live, (nbr >= 0).sum(axis=1), 0)
+
+    fg, bg = _bead_masks(beads, tops, lefts, nbr, roi_length=L,
+                         max_radius=max_radius, max_neighbors=max_neighbors)
+    rois = ops_geom.extract_rois(images, tops, lefts, L)
+    worst_keep = jnp.max(jnp.stack(n_keeps))
+    return beads, n, fg, bg, rois, jnp.max(nbr_count), worst_keep
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search_idxs", "roi_length", "min_radius", "max_radius",
                      "chamber_radius"),
 )
 def _chip_refine_dense(images, xs, ys, nonblank, low_q, high_q,
@@ -273,6 +352,16 @@ class BeadFinder:
                 np.ascontiguousarray(assay.image.to_numpy())
             )
 
+        search_idxs = tuple(
+            _channel_index(assay, c) if not isinstance(c, int) else c
+            for c in search_channels
+        )
+        if (self.gui is None and image_dev is not None
+                and ops_detect.resolve_detector(self.detector) == "dense"):
+            fused = self._fused_dense(assay, image_dev, search_idxs)
+            if fused is not None:
+                return fused
+
         beads = np.empty((0, 3))
         for channel in search_channels:
             ci = (_channel_index(assay, channel)
@@ -382,6 +471,67 @@ class BeadFinder:
                 roi[:, ci] = np.asarray(crops)
 
         assay.cache(["roi", "fg", "bg"])
+        return assay
+
+    def _fused_dense(self, assay, image_dev, search_idxs):
+        """Single-dispatch bead step (dense detector): detection, dedupe,
+        masks, and ROI gathers in one device program. Returns None when the
+        padded output buffers would be unreasonably large (the stepwise
+        out-of-core path handles those)."""
+        sizes = assay.sizes
+        n_ch, n_t = sizes["channel"], sizes["time"]
+        L = self.roi_length
+        cap = 4096
+        max_neighbors = 24
+        roi_bytes = (len(search_idxs) * cap * n_ch * n_t * L * L
+                     * np.dtype(assay["image"].dtype).itemsize)
+        if roi_bytes > 512 * 1024 * 1024:
+            return None
+
+        while True:
+            (beads_d, n_d, fg_d, bg_d, rois_d, nbr_max_d,
+             worst_keep_d) = _bead_step_dense(
+                image_dev, float(self.low_edge_quantile),
+                float(self.high_edge_quantile), float(self.min_roundness),
+                search_idxs=search_idxs, roi_length=L,
+                min_radius=self.min_bead_radius,
+                max_radius=self.max_bead_radius, cap=cap,
+                min_dist=self.min_bead_radius, max_neighbors=max_neighbors,
+            )
+            n = int(n_d)
+            if int(worst_keep_d) > cap:
+                cap = int(min(1 << 24, max(2 * cap, int(worst_keep_d))))
+                continue
+            if int(nbr_max_d) >= max_neighbors and n > 0:
+                # The neighbor list may have truncated a bead that overlaps
+                # an ROI window; widen and redo (exactness guard).
+                max_neighbors *= 2
+                continue
+            break
+
+        beads = np.asarray(beads_d[:n]).astype(float)
+        fg1 = np.asarray(fg_d[:n])
+        bg1 = np.asarray(bg_d[:n])
+        rois = np.asarray(rois_d[:n])
+
+        roi = alloc_output("roi", (n, n_ch, n_t, L, L), assay["image"].dtype)
+        fg = alloc_output("fg", (n, n_t, L, L), bool)
+        bg = alloc_output("bg", (n, n_t, L, L), bool)
+        roi[:] = rois
+        fg[:] = fg1[:, None]
+        bg[:] = bg1[:, None]
+
+        assay["roi"] = Variable(("mark", "channel", "time", "roi_y", "roi_x"),
+                                roi)
+        assay = assay.assign_coords(
+            fg=(("mark", "time", "roi_y", "roi_x"), fg),
+            bg=(("mark", "time", "roi_y", "roi_x"), bg),
+            x=(("mark", "time"), np.repeat(beads[:, 1:2], n_t, axis=1)),
+            y=(("mark", "time"), np.repeat(beads[:, 0:1], n_t, axis=1)),
+            valid=(("mark", "time"), np.ones((n, n_t), bool)),
+        )
+        if n > 0:
+            assay.cache(["roi", "fg", "bg"])
         return assay
 
     @components.register("find_beads")
