@@ -150,14 +150,13 @@ def _button_masks(y_rel, x_rel, radii, *, roi_length, max_radius,
 def _bead_step_dense(images, low_q, high_q, min_roundness, *, search_idxs,
                      roi_length, min_radius, max_radius, cap, min_dist,
                      max_neighbors):
-    """Fused dense bead step: per-channel detection, cross-channel dedupe,
-    compaction, neighbor-aware fg/bg masks, and all-channel ROI gathers in
-    one dispatch.
+    """Fused dense bead detection: per-channel detection, cross-channel
+    dedupe, and compaction in one dispatch.
 
-    The device realization of the reference's BeadFinder body
-    (find.py:471-604). Returns padded (S*cap)-row outputs plus the live
-    count and per-bead neighbor counts (the host re-checks that
-    ``max_neighbors`` was sufficient and falls back when not).
+    The device realization of the reference's BeadFinder detection body
+    (find.py:471-501). Returns (beads (S*cap, 3), n, worst_keep); masks and
+    ROI gathers follow in :func:`_bead_finalize_dense` once the live count
+    sizes their buffers.
     """
     from magnify_tpu.ops.detect import _stage_dense_full
 
@@ -196,6 +195,24 @@ def _bead_step_dense(images, low_q, high_q, min_roundness, *, search_idxs,
     dest = jnp.where(valid, rank, total)
     beads = jnp.zeros((total, 3), jnp.int32).at[dest].set(circles,
                                                           mode="drop")
+    worst_keep = jnp.max(jnp.stack(n_keeps))
+    return beads, n, worst_keep
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("roi_length", "max_radius", "max_neighbors"),
+)
+def _bead_finalize_dense(images, beads, n, *, roi_length, max_radius,
+                         max_neighbors):
+    """Masks + ROI gathers for the first ``beads.shape[0]`` compacted beads.
+
+    ``beads`` is the detection output sliced to a pow2 bucket of the live
+    count, so the padded mask/ROI work stays proportional to real beads.
+    """
+    _n_ch, _n_t, h, w = images.shape
+    L = roi_length
+    total = beads.shape[0]
     live = jnp.arange(total) < n
 
     tops = jnp.clip(beads[:, 0] - L // 2, 0, h - L)
@@ -217,8 +234,7 @@ def _bead_step_dense(images, low_q, high_q, min_roundness, *, search_idxs,
     fg, bg = _bead_masks(beads, tops, lefts, nbr, roi_length=L,
                          max_radius=max_radius, max_neighbors=max_neighbors)
     rois = ops_geom.extract_rois(images, tops, lefts, L)
-    worst_keep = jnp.max(jnp.stack(n_keeps))
-    return beads, n, fg, bg, rois, jnp.max(nbr_count), worst_keep
+    return fg, bg, rois, jnp.max(nbr_count)
 
 
 @functools.partial(
@@ -483,14 +499,9 @@ class BeadFinder:
         L = self.roi_length
         cap = 4096
         max_neighbors = 24
-        roi_bytes = (len(search_idxs) * cap * n_ch * n_t * L * L
-                     * np.dtype(assay["image"].dtype).itemsize)
-        if roi_bytes > 512 * 1024 * 1024:
-            return None
 
         while True:
-            (beads_d, n_d, fg_d, bg_d, rois_d, nbr_max_d,
-             worst_keep_d) = _bead_step_dense(
+            beads_d, n_d, worst_keep_d = _bead_step_dense(
                 image_dev, float(self.low_edge_quantile),
                 float(self.high_edge_quantile), float(self.min_roundness),
                 search_idxs=search_idxs, roi_length=L,
@@ -502,7 +513,24 @@ class BeadFinder:
             if int(worst_keep_d) > cap:
                 cap = int(min(1 << 24, max(2 * cap, int(worst_keep_d))))
                 continue
-            if int(nbr_max_d) >= max_neighbors and n > 0:
+            break
+
+        # Mask/ROI buffers sized to a pow2 bucket of the live bead count.
+        cap2 = 256
+        while cap2 < n:
+            cap2 *= 2
+        roi_bytes = (cap2 * n_ch * n_t * L * L
+                     * np.dtype(assay["image"].dtype).itemsize)
+        if roi_bytes > 512 * 1024 * 1024:
+            return None
+
+        while True:
+            fg_d, bg_d, rois_d, nbr_max_d = _bead_finalize_dense(
+                image_dev, beads_d[:cap2], n_d, roi_length=L,
+                max_radius=self.max_bead_radius,
+                max_neighbors=min(max_neighbors, cap2),
+            )
+            if int(nbr_max_d) >= max_neighbors and n > max_neighbors:
                 # The neighbor list may have truncated a bead that overlaps
                 # an ROI window; widen and redo (exactness guard).
                 max_neighbors *= 2
