@@ -39,22 +39,27 @@ class DevicePrefetcher:
         queue: collections.deque = collections.deque()
         cv = threading.Condition()
         done = object()
+        failure: list = []
 
         def produce():
-            for key in self.keys:
-                block = np.ascontiguousarray(self.loader(key))
-                if self.placement is not None:
-                    arr = jax.device_put(block, self.placement)
-                else:
-                    arr = jax.device_put(block)
+            try:
+                for key in self.keys:
+                    block = np.ascontiguousarray(self.loader(key))
+                    if self.placement is not None:
+                        arr = jax.device_put(block, self.placement)
+                    else:
+                        arr = jax.device_put(block)
+                    with cv:
+                        while len(queue) >= self.depth:
+                            cv.wait()
+                        queue.append((key, arr))
+                        cv.notify_all()
+            except BaseException as e:  # propagate to the consumer
+                failure.append(e)
+            finally:
                 with cv:
-                    while len(queue) >= self.depth:
-                        cv.wait()
-                    queue.append((key, arr))
+                    queue.append(done)
                     cv.notify_all()
-            with cv:
-                queue.append(done)
-                cv.notify_all()
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -68,6 +73,8 @@ class DevicePrefetcher:
                 break
             yield item
         thread.join()
+        if failure:
+            raise failure[0]
 
 
 def stream_planes(dataset, var: str = "image", dims=("channel", "time"),

@@ -99,3 +99,13 @@ def test_sharded_best_circle_matches_truth(devices):
     assert np.isfinite(scores).all()
     assert tuple(circles[0][:2]) == (30, 70) and circles[0][2] == 6
     assert tuple(circles[1][:2]) == (50, 40) and circles[1][2] == 7
+
+
+def test_device_prefetcher_propagates_loader_errors():
+    def loader(key):
+        if key == 2:
+            raise RuntimeError("decode failed")
+        return np.zeros((2, 2), np.float32)
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(DevicePrefetcher(range(5), loader, depth=2))
