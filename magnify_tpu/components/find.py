@@ -219,13 +219,18 @@ def _bead_finalize_dense(images, beads, n, *, roi_length, max_radius,
     lefts = jnp.clip(beads[:, 1] - L // 2, 0, w - L)
 
     # Neighbors: beads whose disks can touch another bead's ROI window.
-    centers_r = tops + L // 2
-    centers_c = lefts + L // 2
-    reach = (L / 2 + max_radius + 2) * np.sqrt(2)
+    # Bead j (radius <= max_radius) intersects window i exactly when the
+    # Chebyshev distance from j's CENTER to the window center is at most
+    # L/2 + max_radius; measuring from bead centers (not the clipped window
+    # centers) keeps border beads' neighbor lists exact, matching the host
+    # KDTree path (reference find.py:561-586 semantics).
+    win_r = tops + L // 2
+    win_c = lefts + L // 2
+    reach = L / 2 + max_radius + 1
     cheb = jnp.maximum(
-        jnp.abs(centers_r[:, None] - centers_r[None, :]),
-        jnp.abs(centers_c[:, None] - centers_c[None, :]),
-    )
+        jnp.abs(beads[None, :, 0] - win_r[:, None]),
+        jnp.abs(beads[None, :, 1] - win_c[:, None]),
+    ).astype(jnp.float32)
     cheb = jnp.where(live[None, :], cheb, jnp.inf)
     neg_d, nbr = jax.lax.top_k(-cheb, max_neighbors)
     nbr = jnp.where((-neg_d <= reach), nbr, -1)
@@ -497,7 +502,9 @@ class BeadFinder:
         sizes = assay.sizes
         n_ch, n_t = sizes["channel"], sizes["time"]
         L = self.roi_length
-        cap = 4096
+        memo_key = ("beads", image_dev.shape, self.min_bead_radius,
+                    self.max_bead_radius)
+        cap = ops_detect._cap_memo.get(memo_key, 4096)
         max_neighbors = 24
 
         while True:
@@ -511,8 +518,9 @@ class BeadFinder:
             )
             n = int(n_d)
             if int(worst_keep_d) > cap:
-                cap = int(min(1 << 24, max(2 * cap, int(worst_keep_d))))
+                cap = ops_detect._grow_cap(int(worst_keep_d), cap)
                 continue
+            ops_detect._cap_memo[memo_key] = cap
             break
 
         # Mask/ROI buffers sized to a pow2 bucket of the live bead count.
@@ -974,17 +982,20 @@ def cluster_1d(
 
 
 def label_clusters(points, offset, num_clusters, cluster_length, cluster_gap):
-    """Fixed-geometry cluster labeling when the chip boundary is known
-    (reference find.py:680-695)."""
-    permutation = np.argsort(points)
-    pts = points[permutation]
-    labels = -np.ones(len(pts), dtype=int)
-    increments = [offset] + ([cluster_length, cluster_gap] * num_clusters)[:-1]
-    edges = np.cumsum(increments)
-    spans = np.searchsorted(pts, edges)
-    for i in range(num_clusters):
-        labels[spans[2 * i]: spans[2 * i + 1]] = i
-    return labels[np.argsort(permutation)]
+    """Fixed-geometry cluster labeling when the chip boundary is known.
+
+    Cluster ``i`` occupies the half-open interval
+    ``[offset + i*(length+gap), offset + i*(length+gap) + length)``; points
+    outside every interval get -1. Same geometry as reference
+    find.py:680-695, computed directly per point (no sort needed).
+    """
+    points = np.asarray(points)
+    pitch = cluster_length + cluster_gap
+    starts = offset + np.arange(num_clusters) * pitch
+    slot = np.searchsorted(starts, points, side="right") - 1
+    clipped = np.clip(slot, 0, num_clusters - 1)
+    inside = (slot >= 0) & (points < starts[clipped] + cluster_length)
+    return np.where(inside, clipped, -1).astype(int)
 
 
 def _linregress(x, y):
@@ -998,6 +1009,24 @@ def _linregress(x, y):
     return slope, ym - slope * xm
 
 
+def _grouped_slopes(x, y, labels, num_clusters):
+    """Least-squares slope per label via grouped sums; NaN where a cluster
+    has fewer than 2 points (or zero x-variance)."""
+    ok = labels >= 0
+    lbl, xs, ys = labels[ok], x[ok], y[ok]
+    n = np.bincount(lbl, minlength=num_clusters).astype(float)
+    sx = np.bincount(lbl, weights=xs, minlength=num_clusters)
+    sy = np.bincount(lbl, weights=ys, minlength=num_clusters)
+    sxx = np.bincount(lbl, weights=xs * xs, minlength=num_clusters)
+    sxy = np.bincount(lbl, weights=xs * ys, minlength=num_clusters)
+    denom = n * sxx - sx**2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        slopes = np.where((n >= 2) & (denom != 0),
+                          (n * sxy - sx * sy) / np.where(denom == 0, 1, denom),
+                          np.nan)
+    return slopes, n.astype(int)
+
+
 def regress_clusters(
     x: np.ndarray,
     y: np.ndarray,
@@ -1005,42 +1034,50 @@ def regress_clusters(
     num_clusters: int,
     ideal_num_points: np.ndarray,
 ) -> tuple:
-    """Robust per-cluster line fits (reference find.py:698-748): median
-    slope across clusters, per-cluster median intercepts, then a weighted
-    blend with a global evenly-spaced-intercept fit to tolerate outliers and
-    stitching offsets."""
+    """Robust per-cluster line fits (reference find.py:698-748 semantics):
+    median slope across per-cluster least-squares fits, per-cluster median
+    intercepts under that shared slope, then a weighted blend with a global
+    evenly-spaced-intercept trend to tolerate outliers and stitching
+    offsets. Slopes are computed with grouped sums rather than a per-cluster
+    Python loop."""
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    labels = np.asarray(labels)
+    ideal = np.asarray(ideal_num_points)
     if num_clusters == 1:
         if len(x) == 1:
             return 0, y
         return _linregress(x, y)
 
-    slopes = np.full(num_clusters, np.nan)
-    intercepts = np.full(num_clusters, np.nan)
-    cluster_points = [(x[labels == i], y[labels == i])
-                      for i in range(num_clusters)]
-    for i, (cx, cy) in enumerate(cluster_points):
-        if len(cx) > 1:
-            slopes[i], intercepts[i] = _linregress(cx, cy)
-        elif (i == 0 or i == num_clusters - 1) and ideal_num_points[i] >= 2:
-            print(
-                "Boundary cluster has fewer than 2 points."
-                "The chip is unlikely to be segmented correctly."
+    slopes, counts = _grouped_slopes(x, y, labels, num_clusters)
+    for edge in (0, num_clusters - 1):
+        if counts[edge] < 2 and ideal[edge] >= 2:
+            from magnify_tpu import diagnostics
+
+            diagnostics.log.warning(
+                "edge cluster %d has %d point(s); the chip grid is unlikely "
+                "to be segmented correctly", edge, counts[edge],
             )
 
     slope = np.nanmedian(slopes)
-    for i, (cx, cy) in enumerate(cluster_points):
-        if len(cx) > 0:
-            intercepts[i] = np.median(cy - slope * cx)
+    residuals = y - slope * x
+    intercepts = np.full(num_clusters, np.nan)
+    for i in np.flatnonzero(counts):
+        intercepts[i] = np.median(residuals[labels == i])
 
-    not_nan = ~np.isnan(intercepts)
-    idxs = np.arange(num_clusters)
-    global_m, global_b = _linregress(idxs[not_nan], intercepts[not_nan])
-    for i, (cx, _cy) in enumerate(cluster_points):
-        if ideal_num_points[i] != 0 and not_nan[i]:
-            weight = min(len(cx), ideal_num_points[i]) / ideal_num_points[i]
-            intercepts[i] = (weight * intercepts[i]
-                             + (1 - weight) * (global_m * i + global_b))
-        else:
-            intercepts[i] = global_m * i + global_b
-
-    return slope, intercepts
+    # Global trend: intercepts of a regular grid are evenly spaced in the
+    # cluster index, so fit intercept ~ index over the observed clusters and
+    # pull sparse clusters toward that lattice.
+    observed = ~np.isnan(intercepts)
+    lattice_m, lattice_b = _linregress(np.flatnonzero(observed),
+                                       intercepts[observed])
+    lattice = lattice_m * np.arange(num_clusters) + lattice_b
+    with np.errstate(invalid="ignore", divide="ignore"):
+        weight = np.minimum(counts, ideal) / np.where(ideal == 0, 1, ideal)
+    use_local = observed & (ideal != 0)
+    blended = np.where(
+        use_local,
+        weight * np.where(observed, intercepts, 0.0) + (1 - weight) * lattice,
+        lattice,
+    )
+    return slope, blended

@@ -28,36 +28,49 @@ from magnify_tpu.ops.reduce import fg_mean_bg_median
 __all__ = ["identify_buttons", "identify_mrbles"]
 
 
+def _tags_from_pinlist(pinlist, blank) -> np.ndarray:
+    """Parse a pinlist CSV into a (rows, cols) tag grid.
+
+    The CSV schema is the reference's (identify.py:13-47): an ``Indices``
+    column of "(col, row)" strings (1-indexed) and a ``MutantID`` name
+    column; names in ``blank`` (and missing names) become the empty tag.
+    """
+    table = pd.read_csv(pinlist)
+    positions = np.array([
+        [int(part) for part in re.findall(r"-?\d+", cell)]
+        for cell in table["Indices"]
+    ])
+    cols, rows = positions.T - 1  # "(col, row)", 1-indexed
+
+    names = table["MutantID"].astype(object).fillna("")
+    names = np.array(["" if n in blank else str(n) for n in names])
+
+    grid = np.zeros((rows.max() + 1, cols.max() + 1), dtype=names.dtype)
+    grid[rows, cols] = names
+    return grid
+
+
 @component("identify_buttons")
 def identify_buttons(assay, shape=None, pinlist=None, blank=None):
     """Attach chamber tags from a pinlist CSV or a default-filled shape
-    (reference identify.py:13-47)."""
+    (reference identify.py:13-47 semantics)."""
     if blank is None:
         blank = ["", "blank", "BLANK"]
 
     if pinlist is not None:
-        df = pd.read_csv(pinlist)
-        indices = df["Indices"].apply(
-            lambda s: [int(v) for v in re.sub(r"[\(\)]", "", s).split(",")]
-        )
-        names = df["MutantID"].astype(object)
-        names = names.where(~names.isin(blank), "")
-        names = names.fillna("").to_numpy(dtype=str)
-        cols, rows = np.array(indices.to_list()).T - 1
-        names_array = np.empty((rows.max() + 1, cols.max() + 1), dtype=names.dtype)
-        names_array.fill("")
-        names_array[rows, cols] = names
+        tags = _tags_from_pinlist(pinlist, blank)
     elif shape is not None:
-        names_array = np.empty((shape[0], shape[1]), dtype="<U200")
-        names_array.fill("default")
+        tags = np.full(tuple(shape), "default", dtype="<U200")
     else:
-        raise ValueError("Either pinlist or shape must be provided.")
+        raise ValueError(
+            "identify_buttons needs a chip layout: pass pinlist or shape."
+        )
 
     return assay.assign_coords(
-        tag=(("mark_row", "mark_col"), names_array),
+        tag=(("mark_row", "mark_col"), tags),
         valid=(
             ("mark_row", "mark_col", "time"),
-            np.ones(names_array.shape + (assay.sizes["time"],), bool),
+            np.ones(tags.shape + (assay.sizes["time"],), bool),
         ),
     )
 

@@ -30,8 +30,6 @@ from magnify_tpu.io import tiff as tiff_io
 
 __all__ = ["Reader", "extract_paths", "read_tiffs"]
 
-_ALL_KEYS = ("assay", "channel", "time", "row", "col")
-
 
 class Reader:
     """Normalize input into an iterator of raw assay datasets
@@ -89,6 +87,56 @@ _DEFAULT_FORMATTERS = {
     "float": lambda x, y: float(x),
 }
 
+# One (NAME) / (NAME|ARG) / (NAME|ARG|ARG) token of the specifier grammar.
+_SPECIFIER = re.compile(r"\(\s*([^\s()|]+)\s*((?:\s*\|[^()|]*)*)\)")
+
+# fnmatch.translate wraps its output in a fixed prefix/suffix (e.g.
+# "(?s:" ... ")\Z"); measuring them on the empty pattern lets translated
+# literal segments be spliced into a larger regex.
+_FN_EMPTY = fnmatch.translate("")
+_FN_PRE_LEN = _FN_EMPTY.rindex(")")
+_FN_SUF_LEN = len(_FN_EMPTY) - _FN_EMPTY.rindex(")")
+
+
+def _fn_body(segment: str) -> str:
+    translated = fnmatch.translate(segment)
+    return translated[_FN_PRE_LEN: len(translated) - _FN_SUF_LEN]
+
+
+class _Capture:
+    """One named capture in a path pattern: either the index value for a
+    key ("(channel)") or a metadata coord attached to a key
+    ("(conc_channel|float)")."""
+
+    __slots__ = ("group", "key", "meta_name", "parse")
+
+    def __init__(self, group, key, meta_name, parse):
+        self.group = group
+        self.key = key
+        self.meta_name = meta_name
+        self.parse = parse
+
+
+def _classify_specifier(name: str, args: list, parsers: dict):
+    """Map a (NAME|...) token to a _Capture, or None for plain text.
+
+    ``(key)`` / ``(key|FMT)`` is an index capture when ``key`` is a known
+    key; ``(name_key)`` / ``(name_key|TYPE|FMT)`` is a metadata capture
+    attached to ``key``. Anything else is literal path text.
+    """
+    if name in parsers:
+        fmt = args[0] if args else None
+        fn = parsers[name]
+        return _Capture(name, name, None,
+                        lambda s, f=fn, y=fmt: f(s, y))
+    stem, _, key = name.rpartition("_")
+    if stem and key in parsers:
+        type_fn = _DEFAULT_FORMATTERS[args[0] if args else ""]
+        fmt = args[1] if len(args) > 1 else None
+        return _Capture(stem, key, stem,
+                        lambda s, f=type_fn, y=fmt: f(s, y))
+    return None
+
 
 def extract_paths(pattern, **keys):
     """Expand a glob+specifier pattern into indexed paths and metadata.
@@ -99,63 +147,59 @@ def extract_paths(pattern, **keys):
     by that key. Returns (path_dict, meta_dict) where path_dict maps
     ``(assay, channel, time, row, col)`` index tuples (None for unused keys)
     to absolute paths; duplicate index tuples raise ValueError.
+
+    Implementation: the pattern is tokenized once into literal runs and
+    specifier tokens, building the shell glob (specifier -> ``*``) and the
+    capture regex side by side — a single pass instead of per-key text
+    rewriting.
     """
-    keys = {k: (f if callable(f) else _DEFAULT_FORMATTERS[f])
-            for k, f in keys.items()}
-    all_keys = list(keys)
-
+    parsers = {k: (fn if callable(fn) else _DEFAULT_FORMATTERS[fn])
+               for k, fn in keys.items()}
+    index_order = list(keys)
     pattern = os.path.expanduser(str(pattern))
-    meta = collections.defaultdict(dict)
-    glob_path = pattern
-    regex_path = fnmatch.translate(pattern)
-    for key, formatter in list(keys.items()):
-        glob_path = re.sub(rf"\({key}.*?\)", "*", glob_path)
-        glob_path = re.sub(rf"\([^\(]*?_{key}.*?\)", "*", glob_path)
-        regex_path = re.sub(rf"\\\({key}.*?\\\)", rf"(?P<{key}>[^/\\\]*?)",
-                            regex_path)
-        regex_path = re.sub(rf"\\\(([^\(]*?)_{key}.*?\\\)",
-                            r"(?P<\1>[^/\\\]*?)", regex_path)
 
-        key_search = re.search(rf"\({key}(?:\s*\|\s*(.*?))?\)", pattern)
-        if key_search:
-            format_str = key_search.group(1)
-            keys[key] = lambda x, y=format_str, f=formatter: f(x, y)
+    captures: list[_Capture] = []
+    glob_parts: list[str] = []
+    regex_parts: list[str] = []
+    cursor = 0
+    for token in _SPECIFIER.finditer(pattern):
+        literal = pattern[cursor:token.start()]
+        glob_parts.append(literal)
+        regex_parts.append(_fn_body(literal))
+        cursor = token.end()
+
+        args = [a.strip() for a in token.group(2).split("|")[1:]]
+        capture = _classify_specifier(token.group(1).strip(), args, parsers)
+        if capture is None:
+            glob_parts.append(token.group(0))
+            regex_parts.append(_fn_body(token.group(0)))
         else:
-            del keys[key]
+            captures.append(capture)
+            glob_parts.append("*")
+            regex_parts.append(rf"(?P<{capture.group}>[^/\\]*?)")
+    tail = pattern[cursor:]
+    glob_parts.append(tail)
+    regex_parts.append(_fn_body(tail))
 
-        for name, fmt_name, format_str in re.findall(
-            rf"\(([^\(]*?)_{key}(?:\s*\|\s*(.*?))?(?:\s*\|\s*(.*?))?\)",
-            pattern,
-        ):
-            meta_formatter = _DEFAULT_FORMATTERS[fmt_name]
-            meta[key][name] = (
-                lambda x, y=format_str, f=meta_formatter: f(x, y)
-            )
-
-    regex = re.compile(regex_path, re.IGNORECASE)
-    paths = _glob.glob(glob_path, recursive=True)
+    regex = re.compile("".join(regex_parts), re.IGNORECASE | re.DOTALL)
 
     path_dict = {}
     meta_dict = collections.defaultdict(dict)
-    for path in paths:
+    for path in _glob.glob("".join(glob_parts), recursive=True):
         match = regex.fullmatch(path)
         if match is None:
             continue
-        idxs = []
-        for key in all_keys:
-            if key in keys:
-                value = keys[key](match.group(key))
-                idxs.append(value)
-                for name, formatter in meta[key].items():
-                    meta_dict[name, key][value] = formatter(match.group(name))
-            else:
-                idxs.append(None)
-        idxs = tuple(idxs)
-        if idxs in path_dict:
+        parsed = {c.group: c.parse(match.group(c.group)) for c in captures}
+        index = tuple(parsed.get(k) for k in index_order)
+        if index in path_dict:
             raise ValueError(
-                f"{path} and {path_dict[idxs]} map to the same index."
+                f"{path} and {path_dict[index]} resolve to the same index; "
+                "add specifiers to the pattern to tell them apart."
             )
-        path_dict[idxs] = os.path.abspath(path)
+        path_dict[index] = os.path.abspath(path)
+        for c in captures:
+            if c.meta_name is not None and c.key in parsed:
+                meta_dict[c.meta_name, c.key][parsed[c.key]] = parsed[c.group]
 
     return path_dict, meta_dict
 
@@ -246,7 +290,10 @@ def read_tiffs(xp_dict, name, meta_dict) -> Dataset:
     if channels is not None:
         coords["channel"] = (("channel",), np.asarray(channels))
     if times is not None:
-        stamps = [int(t.timestamp()) if isinstance(t, datetime.datetime)
+        # Full float-second precision: MicroManager per-plane DeltaT times
+        # are sub-second, and truncating to whole seconds would collapse
+        # distinct planes into duplicate time labels.
+        stamps = [t.timestamp() if isinstance(t, datetime.datetime)
                   else t for t in times]
         coords["time"] = (("time",), np.asarray(stamps))
 
@@ -261,12 +308,14 @@ def read_tiffs(xp_dict, name, meta_dict) -> Dataset:
     for (meta_name, dim), mapping in meta_dict.items():
         if dim not in xp.dims or dim not in xp.coords:
             continue
-        dim_vals = xp[dim].values
         if dim == "time":
-            dim_vals = [datetime.datetime.fromtimestamp(int(v))
-                        for v in dim_vals]
-        else:
-            dim_vals = dim_vals.tolist()
+            # The time coord stores t.timestamp() floats; re-key the mapping
+            # the same way so the lookup is exact float equality.
+            mapping = {
+                (k.timestamp() if isinstance(k, datetime.datetime) else k): v
+                for k, v in mapping.items()
+            }
+        dim_vals = xp[dim].values.tolist()
         meta_vals = [mapping[v] for v in dim_vals]
         xp = xp.assign_coords({meta_name: ((dim,), np.asarray(meta_vals))})
 

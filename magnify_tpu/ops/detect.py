@@ -157,6 +157,30 @@ def _pow2_at_least(n: int, lo: int, hi: int) -> int:
     return min(out, hi)
 
 
+# Hard ceiling on compaction buffers: 16M (center, radius) survivors is a
+# degenerate detection (e.g. min_roundness=0 on a large noisy plane), not a
+# workload — refusing beats silently truncating or re-dispatching forever.
+CAP_CEILING = 1 << 24
+
+# Last adequate compaction cap per (purpose, *static shape params): frames of
+# a run have similar candidate counts, so starting from the remembered cap
+# avoids the grow-retry recompile (tens of seconds cold on TPU) after the
+# first frame.
+_cap_memo: dict[tuple, int] = {}
+
+
+def _grow_cap(n_keep: int, cap: int) -> int:
+    """Next pow2 buffer size covering ``n_keep``, erroring at the ceiling
+    instead of retrying the identical program forever."""
+    if cap >= CAP_CEILING:
+        raise ValueError(
+            f"detection produced {n_keep} candidates, exceeding the "
+            f"{CAP_CEILING} compaction ceiling; raise min_roundness or the "
+            "edge quantiles to reject more of the plane"
+        )
+    return _pow2_at_least(n_keep, 2 * cap, CAP_CEILING)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("min_radius", "max_radius", "cap", "nms_cap",
@@ -277,7 +301,8 @@ def find_circles(
     h, w = image.shape
 
     if resolve_detector(detector) == "dense":
-        cap = 4096
+        memo_key = ("frame", h, w, int(min_radius), int(max_radius))
+        cap = _cap_memo.get(memo_key, 4096)
         while True:
             circles, scores, accepted, n_keep = _stage_dense_full(
                 image, float(low_edge_quantile), float(high_edge_quantile),
@@ -287,8 +312,9 @@ def find_circles(
             )
             n_keep = int(n_keep)
             if n_keep <= cap:
+                _cap_memo[memo_key] = cap
                 break
-            cap = _pow2_at_least(n_keep, cap, 1 << 24)
+            cap = _grow_cap(n_keep, cap)
         accepted = np.asarray(accepted)
         circles = np.asarray(circles)[accepted]
         scores = np.asarray(scores)[accepted]
@@ -438,8 +464,12 @@ def find_circles_stack(
     # uploads overlap with the previous chunk's compute.
     chunks = [jax.device_put(images[start:start + batch])
               for start in range(0, images.shape[0], batch)]
+    memo_key = ("stack", images.shape[-2], images.shape[-1],
+                int(min_radius), int(max_radius))
+    # Cap persists across chunks (and runs): an overflow on chunk k should
+    # not be rediscovered by chunk k+1 or the next call.
+    cap = max(nms_cap, _cap_memo.get(memo_key, nms_cap))
     for chunk in chunks:
-        cap = nms_cap
         while True:
             circles, scores, accepted, n_keep = _stage_dense_batch(
                 chunk, float(low_edge_quantile), float(high_edge_quantile),
@@ -449,8 +479,9 @@ def find_circles_stack(
             )
             worst = int(np.max(np.asarray(n_keep)))
             if worst <= cap:
+                _cap_memo[memo_key] = cap
                 break
-            cap = _pow2_at_least(worst, cap, 1 << 24)
+            cap = _grow_cap(worst, cap)
         circles = np.asarray(circles)
         scores = np.asarray(scores)
         accepted = np.asarray(accepted)

@@ -40,10 +40,13 @@ class DevicePrefetcher:
         cv = threading.Condition()
         done = object()
         failure: list = []
+        cancelled = threading.Event()
 
         def produce():
             try:
                 for key in self.keys:
+                    if cancelled.is_set():
+                        return
                     block = np.ascontiguousarray(self.loader(key))
                     if self.placement is not None:
                         arr = jax.device_put(block, self.placement)
@@ -51,6 +54,8 @@ class DevicePrefetcher:
                         arr = jax.device_put(block)
                     with cv:
                         while len(queue) >= self.depth:
+                            if cancelled.is_set():
+                                return
                             cv.wait()
                         queue.append((key, arr))
                         cv.notify_all()
@@ -63,18 +68,27 @@ class DevicePrefetcher:
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
+        try:
+            while True:
+                with cv:
+                    while not queue:
+                        cv.wait()
+                    item = queue.popleft()
+                    cv.notify_all()
+                if item is done:
+                    break
+                yield item
+            thread.join()
+            if failure:
+                raise failure[0]
+        finally:
+            # The consumer may abandon the iterator mid-stream (exception in
+            # the for-body, generator GC): release the producer so it doesn't
+            # block in cv.wait() forever holding device buffers.
+            cancelled.set()
             with cv:
-                while not queue:
-                    cv.wait()
-                item = queue.popleft()
+                queue.clear()
                 cv.notify_all()
-            if item is done:
-                break
-            yield item
-        thread.join()
-        if failure:
-            raise failure[0]
 
 
 def stream_planes(dataset, var: str = "image", dims=("channel", "time"),

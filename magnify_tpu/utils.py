@@ -265,6 +265,9 @@ def annulus(
     inner_radius: int,
     value: Any = 1.0,
 ) -> np.ndarray:
-    outer = circle(image_shape, center, outer_radius, value)
-    inner = circle(image_shape, center, inner_radius, value)
-    return outer & ~inner
+    # Build the ring as a boolean mask first: float values have no "&"
+    # operator (the reference's outer & ~inner raises for its own default
+    # value=1.0), so scale by value only at the end.
+    outer = circle(image_shape, center, outer_radius, True)
+    inner = circle(image_shape, center, inner_radius, True)
+    return (outer & ~inner).astype(type(value)) * value

@@ -319,3 +319,15 @@ def test_pallas_hysteresis_matches_xla_loop():
     a = np.asarray(jax.jit(xla_fixpoint)(strong, weak))
     b = np.asarray(hysteresis(strong, weak))
     np.testing.assert_array_equal(a, b)
+
+
+def test_grow_cap_errors_at_ceiling():
+    """A degenerate detection (more survivors than the compaction ceiling)
+    must raise instead of re-dispatching the same program forever."""
+    from magnify_tpu.ops.detect import CAP_CEILING, _grow_cap
+
+    cap = 4096
+    cap = _grow_cap(100_000, cap)
+    assert cap >= 100_000 and cap & (cap - 1) == 0
+    with pytest.raises(ValueError, match="ceiling"):
+        _grow_cap(CAP_CEILING + 1, CAP_CEILING)

@@ -1,5 +1,7 @@
 """Multi-device sharding tests (8 virtual CPU devices; see conftest)."""
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,3 +111,25 @@ def test_device_prefetcher_propagates_loader_errors():
 
     with pytest.raises(RuntimeError, match="decode failed"):
         list(DevicePrefetcher(range(5), loader, depth=2))
+
+
+def test_device_prefetcher_releases_producer_on_abandonment():
+    import threading
+
+    started = threading.Event()
+
+    def loader(key):
+        started.set()
+        return np.zeros((2, 2), np.float32)
+
+    before = threading.active_count()
+    it = iter(DevicePrefetcher(range(100), loader, depth=2))
+    next(it)
+    assert started.is_set()
+    it.close()  # consumer abandons mid-stream
+    # The producer thread must exit instead of blocking in cv.wait()
+    # holding device buffers.
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.01)
+    assert threading.active_count() <= before

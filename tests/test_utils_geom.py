@@ -105,6 +105,11 @@ def test_circle_and_annulus_masks():
     ann = utils.annulus((21, 21), (10, 10), 7, 3, value=1)
     assert ann.sum() == (len(utils.filled_circle_points(7))
                          - len(utils.filled_circle_points(3)))
+    # Float values must work too (the default value=1.0): the ring is built
+    # as a boolean mask, then scaled.
+    annf = utils.annulus((21, 21), (10, 10), 7, 3, value=2.5)
+    assert annf.dtype == np.float64
+    np.testing.assert_array_equal(annf, ann * 2.5)
     # Off-image circles clip cleanly.
     edge = utils.circle((10, 10), (0, 0), 4)
     assert edge.sum() > 0
