@@ -377,7 +377,10 @@ class BeadFinder:
             _channel_index(assay, c) if not isinstance(c, int) else c
             for c in search_channels
         )
-        if (self.gui is None and image_dev is not None
+        from magnify_tpu.parallel.mesh import active_mesh
+
+        on_mesh = active_mesh() is not None and active_mesh().size > 1
+        if (self.gui is None and image_dev is not None and not on_mesh
                 and ops_detect.resolve_detector(self.detector) == "dense"):
             fused = self._fused_dense(assay, image_dev, search_idxs)
             if fused is not None:

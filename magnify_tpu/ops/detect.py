@@ -301,6 +301,18 @@ def find_circles(
     h, w = image.shape
 
     if resolve_detector(detector) == "dense":
+        from magnify_tpu.parallel.mesh import active_mesh, sharded_find_circles
+
+        mesh = active_mesh()
+        if mesh is not None and mesh.size > 1:
+            # Multi-chip: shard the dense detection over the active mesh
+            # (row-sharded score maps, all_gather merge, replicated NMS).
+            return sharded_find_circles(
+                np.asarray(image), mesh, low_edge_quantile,
+                high_edge_quantile, min_radius=int(min_radius),
+                max_radius=int(max_radius), min_roundness=float(min_roundness),
+                min_dist=int(min_dist),
+            )
         memo_key = ("frame", h, w, int(min_radius), int(max_radius))
         cap = _cap_memo.get(memo_key, 4096)
         while True:

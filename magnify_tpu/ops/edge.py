@@ -177,14 +177,31 @@ def canny(dx, dy, low_thresh, high_thresh):
     return edges
 
 
-def _order_statistic(flat, k, bins: int = 1 << 16, rounds: int = 4):
+def _order_statistic(flat, k, bins: int = 1 << 16, rounds: int = 4,
+                     axis_names=(), mask=None):
     """Exact k-th order statistic via iterative histogram narrowing.
 
     Each round histograms the elements inside the current (lo, hi] bracket
     and descends into the bin containing rank ``k``. Four rounds shrink the
     bracket below float32 resolution, so every element left inside is the
     same value — the exact k-th smallest — with no sort: O(rounds * N).
+
+    ``axis_names`` names mesh axes to psum/pmin/pmax over, making the same
+    narrowing exact across shards of a distributed array; ``mask`` excludes
+    elements (e.g. padding rows on a sharded plane).
     """
+    def allmin(x):
+        for ax in axis_names:
+            x = jax.lax.pmin(x, ax)
+        return x
+
+    def allmax(x):
+        for ax in axis_names:
+            x = jax.lax.pmax(x, ax)
+        return x
+
+    live = mask.reshape(-1) if mask is not None else None
+
     def body(_, state):
         lo, hi, below = state
         span = jnp.maximum(hi - lo, 1e-35)
@@ -192,10 +209,14 @@ def _order_statistic(flat, k, bins: int = 1 << 16, rounds: int = 4):
         rel = (flat - lo) * (bins / span)
         idx = jnp.clip(rel.astype(jnp.int32), 0, bins - 1)
         inside = (flat >= lo) & (flat <= hi)
+        if live is not None:
+            inside &= live
         idx = jnp.where(inside, idx, bins)
         hist = jnp.zeros((bins + 1,), jnp.int32).at[idx].add(
             1, mode="drop"
         )[:-1]
+        for ax in axis_names:
+            hist = jax.lax.psum(hist, ax)
         cdf = below + jnp.cumsum(hist)
         b = jnp.searchsorted(cdf, k + 1, side="left")
         b = jnp.minimum(b, bins - 1)
@@ -203,38 +224,59 @@ def _order_statistic(flat, k, bins: int = 1 << 16, rounds: int = 4):
         # under float rounding (the arithmetic bin edges may exclude the
         # bin's own members).
         in_bin = inside & (idx == b)
-        new_lo = jnp.min(jnp.where(in_bin, flat, jnp.inf))
-        new_hi = jnp.max(jnp.where(in_bin, flat, -jnp.inf))
+        new_lo = allmin(jnp.min(jnp.where(in_bin, flat, jnp.inf)))
+        new_hi = allmax(jnp.max(jnp.where(in_bin, flat, -jnp.inf)))
         new_below = jnp.where(b > 0, cdf[jnp.maximum(b - 1, 0)], below)
         return new_lo, new_hi, new_below
 
-    lo0 = jnp.min(flat)
-    hi0 = jnp.max(flat)
+    if live is not None:
+        lo0 = allmin(jnp.min(jnp.where(live, flat, jnp.inf)))
+        hi0 = allmax(jnp.max(jnp.where(live, flat, -jnp.inf)))
+    else:
+        lo0 = allmin(jnp.min(flat))
+        hi0 = allmax(jnp.max(flat))
+    # The loop-carry zero must share the bracket values' varying-manual-axes
+    # annotation under shard_map (the where joins lo0's axes onto the
+    # constant); plain jnp.int32(0) would be rejected as unvarying.
+    below0 = jnp.where(lo0 == lo0, jnp.int32(0), jnp.int32(0))
     lo, hi, below = jax.lax.fori_loop(
-        0, rounds, body, (lo0, hi0, jnp.int32(0))
+        0, rounds, body, (lo0, hi0, below0)
     )
     inside = (flat >= lo) & (flat <= hi)
-    return jnp.min(jnp.where(inside, flat, jnp.inf))
+    if live is not None:
+        inside &= live
+    return allmin(jnp.min(jnp.where(inside, flat, jnp.inf)))
 
 
-def histogram_quantile(values, q, bins: int = 1 << 16):
+def histogram_quantile(values, q, bins: int = 1 << 16, axis_names=(),
+                       mask=None):
     """Exact quantile (numpy ``linear`` interpolation semantics) via
     iterative histogram narrowing — no XLA sort.
 
     Matches the reference's ``np.quantile`` thresholds
     (/root/reference/src/magnify/utils.py:126-127) exactly: the k-th and
     (k+1)-th order statistics are recovered by histogram descent and
-    interpolated at rank q*(n-1).
+    interpolated at rank q*(n-1). With ``axis_names``/``mask`` the same
+    program computes the quantile of a mesh-sharded array exactly (the
+    multi-chip edge pipeline's thresholds equal the single-chip ones
+    bit-for-bit).
     """
     flat = values.reshape(-1)
-    n = flat.shape[0]
+    if mask is None and not axis_names:
+        n = flat.shape[0]
+    else:
+        n = (mask.reshape(-1).sum() if mask is not None
+             else jnp.int32(flat.shape[0]))
+        for ax in axis_names:
+            n = jax.lax.psum(n, ax)
     q = jnp.asarray(q, jnp.float32)
     rank = q * (n - 1)
     k = jnp.clip(jnp.floor(rank).astype(jnp.int32), 0, n - 1)
     frac = rank - k.astype(jnp.float32)
-    x_k = _order_statistic(flat, k, bins)
+    x_k = _order_statistic(flat, k, bins, axis_names=axis_names, mask=mask)
     x_k1 = jnp.where(k + 1 <= n - 1,
-                     _order_statistic(flat, jnp.minimum(k + 1, n - 1), bins),
+                     _order_statistic(flat, jnp.minimum(k + 1, n - 1), bins,
+                                      axis_names=axis_names, mask=mask),
                      x_k)
     return x_k + frac * (x_k1 - x_k)
 

@@ -9,8 +9,16 @@ ICI collectives (psum histograms), and the host feeds HBM through a
 double-buffered prefetcher.
 """
 
-from magnify_tpu.parallel.mesh import make_mesh, sharded_detect_step
+from magnify_tpu.parallel.mesh import (
+    active_mesh,
+    make_mesh,
+    sharded_detect_step,
+    sharded_find_circles,
+    sharded_find_circles_batch,
+    use_mesh,
+)
 from magnify_tpu.parallel.streaming import DevicePrefetcher, stream_planes
 
-__all__ = ["DevicePrefetcher", "make_mesh", "sharded_detect_step",
-           "stream_planes"]
+__all__ = ["DevicePrefetcher", "active_mesh", "make_mesh",
+           "sharded_detect_step", "sharded_find_circles",
+           "sharded_find_circles_batch", "stream_planes", "use_mesh"]

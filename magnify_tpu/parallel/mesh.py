@@ -24,9 +24,50 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from magnify_tpu.ops import edge as edge_ops
 
-__all__ = ["make_mesh", "sharded_detect_step", "sharded_edge_pipeline"]
+__all__ = [
+    "active_mesh",
+    "make_mesh",
+    "sharded_detect_step",
+    "sharded_edge_pipeline",
+    "sharded_find_circles",
+    "sharded_find_circles_batch",
+    "use_mesh",
+]
 
 HALO = 4  # rows each side: 2 (5-tap blur) + 1 (Scharr) + 1 (Canny NMS)
+
+# The mesh components consult (set with use_mesh). When a mesh with more
+# than one device is active, find_circles routes detection through the
+# sharded dense path, so BeadFinder/ButtonFinder scale across chips without
+# any API change.
+_ACTIVE_MESH: Mesh | None = None
+
+
+class use_mesh:
+    """Context manager activating a device mesh for pipeline components.
+
+    with mg.parallel.use_mesh(mesh):
+        xp = mg.beads(data=...)   # detection shards over the mesh
+    """
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self._prev: Mesh | None = None
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self._prev = _ACTIVE_MESH
+        _ACTIVE_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self._prev
+        return False
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH
 
 
 def make_mesh(batch: int | None = None, space: int | None = None,
@@ -48,8 +89,15 @@ def make_mesh(batch: int | None = None, space: int | None = None,
     return Mesh(devices.reshape(batch, space), ("batch", "space"))
 
 
-def _exchange_halo(local, halo: int, axis_name: str):
-    """Send boundary rows to row-neighbors along ``axis_name``."""
+def _exchange_halo(local, halo: int, axis_name: str, boundary: str = "zero"):
+    """Send boundary rows to row-neighbors along ``axis_name``.
+
+    ``boundary`` picks the fill at the global image edge: "zero" matches
+    the single-chip zero padding used by Canny NMS / hysteresis / scoring;
+    "reflect" matches OpenCV's BORDER_REFLECT_101 used by the blur and
+    Scharr stencils (row -k := row k), so boundary shards reproduce the
+    single-chip stencil values bit-for-bit.
+    """
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
     top_rows = local[:halo]
@@ -61,58 +109,62 @@ def _exchange_halo(local, halo: int, axis_name: str):
     from_next = jax.lax.ppermute(
         top_rows, axis_name, [(i, (i - 1) % n) for i in range(n)]
     )
-    # Zero-fill at the global image boundary (matching single-chip padding).
-    from_prev = jnp.where(idx == 0, jnp.zeros_like(from_prev), from_prev)
-    from_next = jnp.where(idx == n - 1, jnp.zeros_like(from_next), from_next)
+    if boundary == "reflect":
+        fill_prev = local[halo:0:-1]       # rows halo..1 (REFLECT_101)
+        fill_next = local[-2:-halo - 2:-1]  # rows L-2..L-halo-1
+    else:
+        fill_prev = jnp.zeros_like(from_prev)
+        fill_next = jnp.zeros_like(from_next)
+    from_prev = jnp.where(idx == 0, fill_prev, from_prev)
+    from_next = jnp.where(idx == n - 1, fill_next, from_next)
     return jnp.concatenate([from_prev, local, from_next], axis=0)
 
 
-def _local_edge_stack(img_with_halo, halo: int):
-    """Blur + Scharr on a halo-padded shard; returns local-rows results."""
-    blurred = edge_ops.gaussian_blur5_u8(img_with_halo)
-    dx, dy = edge_ops.scharr(blurred)
-    return dx[halo:-halo], dy[halo:-halo]
+def _sharded_edges_one_plane(img, low_q, high_q, valid_h: int):
+    """Edge pipeline for one row-sharded plane (runs inside shard_map).
 
+    Bit-identical to the single-chip :func:`magnify_tpu.ops.edge.edge_pipeline`
+    on the first ``valid_h`` global rows: stencils exchange real halo rows
+    (REFLECT_101 fill at the global boundary, exactly OpenCV's border mode),
+    thresholds come from the exact collective histogram-narrowing quantile,
+    and rows past ``valid_h`` (mesh padding) are masked out of every global
+    statistic and of the edge map.
+    """
+    local = img.shape[0]
+    shard = jax.lax.axis_index("space")
+    rows_g = shard * local + jnp.arange(local)
+    rowmask = rows_g < valid_h
+    live = jnp.broadcast_to(rowmask[:, None], img.shape)
 
-def _global_histogram_quantile(grad, qs, axis_names, bins=1 << 16):
-    """Exact-ish quantiles of the full (sharded) gradient image via a
-    psum'd histogram."""
-    lo = jax.lax.pmin(jnp.min(grad), axis_names[0])
-    hi = jax.lax.pmax(jnp.max(grad), axis_names[0])
-    for ax in axis_names[1:]:
-        lo = jax.lax.pmin(lo, ax)
-        hi = jax.lax.pmax(hi, ax)
-    span = jnp.maximum(hi - lo, 1e-30)
-    idx = jnp.clip(((grad.reshape(-1) - lo) * (bins / span)).astype(jnp.int32),
-                   0, bins - 1)
-    hist = jnp.zeros((bins,), jnp.int32).at[idx].add(1)
-    for ax in axis_names:
-        hist = jax.lax.psum(hist, ax)
-    cdf = jnp.cumsum(hist).astype(jnp.float32)
-    n = cdf[-1]
-    out = []
-    for q in qs:
-        rank = q * (n - 1)
-        b = jnp.searchsorted(cdf, rank, side="right")
-        out.append(lo + (b.astype(jnp.float32) + 0.5) * (span / bins))
-    return out
+    # Normalization needs the global min/max over valid pixels.
+    lo = jax.lax.pmin(jnp.min(jnp.where(live, img, jnp.inf)), "space")
+    peak = jax.lax.pmax(jnp.max(jnp.where(live, img - lo, -jnp.inf)),
+                        "space")
+    shifted = img - lo
+    u8 = jnp.trunc(jnp.where(peak > 0, 255.0 * shifted / peak, shifted))
 
+    # Blur with 2 real halo rows, then Scharr on 1 real halo row of the
+    # *blurred* values — reflecting each stage's own output at the global
+    # boundary, exactly like the single-chip reflect-pad of that stage.
+    u8p = _exchange_halo(u8, 2, "space", boundary="reflect")
+    blurred = edge_ops.gaussian_blur5_u8(u8p)[2:-2]
+    blurredp = _exchange_halo(blurred, 1, "space", boundary="reflect")
+    dxp_full, dyp_full = edge_ops.scharr(blurredp)
+    dx, dy = dxp_full[1:-1], dyp_full[1:-1]
 
-def _sharded_edges_one_plane(img, low_q, high_q):
-    """Edge pipeline for one row-sharded plane (runs inside shard_map)."""
-    # Normalization needs the global min/max.
-    lo = jax.lax.pmin(jnp.min(img), "space")
-    hi = jax.lax.pmax(jnp.max(img), "space")
-    u8 = jnp.trunc(jnp.where(hi > lo, 255.0 * (img - lo) / (hi - lo),
-                             img - lo))
-
-    padded = _exchange_halo(u8, HALO, "space")
-    dx, dy = _local_edge_stack(padded, HALO)
     grad = jnp.sqrt(dx * dx + dy * dy)
-    low_t, high_t = _global_histogram_quantile(grad, [low_q, high_q],
-                                               ["space"])
+    low_t = edge_ops.histogram_quantile(grad, low_q, axis_names=("space",),
+                                        mask=live)
+    high_t = edge_ops.histogram_quantile(grad, high_q, axis_names=("space",),
+                                         mask=live)
 
-    # Canny NMS needs one halo row of dx/dy/magnitude.
+    # Rows past valid_h must present the single-chip zero border to Canny
+    # NMS and scoring.
+    dx = jnp.where(live, dx, 0.0)
+    dy = jnp.where(live, dy, 0.0)
+
+    # Canny NMS needs one halo row of dx/dy/magnitude (zero at boundary,
+    # matching the single-chip zero-padded neighborhood).
     dxp = _exchange_halo(dx, 1, "space")
     dyp = _exchange_halo(dy, 1, "space")
     strong_weak = edge_ops.canny_nms(dxp, dyp, low_t, high_t)
@@ -141,13 +193,17 @@ def _sharded_edges_one_plane(img, low_q, high_q):
     return edges, grad_angles
 
 
-def sharded_edge_pipeline(images, mesh: Mesh, low_q: float, high_q: float):
+def sharded_edge_pipeline(images, mesh: Mesh, low_q: float, high_q: float,
+                          valid_h: int | None = None):
     """Edge detection for a batch of planes over a (batch, space) mesh.
 
     images: (B, H, W) with B divisible by the batch axis and H by the space
-    axis. Returns (edges bool (B, H, W), grad_angles (B, H, W)) with the same
-    sharding.
+    axis (arbitrary sizes: pad the batch/rows and pass the true height as
+    ``valid_h`` — :func:`sharded_find_circles_batch` does this). Returns
+    (edges bool (B, H, W), grad_angles (B, H, W)) with the same sharding.
     """
+    h = images.shape[1]
+    valid = int(valid_h) if valid_h is not None else h
     spec = P("batch", "space", None)
 
     @functools.partial(
@@ -156,7 +212,7 @@ def sharded_edge_pipeline(images, mesh: Mesh, low_q: float, high_q: float):
     )
     def run(imgs, lo, hi):
         def one(img):
-            return _sharded_edges_one_plane(img, lo[0], hi[0])
+            return _sharded_edges_one_plane(img, lo[0], hi[0], valid)
 
         return jax.vmap(one)(imgs)
 
@@ -253,3 +309,200 @@ def sharded_detect_step(images, mesh: Mesh, low_q: float = 0.1,
     count, energy, circles, scores = reduce_stats(edges, grad_angles)
     return {"edges": edges, "edge_count": count, "edge_energy": energy,
             "best_circle": circles, "best_score": scores}
+
+
+# ---------------------------------------------------------------------------
+# Full multi-marker dense detection over the mesh
+# ---------------------------------------------------------------------------
+
+def _sharded_dense_plane(edges, grad_angles, min_roundness, *, valid_h,
+                         width, min_radius, max_radius, cap):
+    """Dense detection for one row-sharded plane (inside shard_map).
+
+    The sharded formulation of ops.detect._dense_candidates: each shard
+    scores its rows (halo-exchanged so rings crossing shard boundaries see
+    real data), applies the reference bound filters in global coordinates,
+    takes a local top-k, and an all_gather + lexicographic merge reproduces
+    the single-chip score-sorted survivor list exactly (ties broken by the
+    single-chip flat map index, like lax.top_k).
+    """
+    from magnify_tpu.ops.score import score_maps
+
+    halo = 2 * max_radius  # == the single-chip scoring pad
+    local = edges.shape[0]
+    shard = jax.lax.axis_index("space")
+    n_sp = jax.lax.axis_size("space")
+
+    ga = _exchange_halo(grad_angles, halo, "space")
+    eg = _exchange_halo(edges, halo, "space")
+    ga = jnp.pad(ga, ((0, 0), (halo, halo)))
+    eg = jnp.pad(eg, ((0, 0), (halo, halo)))
+    maps = score_maps(ga, eg, min_radius=min_radius, max_radius=max_radius)
+    n_r, lh, wp = maps.shape  # lh = local + 2*halo, wp = width + 2*halo
+
+    rows_g = (jax.lax.broadcasted_iota(jnp.int32, maps.shape, 1) - halo
+              + shard * local)
+    cols = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 2) - halo
+    rads = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 0) + min_radius
+
+    # Ownership: each map row belongs to exactly one shard (its local rows;
+    # the first/last shard also own the out-of-image halo rows, which the
+    # single-chip padded map covers).
+    start = shard * local
+    own = (rows_g >= start) & (rows_g < start + local)
+    own |= (shard == 0) & (rows_g < 0)
+    own |= (shard == n_sp - 1) & (rows_g >= n_sp * local)
+
+    # Reference bound filters (utils.py:155-166) in global coordinates.
+    keep = own & (rows_g + rads >= 0) & (cols + rads >= 0)
+    keep &= (rows_g - rads < valid_h) & (cols - rads < width)
+    keep &= maps >= min_roundness
+
+    flat = jnp.where(keep, maps, -jnp.inf).reshape(-1)
+    n_local = keep.sum()
+    top_scores, top_lin = jax.lax.top_k(flat, cap)
+
+    # Decode local flat indices and re-encode as the single-chip padded map
+    # index — the exact tie-break key lax.top_k would use on one chip.
+    r_idx = top_lin // (lh * wp)
+    rem = top_lin % (lh * wp)
+    row_g = rem // wp - halo + shard * local
+    col_p = rem % wp
+    hp_single = valid_h + 2 * halo
+    lin_single = (r_idx * hp_single + (row_g + halo)) * wp + col_p
+
+    gathered_scores = jax.lax.all_gather(top_scores, "space", tiled=True)
+    gathered_lin = jax.lax.all_gather(lin_single, "space", tiled=True)
+    gathered_row = jax.lax.all_gather(row_g, "space", tiled=True)
+    gathered_col = jax.lax.all_gather(col_p - halo, "space", tiled=True)
+    gathered_rad = jax.lax.all_gather(r_idx + min_radius, "space",
+                                      tiled=True)
+
+    neg, _lin, row, col, rad = jax.lax.sort(
+        (-gathered_scores, gathered_lin, gathered_row, gathered_col,
+         gathered_rad),
+        num_keys=2,
+    )
+    circles = jnp.stack([row[:cap], col[:cap], rad[:cap]], axis=1)
+    scores = -neg[:cap]
+    n_keep = jax.lax.psum(n_local, "space")
+    return circles, scores, n_keep
+
+
+def sharded_find_circles_batch(images, mesh: Mesh, low_q: float,
+                               high_q: float, min_roundness: float, *,
+                               min_radius: int, max_radius: int,
+                               min_dist: int, cap: int):
+    """Full dense detection for a plane batch over a (batch, space) mesh.
+
+    Accepts arbitrary (B, H, W): the batch is padded to the batch axis and
+    rows are reflect-padded (REFLECT_101, matching the single-chip border
+    mode) to the space axis; padded rows are masked out of every statistic.
+    Returns (circles (B, cap, 3), scores (B, cap), accepted (B, cap),
+    n_keep (B,)) — each plane's score-sorted NMS-filtered survivors,
+    replicated along ``space`` and equal to the single-chip
+    ops.detect._stage_dense_full output.
+    """
+    from magnify_tpu.ops.nms import parallel_greedy_nms
+
+    b, h, w = images.shape
+    n_batch = mesh.shape["batch"]
+    n_space = mesh.shape["space"]
+
+    pad_h = (-h) % n_space
+    if pad_h and pad_h < HALO:
+        # The stencil halo must stay inside host-padded rows so boundary
+        # reflection happens at the true image edge, not the padded one.
+        pad_h += ((HALO - pad_h + n_space - 1) // n_space) * n_space
+    local = (h + pad_h) // n_space
+    if local < max(2 * max_radius, HALO):
+        raise ValueError(
+            f"image rows per shard ({local}) must cover the scoring halo "
+            f"({2 * max_radius}); use fewer 'space' shards for this image."
+        )
+    if pad_h >= h:
+        raise ValueError(
+            f"cannot reflect-pad {h} rows by {pad_h}; use fewer 'space' "
+            "shards for this image."
+        )
+    pad_b = (-b) % n_batch
+
+    imgs = jnp.asarray(images, jnp.float32)
+    if pad_h:
+        imgs = jnp.concatenate([imgs, imgs[:, -2:-2 - pad_h:-1, :]], axis=1)
+    if pad_b:
+        imgs = jnp.concatenate([imgs, imgs[:pad_b]], axis=0)
+
+    edges, grad_angles = sharded_edge_pipeline(imgs, mesh, low_q, high_q,
+                                               valid_h=h)
+
+    spec = P("batch", "space", None)
+
+    # check_vma=False: the merged candidate lists are replicated along
+    # "space" by construction (every shard all_gathers and sorts the same
+    # data), which the static varying-axes checker cannot infer.
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec, spec, P()),
+        out_specs=(P("batch"), P("batch"), P("batch")), check_vma=False,
+    )
+    def detect(e, ga, thr):
+        def one(e1, ga1):
+            return _sharded_dense_plane(
+                e1, ga1, thr[0], valid_h=h, width=w, min_radius=min_radius,
+                max_radius=max_radius, cap=cap,
+            )
+
+        return jax.vmap(one)(e, ga)
+
+    circles, scores, n_keep = detect(
+        edges, grad_angles, jnp.asarray([min_roundness], jnp.float32)
+    )
+
+    if min_dist > 0:
+        accepted = jax.vmap(
+            lambda c, s: parallel_greedy_nms(
+                c, jnp.isfinite(s), min_dist=min_dist, height=h, width=w,
+                max_radius=max_radius,
+            )
+        )(circles, scores)
+    else:
+        accepted = jnp.isfinite(scores)
+    return circles[:b], scores[:b], accepted[:b], n_keep[:b]
+
+
+def sharded_find_circles(
+    image,
+    mesh: Mesh,
+    low_edge_quantile: float,
+    high_edge_quantile: float,
+    min_radius: int,
+    max_radius: int,
+    min_roundness: float,
+    min_dist: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Mesh-sharded find_circles with the single-chip contract.
+
+    Drop-in for the dense branch of :func:`magnify_tpu.ops.detect.
+    find_circles` when a multi-device mesh is active: same inputs, same
+    (circles, scores) outputs, detection sharded over (batch, space).
+    """
+    from magnify_tpu.ops import detect as ops_detect
+
+    h, w = image.shape[-2:]
+    memo_key = ("mesh_frame", h, w, int(min_radius), int(max_radius),
+                tuple(sorted(mesh.shape.items())))
+    cap = ops_detect._cap_memo.get(memo_key, 4096)
+    imgs = jnp.asarray(image)[None] if image.ndim == 2 else jnp.asarray(image)
+    while True:
+        circles, scores, accepted, n_keep = sharded_find_circles_batch(
+            imgs, mesh, float(low_edge_quantile), float(high_edge_quantile),
+            float(min_roundness), min_radius=int(min_radius),
+            max_radius=int(max_radius), min_dist=int(min_dist), cap=cap,
+        )
+        worst = int(np.max(np.asarray(n_keep)))
+        if worst <= cap:
+            ops_detect._cap_memo[memo_key] = cap
+            break
+        cap = ops_detect._grow_cap(worst, cap)
+    acc = np.asarray(accepted[0])
+    return np.asarray(circles[0])[acc], np.asarray(scores[0])[acc]

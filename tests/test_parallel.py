@@ -133,3 +133,60 @@ def test_device_prefetcher_releases_producer_on_abandonment():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.01)
     assert threading.active_count() <= before
+
+
+def test_sharded_find_circles_matches_single_chip_on_noise():
+    """The full sharded dense detector (row-sharded score maps, all_gather
+    merge, replicated NMS) must reproduce the single-chip find_circles
+    output exactly on a noisy multi-bead plane — including a plane whose
+    height does not divide the space axis (reflect padding + masking)."""
+    from magnify_tpu.ops.detect import find_circles
+    from magnify_tpu.parallel import make_mesh, sharded_find_circles
+    from magnify_tpu.utils import filled_circle_points
+
+    rng = np.random.default_rng(3)
+    img = rng.normal(100, 5, (256, 320)).astype(np.float32)
+    for pos in [(40, 50), (80, 200), (150, 100), (200, 260), (220, 40),
+                (128, 160)]:
+        pts = filled_circle_points(9) + np.array(pos)
+        img[pts[:, 0], pts[:, 1]] = 1000
+
+    mesh = make_mesh(batch=2, space=4)
+    for plane in (img, img[:250]):  # 250 rows: not divisible by space=4
+        ref_c, ref_s = find_circles(plane, 0.1, 0.9, 20, 1000, 7, 11, 0.3, 7,
+                                    detector="dense")
+        got_c, got_s = sharded_find_circles(plane, mesh, 0.1, 0.9, 7, 11,
+                                            0.3, 7)
+        np.testing.assert_array_equal(got_c, ref_c)
+        np.testing.assert_array_equal(got_s, ref_s)
+        assert len(ref_c) == 6
+
+
+def test_beads_pipeline_on_mesh_matches_single_chip(monkeypatch):
+    """mg.beads under use_mesh (detection sharded over 8 devices) returns
+    the same marks as the single-device run."""
+    from magnify_tpu.parallel import make_mesh, use_mesh
+
+    monkeypatch.setenv("MAGNIFY_TPU_DETECTOR", "dense")
+    rng = np.random.default_rng(7)
+    img = rng.normal(100, 5, (192, 256)).astype(np.uint16)
+    from magnify_tpu.utils import filled_circle_points
+
+    for pos in [(50, 60), (100, 180), (150, 90)]:
+        pts = filled_circle_points(8) + np.array(pos)
+        img[pts[:, 0], pts[:, 1]] = 1200
+
+    from magnify_tpu.core import DataArray
+
+    kw = dict(min_bead_diameter=12, max_bead_diameter=20, overlap=0,
+              num_iter=1000, min_roundness=0.3)
+    ref = mg.beads(data=DataArray(img, dims=("y", "x")), **kw)
+    with use_mesh(make_mesh(batch=2, space=4)):
+        got = mg.beads(data=DataArray(img, dims=("y", "x")), **kw)
+
+    assert got.roi.sizes["mark"] == ref.roi.sizes["mark"] == 3
+    np.testing.assert_array_equal(got.x.values, ref.x.values)
+    np.testing.assert_array_equal(got.y.values, ref.y.values)
+    np.testing.assert_array_equal(got.fg.values, ref.fg.values)
+    np.testing.assert_array_equal(got.bg.values, ref.bg.values)
+    np.testing.assert_array_equal(got.roi.values, ref.roi.values)
