@@ -26,6 +26,7 @@ __all__ = [
     "edge_pipeline",
     "gaussian_blur5_u8",
     "histogram_quantile",
+    "histogram_quantiles",
     "normalize_to_u8",
     "scharr",
 ]
@@ -177,89 +178,74 @@ def canny(dx, dy, low_thresh, high_thresh):
     return edges
 
 
-def _order_statistic(flat, k, bins: int = 1 << 16, rounds: int = 4,
-                     axis_names=(), mask=None):
-    """Exact k-th order statistic via iterative histogram narrowing.
+def _f32_sort_key(values):
+    """Monotone uint32 key of float32 values (IEEE-754 total order trick):
+    nonnegative floats get the sign bit set, negative floats get all bits
+    flipped, so unsigned key order equals numeric order. NaNs sort above
+    +inf."""
+    bits = jax.lax.bitcast_convert_type(values.astype(jnp.float32),
+                                        jnp.uint32)
+    sign = jnp.uint32(1) << 31
+    return jnp.where(bits & sign != 0, ~bits, bits | sign)
 
-    Each round histograms the elements inside the current (lo, hi] bracket
-    and descends into the bin containing rank ``k``. Four rounds shrink the
-    bracket below float32 resolution, so every element left inside is the
-    same value — the exact k-th smallest — with no sort: O(rounds * N).
 
-    ``axis_names`` names mesh axes to psum/pmin/pmax over, making the same
-    narrowing exact across shards of a distributed array; ``mask`` excludes
-    elements (e.g. padding rows on a sharded plane).
+def _f32_from_sort_key(key):
+    sign = jnp.uint32(1) << 31
+    bits = jnp.where(key & sign != 0, key ^ sign, ~key)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _order_statistics(flat, ks, axis_names=(), mask=None):
+    """Exact k-th order statistics (vector of ranks) via bitwise binary
+    search — no sort, no scatter.
+
+    The float32 values map to monotone uint32 keys, and 32 rounds of
+    count(keys <= mid) binary-search the key space for the smallest value
+    whose rank covers each ``k``. Every round is one compare+reduce pass
+    over the data shared by all ranks (VPU-friendly; scatter-add histograms
+    are an order of magnitude slower on TPU), and 32 rounds pin the answers
+    exactly for arbitrary float32 data.
+
+    ``axis_names`` names mesh axes to psum the counts over, making the same
+    search exact across shards of a distributed array; ``mask`` excludes
+    elements (e.g. padding rows on a sharded plane). NaNs are not supported
+    (they sort above +inf).
     """
-    def allmin(x):
-        for ax in axis_names:
-            x = jax.lax.pmin(x, ax)
-        return x
-
-    def allmax(x):
-        for ax in axis_names:
-            x = jax.lax.pmax(x, ax)
-        return x
-
+    keys = _f32_sort_key(flat)
     live = mask.reshape(-1) if mask is not None else None
 
     def body(_, state):
-        lo, hi, below = state
-        span = jnp.maximum(hi - lo, 1e-35)
-        # Elements outside the bracket get parked in an overflow bin.
-        rel = (flat - lo) * (bins / span)
-        idx = jnp.clip(rel.astype(jnp.int32), 0, bins - 1)
-        inside = (flat >= lo) & (flat <= hi)
+        lo, hi = state  # (S,) uint32 inclusive brackets
+        mid = lo + ((hi - lo) >> 1)
+        hit = keys[None, :] <= mid[:, None]
         if live is not None:
-            inside &= live
-        idx = jnp.where(inside, idx, bins)
-        hist = jnp.zeros((bins + 1,), jnp.int32).at[idx].add(
-            1, mode="drop"
-        )[:-1]
+            hit &= live[None, :]
+        counts = jnp.sum(hit, axis=1, dtype=jnp.int32)
         for ax in axis_names:
-            hist = jax.lax.psum(hist, ax)
-        cdf = below + jnp.cumsum(hist)
-        b = jnp.searchsorted(cdf, k + 1, side="left")
-        b = jnp.minimum(b, bins - 1)
-        # Derive the new bracket from the elements of the chosen bin — exact
-        # under float rounding (the arithmetic bin edges may exclude the
-        # bin's own members).
-        in_bin = inside & (idx == b)
-        new_lo = allmin(jnp.min(jnp.where(in_bin, flat, jnp.inf)))
-        new_hi = allmax(jnp.max(jnp.where(in_bin, flat, -jnp.inf)))
-        new_below = jnp.where(b > 0, cdf[jnp.maximum(b - 1, 0)], below)
-        return new_lo, new_hi, new_below
+            counts = jax.lax.psum(counts, ax)
+        descend = counts >= ks + 1
+        return (jnp.where(descend, lo, mid + 1),
+                jnp.where(descend, mid, hi))
 
-    if live is not None:
-        lo0 = allmin(jnp.min(jnp.where(live, flat, jnp.inf)))
-        hi0 = allmax(jnp.max(jnp.where(live, flat, -jnp.inf)))
-    else:
-        lo0 = allmin(jnp.min(flat))
-        hi0 = allmax(jnp.max(flat))
-    # The loop-carry zero must share the bracket values' varying-manual-axes
-    # annotation under shard_map (the where joins lo0's axes onto the
-    # constant); plain jnp.int32(0) would be rejected as unvarying.
-    below0 = jnp.where(lo0 == lo0, jnp.int32(0), jnp.int32(0))
-    lo, hi, below = jax.lax.fori_loop(
-        0, rounds, body, (lo0, hi0, below0)
-    )
-    inside = (flat >= lo) & (flat <= hi)
-    if live is not None:
-        inside &= live
-    return allmin(jnp.min(jnp.where(inside, flat, jnp.inf)))
+    # Seeding the brackets from the data keeps their varying-manual-axes
+    # annotation consistent with the loop body under shard_map; the values
+    # are still exactly 0 and 0xFFFFFFFF.
+    zero = jnp.broadcast_to(keys[0] & jnp.uint32(0), ks.shape)
+    lo, _hi = jax.lax.fori_loop(0, 32, body, (zero, ~zero))
+    return _f32_from_sort_key(lo)
 
 
-def histogram_quantile(values, q, bins: int = 1 << 16, axis_names=(),
-                       mask=None):
-    """Exact quantile (numpy ``linear`` interpolation semantics) via
-    iterative histogram narrowing — no XLA sort.
+def histogram_quantiles(values, qs, axis_names=(), mask=None):
+    """Exact quantiles (numpy ``linear`` interpolation semantics) via
+    bitwise binary search — no XLA sort, no scatter.
 
     Matches the reference's ``np.quantile`` thresholds
     (/root/reference/src/magnify/utils.py:126-127) exactly: the k-th and
-    (k+1)-th order statistics are recovered by histogram descent and
-    interpolated at rank q*(n-1). With ``axis_names``/``mask`` the same
-    program computes the quantile of a mesh-sharded array exactly (the
-    multi-chip edge pipeline's thresholds equal the single-chip ones
-    bit-for-bit).
+    (k+1)-th order statistics of every requested quantile are recovered by
+    one shared rank binary search and interpolated at rank q*(n-1). With
+    ``axis_names``/``mask`` the same program computes the quantiles of a
+    mesh-sharded array exactly (the multi-chip edge pipeline's thresholds
+    equal the single-chip ones bit-for-bit).
     """
     flat = values.reshape(-1)
     if mask is None and not axis_names:
@@ -269,16 +255,22 @@ def histogram_quantile(values, q, bins: int = 1 << 16, axis_names=(),
              else jnp.int32(flat.shape[0]))
         for ax in axis_names:
             n = jax.lax.psum(n, ax)
-    q = jnp.asarray(q, jnp.float32)
-    rank = q * (n - 1)
+    qs = jnp.atleast_1d(jnp.asarray(qs, jnp.float32))
+    rank = qs * (n - 1)
     k = jnp.clip(jnp.floor(rank).astype(jnp.int32), 0, n - 1)
     frac = rank - k.astype(jnp.float32)
-    x_k = _order_statistic(flat, k, bins, axis_names=axis_names, mask=mask)
-    x_k1 = jnp.where(k + 1 <= n - 1,
-                     _order_statistic(flat, jnp.minimum(k + 1, n - 1), bins,
-                                      axis_names=axis_names, mask=mask),
-                     x_k)
+    ranks = jnp.concatenate([k, jnp.minimum(k + 1, n - 1)])
+    stats = _order_statistics(flat, ranks, axis_names=axis_names, mask=mask)
+    s = k.shape[0]
+    x_k = stats[:s]
+    x_k1 = jnp.where(k + 1 <= n - 1, stats[s:], x_k)
     return x_k + frac * (x_k1 - x_k)
+
+
+def histogram_quantile(values, q, axis_names=(), mask=None):
+    """Scalar-q convenience over :func:`histogram_quantiles`."""
+    return histogram_quantiles(values, jnp.asarray(q, jnp.float32)[None],
+                               axis_names=axis_names, mask=mask)[0]
 
 
 def edge_pipeline(img, low_edge_quantile, high_edge_quantile):
@@ -292,8 +284,10 @@ def edge_pipeline(img, low_edge_quantile, high_edge_quantile):
     blurred = gaussian_blur5_u8(u8)
     dx, dy = scharr(blurred)
     grad = jnp.sqrt(dx * dx + dy * dy)
-    low_t = histogram_quantile(grad, low_edge_quantile)
-    high_t = histogram_quantile(grad, high_edge_quantile)
+    low_t, high_t = histogram_quantiles(
+        grad, jnp.stack([jnp.asarray(low_edge_quantile, jnp.float32),
+                         jnp.asarray(high_edge_quantile, jnp.float32)])
+    )
     edges = canny(dx, dy, low_t, high_t)
     grad_angles = jnp.arctan2(dy, dx)
     return edges, dx, dy, grad_angles

@@ -153,10 +153,8 @@ def _sharded_edges_one_plane(img, low_q, high_q, valid_h: int):
     dx, dy = dxp_full[1:-1], dyp_full[1:-1]
 
     grad = jnp.sqrt(dx * dx + dy * dy)
-    low_t = edge_ops.histogram_quantile(grad, low_q, axis_names=("space",),
-                                        mask=live)
-    high_t = edge_ops.histogram_quantile(grad, high_q, axis_names=("space",),
-                                         mask=live)
+    low_t, high_t = edge_ops.histogram_quantiles(
+        grad, jnp.stack([low_q, high_q]), axis_names=("space",), mask=live)
 
     # Rows past valid_h must present the single-chip zero border to Canny
     # NMS and scoring.
