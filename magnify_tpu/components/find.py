@@ -201,6 +201,117 @@ def _bead_step_dense(images, low_q, high_q, min_roundness, *, search_idxs,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("search_channels", "min_radius", "max_radius", "cap",
+                     "nms_cap", "min_dist", "pull_cap"),
+)
+def _bead_detect_packed(planes_u8, low_q, high_q, min_roundness, *,
+                        search_channels, min_radius, max_radius, cap,
+                        nms_cap, min_dist, pull_cap):
+    """Detection-only fused bead step on pre-normalized u8 planes.
+
+    The minimum-traffic single-frame path: the host normalizes each search
+    channel to uint8 (1 byte/pixel up the relay), this one dispatch runs
+    per-channel dense detection + NMS + cross-channel dedupe + compaction,
+    and the result comes back as ONE small int32 array: row 0 holds
+    (live count, worst per-channel keep count, 0), rows 1..pull_cap the
+    compacted beads. Masks and ROI crops are cheap host work
+    (_bead_finalize_host), so nothing else crosses the link.
+    """
+    from magnify_tpu.ops.detect import _stage_dense_full
+
+    blocks = []
+    n_keeps = []
+    for ci in range(search_channels):
+        c, s, acc, nk = _stage_dense_full(
+            planes_u8[ci], low_q, high_q, min_roundness,
+            min_radius=min_radius, max_radius=max_radius, cap=cap,
+            nms_cap=nms_cap, min_dist=min_dist, normalized=True,
+        )
+        blocks.append((c, acc))
+        n_keeps.append(nk)
+
+    # Cross-channel dedupe: a later channel's circle is dropped when any
+    # earlier channel's accepted circle lies within 2*min_radius
+    # (reference find.py:490-500).
+    for k in range(1, len(blocks)):
+        ck, vk = blocks[k]
+        for j in range(k):
+            cj, vj = blocks[j]
+            d2 = ((ck[:, None, :2] - cj[None, :, :2]) ** 2).sum(-1)
+            dup = jnp.any(vj[None, :] & (d2 <= (2 * min_radius) ** 2), axis=1)
+            vk = vk & ~dup
+        blocks[k] = (ck, vk)
+
+    circles = jnp.concatenate([c[:nms_cap] for c, _ in blocks])
+    valid = jnp.concatenate([v for _, v in blocks])
+    total = circles.shape[0]
+
+    # Compact live beads to the front, preserving channel-major score order.
+    rank = jnp.cumsum(valid) - 1
+    n = valid.sum()
+    dest = jnp.where(valid, rank, total)
+    beads = jnp.zeros((total, 3), jnp.int32).at[dest].set(circles,
+                                                          mode="drop")
+    packed = jnp.zeros((pull_cap + 1, 3), jnp.int32)
+    packed = packed.at[0].set(
+        jnp.stack([n, jnp.max(jnp.stack(n_keeps)), jnp.int32(0)])
+    )
+    packed = packed.at[1:].set(beads[:pull_cap])
+    return packed, beads
+
+
+def _bead_finalize_host(image, beads, roi_length, max_radius):
+    """Host fg/bg ownership masks + ROI crops (numpy).
+
+    Exactly the semantics of the device :func:`_bead_masks` (itself the
+    reference's painted ownership raster, find.py:561-586): fg = pixels
+    covered by this bead's disk only, bg = pixels covered by none; disks
+    rasterized from the shared Bresenham extent LUT. At a few hundred beads
+    this is microseconds of numpy — far cheaper than pulling the mask and
+    ROI tensors through the host<->device link.
+
+    ``image``: (C, T, H, W) numpy. Returns (fg (n, L, L), bg, rois
+    (n, C, T, L, L), tops, lefts).
+    """
+    n = len(beads)
+    L = roi_length
+    h, w = image.shape[-2:]
+    lut = ops_geom.extent_lut(max_radius)
+    tops = np.clip(beads[:, 0] - L // 2, 0, h - L)
+    lefts = np.clip(beads[:, 1] - L // 2, 0, w - L)
+
+    fg = np.zeros((n, L, L), bool)
+    count = np.zeros((n, L, L), np.int16)
+    rois = np.empty((n,) + image.shape[:-2] + (L, L), image.dtype)
+    if n == 0:
+        return fg, count == 0, rois, tops, lefts
+
+    # Neighbor lists: beads whose disks can reach a window (Chebyshev
+    # distance from bead center to window center <= L/2 + max_radius).
+    tree = scipy.spatial.KDTree(beads[:, :2])
+    win_centers = np.stack([tops + L // 2, lefts + L // 2], axis=1)
+    neighbor_lists = tree.query_ball_point(
+        win_centers, L / 2 + max_radius + 1, p=np.inf)
+
+    arange_l = np.arange(L)
+    for i in range(n):
+        for j in neighbor_lists[i]:
+            r = min(max(int(beads[j, 2]), 0), max_radius)
+            dr = np.abs(tops[i] + arange_l - beads[j, 0])
+            width = np.where(dr <= r, lut[r, np.minimum(dr, max_radius)], -1)
+            dc = np.abs(lefts[i] + arange_l - beads[j, 1])
+            cover = dc[None, :] <= width[:, None]
+            count[i] += cover
+            if j == i:
+                fg[i] = cover
+        rois[i] = image[..., tops[i]:tops[i] + L, lefts[i]:lefts[i] + L]
+
+    fg &= count == 1
+    return fg, count == 0, rois, tops, lefts
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("roi_length", "max_radius", "max_neighbors"),
 )
 def _bead_finalize_dense(images, beads, n, *, roi_length, max_radius,
@@ -367,11 +478,9 @@ class BeadFinder:
         img_var = assay["image"]
         stack_bytes = (np.prod(img_var.shape)
                        * np.dtype(img_var.dtype).itemsize)
-        image_dev = None
+        image_np = None
         if stack_bytes <= 512 * 1024 * 1024:
-            image_dev = jnp.asarray(
-                np.ascontiguousarray(assay.image.to_numpy())
-            )
+            image_np = np.ascontiguousarray(assay.image.to_numpy())
 
         search_idxs = tuple(
             _channel_index(assay, c) if not isinstance(c, int) else c
@@ -380,11 +489,11 @@ class BeadFinder:
         from magnify_tpu.parallel.mesh import active_mesh
 
         on_mesh = active_mesh() is not None and active_mesh().size > 1
-        if (self.gui is None and image_dev is not None and not on_mesh
+        if (self.gui is None and image_np is not None and not on_mesh
                 and ops_detect.resolve_detector(self.detector) == "dense"):
-            fused = self._fused_dense(assay, image_dev, search_idxs)
-            if fused is not None:
-                return fused
+            return self._fused_dense(assay, image_np, search_idxs)
+
+        image_dev = jnp.asarray(image_np) if image_np is not None else None
 
         beads = np.empty((0, 3))
         for channel in search_channels:
@@ -497,61 +606,63 @@ class BeadFinder:
         assay.cache(["roi", "fg", "bg"])
         return assay
 
-    def _fused_dense(self, assay, image_dev, search_idxs):
-        """Single-dispatch bead step (dense detector): detection, dedupe,
-        masks, and ROI gathers in one device program. Returns None when the
-        padded output buffers would be unreasonably large (the stepwise
-        out-of-core path handles those)."""
+    def _fused_dense(self, assay, image_np, search_idxs):
+        """Minimum-traffic single-frame bead step (dense detector).
+
+        Host->device: one uint8 upload of the normalized search planes.
+        Device: one dispatch (per-channel dense detect + NMS + cross-channel
+        dedupe + compaction). Device->host: one small packed int32 pull.
+        Masks, ROI crops, and memmap writes all happen on the host from the
+        image copy already in RAM — the device does detection only.
+        """
         sizes = assay.sizes
         n_ch, n_t = sizes["channel"], sizes["time"]
         L = self.roi_length
-        memo_key = ("beads", image_dev.shape, self.min_bead_radius,
-                    self.max_bead_radius)
-        cap = ops_detect._cap_memo.get(memo_key, 4096)
-        max_neighbors = 24
+        h, w = image_np.shape[-2:]
 
+        # Exactly ops.edge.normalize_to_u8, precomputed on host so only one
+        # byte per pixel crosses the relay.
+        planes = np.empty((len(search_idxs), h, w), np.uint8)
+        for s, ci in enumerate(search_idxs):
+            x = image_np[ci, 0].astype(np.float32)
+            x -= x.min()
+            peak = x.max()
+            if peak > 0:
+                x = 255.0 * x / peak
+            planes[s] = np.trunc(x).astype(np.uint8)
+        planes_dev = jnp.asarray(planes)
+
+        memo_key = ("beads", planes.shape, self.min_bead_radius,
+                    self.max_bead_radius)
+        cap = ops_detect._cap_memo.get(memo_key, 1024)
+        pull_cap = 511
         while True:
-            beads_d, n_d, worst_keep_d = _bead_step_dense(
-                image_dev, float(self.low_edge_quantile),
+            packed_d, beads_full = _bead_detect_packed(
+                planes_dev, float(self.low_edge_quantile),
                 float(self.high_edge_quantile), float(self.min_roundness),
-                search_idxs=search_idxs, roi_length=L,
+                search_channels=len(search_idxs),
                 min_radius=self.min_bead_radius,
-                max_radius=self.max_bead_radius, cap=cap,
-                min_dist=self.min_bead_radius, max_neighbors=max_neighbors,
+                max_radius=self.max_bead_radius, cap=cap, nms_cap=cap,
+                min_dist=self.min_bead_radius, pull_cap=pull_cap,
             )
-            n = int(n_d)
-            if int(worst_keep_d) > cap:
-                cap = ops_detect._grow_cap(int(worst_keep_d), cap)
+            packed = np.asarray(packed_d)
+            n, worst = int(packed[0, 0]), int(packed[0, 1])
+            if worst > cap:
+                cap = ops_detect._grow_cap(worst, cap)
                 continue
             ops_detect._cap_memo[memo_key] = cap
             break
 
-        # Mask/ROI buffers sized to a pow2 bucket of the live bead count.
-        cap2 = 256
-        while cap2 < n:
-            cap2 *= 2
-        roi_bytes = (cap2 * n_ch * n_t * L * L
-                     * np.dtype(assay["image"].dtype).itemsize)
-        if roi_bytes > 512 * 1024 * 1024:
-            return None
-
-        while True:
-            fg_d, bg_d, rois_d, nbr_max_d = _bead_finalize_dense(
-                image_dev, beads_d[:cap2], n_d, roi_length=L,
-                max_radius=self.max_bead_radius,
-                max_neighbors=min(max_neighbors, cap2),
+        beads_i = packed[1:1 + min(n, pull_cap)]
+        if n > pull_cap:
+            beads_i = np.concatenate(
+                [beads_i, np.asarray(beads_full[pull_cap:n])]
             )
-            if int(nbr_max_d) >= max_neighbors and n > max_neighbors:
-                # The neighbor list may have truncated a bead that overlaps
-                # an ROI window; widen and redo (exactness guard).
-                max_neighbors *= 2
-                continue
-            break
+        beads = beads_i.astype(float)
 
-        beads = np.asarray(beads_d[:n]).astype(float)
-        fg1 = np.asarray(fg_d[:n])
-        bg1 = np.asarray(bg_d[:n])
-        rois = np.asarray(rois_d[:n])
+        fg1, bg1, rois, _tops, _lefts = _bead_finalize_host(
+            image_np, beads_i, L, self.max_bead_radius
+        )
 
         roi = alloc_output("roi", (n, n_ch, n_t, L, L), assay["image"].dtype)
         fg = alloc_output("fg", (n, n_t, L, L), bool)

@@ -184,17 +184,17 @@ def _grow_cap(n_keep: int, cap: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("min_radius", "max_radius", "cap", "nms_cap",
-                     "min_dist"),
+                     "min_dist", "normalized"),
 )
 def _stage_dense_full(image, low_q, high_q, min_roundness, *, min_radius,
-                      max_radius, cap, nms_cap, min_dist):
+                      max_radius, cap, nms_cap, min_dist, normalized=False):
     """Single-dispatch dense detection: edges -> maps -> compact -> sort ->
     NMS. One program, one host sync — the default TPU path."""
     image = image.astype(jnp.float32)
     h, w = image.shape
     circles, scores, n_keep = _dense_candidates(
         image, low_q, high_q, min_roundness, min_radius=min_radius,
-        max_radius=max_radius, cap=cap,
+        max_radius=max_radius, cap=cap, normalized=normalized,
     )
     c = circles[:nms_cap]
     s = scores[:nms_cap]
@@ -218,7 +218,7 @@ def _stage_dense(image, low_q, high_q, min_roundness, *, min_radius,
 
 
 def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
-                      max_radius, cap):
+                      max_radius, cap, normalized=False):
     """Exhaustive detection: score every (center, radius), threshold, sort.
 
     One fused program: edge stack -> MXU ring-correlation score maps ->
@@ -228,7 +228,8 @@ def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
     retries with a larger cap).
     """
     h, w = image.shape
-    edges, _dx, _dy, grad_angles = edge_pipeline(image, low_q, high_q)
+    edges, _dx, _dy, grad_angles = edge_pipeline(image, low_q, high_q,
+                                                 normalized=normalized)
     ga, eg, pad = _pad_for_scoring(grad_angles, edges, max_radius)
     maps = score_maps(ga, eg, min_radius=min_radius, max_radius=max_radius)
     n_r, hp, wp = maps.shape

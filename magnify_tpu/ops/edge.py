@@ -273,14 +273,20 @@ def histogram_quantile(values, q, axis_names=(), mask=None):
                                axis_names=axis_names, mask=mask)[0]
 
 
-def edge_pipeline(img, low_edge_quantile, high_edge_quantile):
+def edge_pipeline(img, low_edge_quantile, high_edge_quantile,
+                  normalized: bool = False):
     """normalize -> blur -> Scharr -> quantile thresholds -> Canny.
 
     Returns (edges bool, dx, dy, grad_angles) where grad_angles come from the
     float Scharr gradients (the scoring inputs at
     /root/reference/src/magnify/utils.py:170).
+
+    ``normalized=True`` skips the min-max normalization: the caller already
+    holds uint8-valued data (e.g. normalized on the host so only 1 byte per
+    pixel crosses the host->HBM link). Values must then match
+    :func:`normalize_to_u8` output exactly for bitwise parity.
     """
-    u8 = normalize_to_u8(img)
+    u8 = img.astype(jnp.float32) if normalized else normalize_to_u8(img)
     blurred = gaussian_blur5_u8(u8)
     dx, dy = scharr(blurred)
     grad = jnp.sqrt(dx * dx + dy * dy)
