@@ -24,9 +24,13 @@ import time
 import numpy as np
 
 # Measured by scripts/measure_cpu_anchor.py on this host (JAX CPU backend,
-# same workload, steady state): 3.56 s/frame, 110/110 beads, 2026-08-16.
-# See BASELINE.md for the measurement log.
-CPU_ANCHOR_MPIX_S = 0.294
+# same workloads, steady state), re-measured 2026-08-16 after the round-2
+# algorithm work (the quantile rank search and host-side reductions also
+# sped the CPU path up, so the old 0.294 beads anchor was re-taken at
+# 0.472 — conservative for vs_baseline; see BASELINE.md for the log).
+CPU_ANCHOR_MPIX_S = 0.4721         # beads pipeline, 2.22 s/frame
+CPU_ANCHOR_MRBLES_MPIX_S = 3.279   # mrbles pipeline (sparse-edge field)
+CPU_ANCHOR_CHIP_MPIX_S = 0.375     # chip 8x8 pipeline
 
 NUM_ITER = 5_000_000
 SHAPE = (1024, 1024)
@@ -79,6 +83,107 @@ def measure_stream(data, n_planes: int = 16) -> dict:
     }
 
 
+MRBLES_CHANNELS = ["435", "474", "536", "620"]
+MRBLES_LNS = ["eu", "dy", "sm"]
+MRBLES_SPECTRA = np.array([
+    [1.0, 0.2, 0.1, 0.9],
+    [0.1, 1.0, 0.3, 0.0],
+    [0.0, 0.1, 0.9, 0.1],
+])
+MRBLES_CODES = {"code_a": (0.0, 0.0), "code_b": (1.0, 0.0),
+                "code_c": (0.0, 1.0), "code_d": (1.0, 1.0)}
+
+
+def _mrbles_spectra_csv():
+    import io
+
+    rows = ["name," + ",".join(MRBLES_CHANNELS)]
+    rows += [f"{n}," + ",".join(map(str, s))
+             for n, s in zip(MRBLES_LNS, MRBLES_SPECTRA)]
+    return io.StringIO("\n".join(rows))
+
+
+def _mrbles_codes_csv():
+    import io
+
+    rows = ["name,eu,dy,sm"]
+    rows += [f"{n},1.0,{d},{s}" for n, (d, s) in MRBLES_CODES.items()]
+    return io.StringIO("\n".join(rows))
+
+
+def make_mrbles_workload(seed: int = 2, n_per_code: int = 27):
+    """Synthetic 4-channel spectral bead field at the benchmark frame size
+    (the reference's examples/mrbles.ipynb workload shape)."""
+    from magnify_tpu.core import DataArray
+    from magnify_tpu.utils import filled_circle_points
+
+    rng = np.random.default_rng(seed)
+    planes = np.zeros((len(MRBLES_CHANNELS),) + SHAPE, np.float32)
+    disk = filled_circle_points(10)
+    centers = []
+    for _name, (dy_r, sm_r) in MRBLES_CODES.items():
+        placed = 0
+        while placed < n_per_code:
+            pos = rng.integers(40, SHAPE[0] - 40, 2)
+            if any(abs(pos[0] - c[0]) < 34 and abs(pos[1] - c[1]) < 34
+                   for c in centers):
+                continue
+            centers.append(pos)
+            eu = rng.uniform(80, 120)
+            vols = np.array([eu, dy_r * eu, sm_r * eu])
+            intensity = vols @ MRBLES_SPECTRA
+            pts = disk + pos
+            for ci in range(len(MRBLES_CHANNELS)):
+                planes[ci, pts[:, 0], pts[:, 1]] = intensity[ci]
+            placed += 1
+    planes += rng.normal(2.0, 0.3, planes.shape).astype(np.float32)
+    data = DataArray(planes, dims=("channel", "y", "x"),
+                     coords={"channel": MRBLES_CHANNELS})
+    return data, len(centers)
+
+
+def run_mrbles(data):
+    import magnify_tpu as mg
+
+    return mg.mrbles(
+        data=data,
+        spectra=_mrbles_spectra_csv(),
+        codes=_mrbles_codes_csv(),
+        overlap=0,
+        min_bead_diameter=16,
+        max_bead_diameter=24,
+        num_iter=NUM_ITER,
+        min_roundness=0.3,
+        search_channel="620",
+    )
+
+
+def measure_mrbles(n_runs: int = 3) -> dict:
+    """MRBLEs pipeline e2e (BASELINE.json north-star workload): detection on
+    the search channel + spectral decoding (lstsq, kNN trim, lattice fit,
+    GMM-EM) over a 4-channel frame."""
+    data, n_true = make_mrbles_workload()
+    xp = run_mrbles(data)  # warmup
+    per_run = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        xp = run_mrbles(data)
+        per_run.append(time.perf_counter() - t0)
+    sec = float(np.median(per_run))
+    mpix = data.values.size / 1e6
+    out = {
+        "mrbles_mpix_per_s": round(mpix / sec, 3),
+        "mrbles_seconds": round(sec, 3),
+        "mrbles_found": int(xp.roi.sizes["mark"]),
+        "mrbles_true": int(n_true),
+        "mrbles_codes_decoded": int(len(np.unique(xp.tag.values))),
+    }
+    if CPU_ANCHOR_MRBLES_MPIX_S:
+        out["mrbles_vs_anchor"] = round(
+            out["mrbles_mpix_per_s"] / CPU_ANCHOR_MRBLES_MPIX_S, 2)
+    return out
+
+
 def measure_chip() -> dict:
     """Chip-pipeline throughput (BASELINE.json config 4)."""
     import magnify_tpu as mg
@@ -99,9 +204,13 @@ def measure_chip() -> dict:
     xp = mg.microfluidic_chip(data=data, **kw)
     dt = time.perf_counter() - t0
     mpix = img.size / 1e6
-    return {"chip_mpix_per_s": round(mpix / dt, 3),
-            "chip_buttons_found": int(xp.sizes["mark_row"]
-                                      * xp.sizes["mark_col"])}
+    out = {"chip_mpix_per_s": round(mpix / dt, 3),
+           "chip_buttons_found": int(xp.sizes["mark_row"]
+                                     * xp.sizes["mark_col"])}
+    if CPU_ANCHOR_CHIP_MPIX_S:
+        out["chip_vs_anchor"] = round(
+            out["chip_mpix_per_s"] / CPU_ANCHOR_CHIP_MPIX_S, 2)
+    return out
 
 
 def measure_stitch() -> dict:
@@ -157,6 +266,7 @@ def main():
         },
     }
     for name, fn in [("stream", lambda: measure_stream(data)),
+                     ("mrbles", measure_mrbles),
                      ("chip", measure_chip), ("stitch", measure_stitch)]:
         try:  # the headline metric must still print if an extra fails
             result["detail"].update(fn())

@@ -170,9 +170,36 @@ def _gmm_em(X, means0, covs0, proportions0, bounds_log_vol, num_iters: int = 50)
     return probs, ok, had_probs
 
 
+def _small_problem_device(assay):
+    """Device context for the decode stages.
+
+    At typical bead counts the decode work (masked reductions, lattice fit,
+    GMM-EM) is microscopic, but it spans several dispatches — on a remote
+    accelerator the link latency dominates. Route small problems to the
+    local CPU backend (same jitted code, no transfers); large mark counts
+    stay on the accelerator where the reductions actually pay.
+    """
+    import contextlib
+
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        return contextlib.nullcontext()
+    work = (assay.sizes["mark"] * assay.sizes["channel"]
+            * assay.sizes["roi_y"] * assay.sizes["roi_x"])
+    if jax.default_backend() != "cpu" and cpus and work < (1 << 25):
+        return jax.default_device(cpus[0])
+    return contextlib.nullcontext()
+
+
 @component("identify_mrbles")
 def identify_mrbles(assay, spectra, codes, reference="eu"):
     """Spectral decoding of MRBLEs beads (reference identify.py:50-234)."""
+    with _small_problem_device(assay):
+        return _identify_mrbles_impl(assay, spectra, codes, reference)
+
+
+def _identify_mrbles_impl(assay, spectra, codes, reference):
     spectra_df = pd.read_csv(spectra)
     ref_matches = spectra_df[spectra_df["name"] == reference].index
     if len(ref_matches) == 0:

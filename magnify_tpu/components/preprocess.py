@@ -133,18 +133,28 @@ def flatfield_correct(xp, flatfield=1.0, darkfield=0.0):
         darkfield = darkfield.values
 
     # Identity correction (the pipeline defaults): mathematically a no-op on
-    # non-negative data — skip the passes entirely.
-    if (np.isscalar(flatfield) and flatfield == 1.0
-            and np.isscalar(darkfield) and darkfield == 0.0
-            and np.issubdtype(np.dtype(xp["tile"].dtype), np.unsignedinteger)):
-        return xp
+    # non-negative data — skip the passes entirely. Unsigned dtypes are
+    # non-negative by construction; eager signed/float data gets one cheap
+    # min() check (the clip-at-zero still matters when negatives exist).
+    identity = (np.isscalar(flatfield) and flatfield == 1.0
+                and np.isscalar(darkfield) and darkfield == 0.0)
+    if identity:
+        if np.issubdtype(np.dtype(xp["tile"].dtype), np.unsignedinteger):
+            return xp
+        data = xp["tile"].data
+        if (not isinstance(data, ChunkedArray)
+                and np.asarray(data).size > 0
+                and np.asarray(data).min() >= 0):
+            return xp
 
     tile_var = xp["tile"]
     dtype = tile_var.dtype
     data = tile_var.data
+    # float32 keeps uint16/float32 data exact; only widen for f64 inputs.
+    work_dtype = np.result_type(dtype, np.float32)
 
     def corrected(block):
-        return np.clip(block.astype(float) - darkfield, 0, None)
+        return np.clip(block.astype(work_dtype) - darkfield, 0, None)
 
     if isinstance(data, ChunkedArray):
         # Pass 1: the two global maxima that set the rescale factor.

@@ -52,6 +52,34 @@ def _fg_mean_bg_median(roi, fg, bg):
     return fg_mean - bg_med
 
 
+def _fg_mean_bg_median_np(roi, fg, bg):
+    """Numpy twin of :func:`_fg_mean_bg_median` (same inf-fill sort median
+    and f32 arithmetic) for small problems, where one XLA sort dispatch
+    costs more than the whole reduction in numpy."""
+    n_marks, n_ch = roi.shape[:2]
+    flat = roi.reshape(n_marks, n_ch, -1).astype(np.float32)
+    n = flat.shape[-1]
+    fg_flat = fg.reshape(n_marks, 1, -1)
+    bg_flat = bg.reshape(n_marks, 1, -1)
+
+    fg_cnt = fg_flat.sum(-1)
+    fg_sum = np.where(fg_flat, flat, 0.0).sum(-1)
+    fg_mean = np.where(fg_cnt > 0, fg_sum / np.maximum(fg_cnt, 1), np.nan)
+
+    filled = np.where(bg_flat, flat, np.inf)
+    filled.sort(axis=-1)
+    cnt = bg_flat.sum(-1)  # (marks, 1), same mask for every channel
+    hi_idx = np.maximum(cnt - 1, 0)
+    mid_lo = np.clip((cnt - 1) // 2, 0, n - 1)
+    mid_hi = np.clip(np.minimum(cnt // 2, hi_idx), 0, n - 1)
+    idx_lo = np.broadcast_to(mid_lo[..., None], filled.shape[:2] + (1,))
+    idx_hi = np.broadcast_to(mid_hi[..., None], filled.shape[:2] + (1,))
+    lo_val = np.take_along_axis(filled, idx_lo, -1)[..., 0]
+    hi_val = np.take_along_axis(filled, idx_hi, -1)[..., 0]
+    bg_med = np.where(cnt > 0, (lo_val + hi_val) / 2, np.nan)
+    return fg_mean - bg_med
+
+
 def fg_mean_bg_median(roi: np.ndarray, fg: np.ndarray, bg: np.ndarray
                       ) -> np.ndarray:
     """Per-(mark, channel) foreground mean minus background median.
@@ -59,6 +87,9 @@ def fg_mean_bg_median(roi: np.ndarray, fg: np.ndarray, bg: np.ndarray
     roi: (mark, channel, roi_y, roi_x); fg/bg: (mark, roi_y, roi_x).
     The intensity statistic of the mrbles decoder (identify.py:76-81).
     """
+    if not isinstance(roi, jax.Array) and np.asarray(roi).size < (1 << 24):
+        return _fg_mean_bg_median_np(np.asarray(roi), np.asarray(fg),
+                                     np.asarray(bg))
     return np.asarray(_fg_mean_bg_median(
         jnp.asarray(roi), jnp.asarray(fg), jnp.asarray(bg)
     ))

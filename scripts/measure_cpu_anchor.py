@@ -22,21 +22,38 @@ import bench  # noqa: E402
 
 
 def main():
-    data, n_true = bench.make_workload()
-    xp = bench.run_pipeline(data)  # warmup/compile
-    found = xp.roi.sizes["mark"]
-    runs = 2
-    t0 = time.perf_counter()
-    for _ in range(runs):
-        bench.run_pipeline(data)
-    elapsed = time.perf_counter() - t0
-    mpix = bench.SHAPE[0] * bench.SHAPE[1] / 1e6
-    print(json.dumps({
-        "cpu_anchor_mpix_per_s": round(mpix * runs / elapsed, 4),
-        "seconds_per_frame": round(elapsed / runs, 2),
-        "beads_found": int(found),
-        "beads_true": n_true,
-    }))
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    result = {}
+
+    if which in ("all", "beads"):
+        data, n_true = bench.make_workload()
+        xp = bench.run_pipeline(data)  # warmup/compile
+        found = xp.roi.sizes["mark"]
+        runs = 2
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            bench.run_pipeline(data)
+        elapsed = time.perf_counter() - t0
+        mpix = bench.SHAPE[0] * bench.SHAPE[1] / 1e6
+        result.update({
+            "cpu_anchor_mpix_per_s": round(mpix * runs / elapsed, 4),
+            "seconds_per_frame": round(elapsed / runs, 2),
+            "beads_found": int(found),
+            "beads_true": n_true,
+        })
+
+    if which in ("all", "mrbles"):
+        mrbles = bench.measure_mrbles(n_runs=2)
+        result["cpu_anchor_mrbles_mpix_per_s"] = mrbles["mrbles_mpix_per_s"]
+        result.update({k: v for k, v in mrbles.items()
+                       if k != "mrbles_mpix_per_s"})
+
+    if which in ("all", "chip"):
+        chip = bench.measure_chip()
+        result["cpu_anchor_chip_mpix_per_s"] = chip["chip_mpix_per_s"]
+        result["chip_buttons_found"] = chip["chip_buttons_found"]
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
