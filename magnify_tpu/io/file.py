@@ -1,8 +1,14 @@
 """Whole-dataset save/load round-trip (reference file.py:6-17).
 
-The reference uses netCDF; this framework uses a single ``.npz`` file
-carrying every variable plus a JSON manifest of dims/coords/attrs. Saving
-unstacks any multi-index (netCDF can't store them either); loading
+Formats by extension:
+
+* ``.nc`` / ``.cdf`` / ``.netcdf`` / ``.h5`` — netCDF4-style HDF5, the
+  reference's own save format (classic netCDF-3 files also load), via
+  :mod:`magnify_tpu.io.netcdf`;
+* anything else — a single ``.npz`` carrying every variable plus a JSON
+  manifest of dims/coords/attrs.
+
+Saving unstacks any multi-index (netCDF can't store them either); loading
 re-stacks ``mark = (mark_row, mark_col)`` for chip datasets, matching the
 reference's behavior.
 """
@@ -11,6 +17,7 @@ from __future__ import annotations
 
 
 import json
+import pathlib
 
 import numpy as np
 
@@ -18,13 +25,49 @@ from magnify_tpu.core import Dataset
 
 __all__ = ["load", "save"]
 
+_NETCDF_SUFFIXES = {".nc", ".cdf", ".netcdf", ".h5"}
 
-def save(file, xp: Dataset) -> None:
-    """Save a dataset (or DataArray) to a single npz file."""
+
+def _as_dataset(xp):
     from magnify_tpu.core import DataArray
 
     if isinstance(xp, DataArray):
-        xp = Dataset({xp.name or "data": xp}, attrs=xp.attrs)
+        return Dataset({xp.name or "data": xp}, attrs=xp.attrs)
+    return xp
+
+
+def _restack(ds: Dataset) -> Dataset:
+    if "mark_row" in ds.dims and "mark_col" in ds.dims:
+        ds = ds.stack(mark=("mark_row", "mark_col")).transpose("mark", ...)
+    return ds
+
+
+def save(file, xp: Dataset) -> None:
+    """Save a dataset (or DataArray); format picked by file extension."""
+    if (isinstance(file, (str, pathlib.Path))
+            and pathlib.Path(file).suffix.lower() in _NETCDF_SUFFIXES):
+        from magnify_tpu.io.netcdf import write_netcdf
+
+        write_netcdf(file, _as_dataset(xp).unstack())
+        return
+    _save_npz(file, xp)
+
+
+def load(file) -> Dataset:
+    """Load a dataset saved by :func:`save` (or by the reference's
+    xarray-based save); re-stacks chip multi-indexes."""
+    if isinstance(file, (str, pathlib.Path)):
+        magic = pathlib.Path(file).open("rb").read(8)
+        if magic.startswith(b"\x89HDF") or magic.startswith(b"CDF"):
+            from magnify_tpu.io.netcdf import read_netcdf
+
+            return _restack(read_netcdf(file))
+    return _load_npz(file)
+
+
+def _save_npz(file, xp: Dataset) -> None:
+    """Save a dataset (or DataArray) to a single npz file."""
+    xp = _as_dataset(xp)
     xp = xp.unstack()
     manifest = {"attrs": xp.attrs, "vars": {}, "coords": []}
     arrays = {}
@@ -42,8 +85,7 @@ def save(file, xp: Dataset) -> None:
     np.savez(file, **arrays)
 
 
-def load(file) -> Dataset:
-    """Load a dataset saved by :func:`save`; re-stack chip multi-indexes."""
+def _load_npz(file) -> Dataset:
     with np.load(file, allow_pickle=False) as npz:
         manifest = json.loads(bytes(npz["__manifest__"]).decode())
         ds = Dataset(attrs=manifest.get("attrs", {}))
@@ -51,6 +93,4 @@ def load(file) -> Dataset:
             ds[name] = (tuple(spec["dims"]), npz[f"var_{name}"])
         for name in manifest.get("coords", []):
             ds._coord_names.add(name)
-    if "mark_row" in ds.dims and "mark_col" in ds.dims:
-        ds = ds.stack(mark=("mark_row", "mark_col")).transpose("mark", ...)
-    return ds
+    return _restack(ds)

@@ -3,6 +3,7 @@
 import datetime
 import os
 
+import json
 import numpy as np
 import pytest
 
@@ -331,3 +332,255 @@ def test_reader_rejects_overlapping_dims(tmp_path):
     reader = Reader()
     with pytest.raises(ValueError, match="overlap"):
         list(reader(str(tmp_path / "t(time|%S)/s.ome.tif")))
+
+
+# -- interchange: netCDF, blosc, zarr v3 ----------------------------------------
+
+
+def _chiplike_dataset():
+    ds = Dataset({"roi": (("mark_row", "mark_col", "roi_y", "roi_x"),
+                          np.arange(2 * 3 * 4 * 4,
+                                    dtype=np.uint16).reshape(2, 3, 4, 4))},
+                 attrs={"name": "exp1"})
+    return ds.assign_coords(
+        tag=(("mark_row", "mark_col"),
+             np.array([["a", "b", ""], ["c", "d", "e"]])),
+        x=(("mark_row", "mark_col"), np.arange(6, dtype=float).reshape(2, 3)),
+        mark_row=(("mark_row",), np.array([0, 1])),
+    )
+
+
+def test_netcdf_round_trip(tmp_path):
+    import magnify_tpu as mg
+
+    ds = _chiplike_dataset().stack(mark=("mark_row", "mark_col"))
+    ds = ds.transpose("mark", ...)
+    path = tmp_path / "out.nc"
+    mg.save(path, ds)
+    assert path.open("rb").read(4).startswith(b"\x89HDF")  # real netCDF4
+    back = mg.load(path)
+    assert back.roi.sizes["mark"] == 6  # multi-index re-stacked
+    np.testing.assert_array_equal(
+        back.roi.transpose("mark", "roi_y", "roi_x").values,
+        ds.roi.transpose("mark", "roi_y", "roi_x").values)
+    assert back.attrs["name"] == "exp1"
+    assert "tag" in back.coords and "x" in back.coords
+    assert back.tag.values.tolist() == ["a", "b", "", "c", "d", "e"]
+
+
+def test_netcdf3_classic_reads(tmp_path):
+    """Classic netCDF-3 written by an independent implementation (scipy)
+    loads through mg.load."""
+    import scipy.io
+
+    import magnify_tpu as mg
+
+    path = tmp_path / "classic.nc"
+    f = scipy.io.netcdf_file(str(path), "w")
+    f.createDimension("t", 3)
+    tv = f.createVariable("t", "i4", ("t",))
+    tv[:] = [1, 2, 3]
+    sv = f.createVariable("signal", "f4", ("t",))
+    sv[:] = [0.5, 1.5, 2.5]
+    f._attributes["name"] = "classic"
+    f.close()
+
+    back = mg.load(path)
+    assert back.signal.values.tolist() == [0.5, 1.5, 2.5]
+    assert "t" in back.coords
+    assert back.attrs["name"] == "classic"
+
+
+def _lz4_compress_literals(data: bytes) -> bytes:
+    """Minimal conforming LZ4 block: one all-literal sequence."""
+    n = len(data)
+    if n < 15:
+        return bytes([n << 4]) + data
+    out = bytearray([0xF0])
+    rest = n - 15
+    while rest >= 255:
+        out.append(255)
+        rest -= 255
+    out.append(rest)
+    return bytes(out) + data
+
+
+def _blosc_frame(payload: np.ndarray, codec_id: int, streams, *,
+                 shuffle: bool, blocksize: int) -> bytes:
+    """Hand-build a c-blosc1 frame: header, bstarts, per-block streams.
+    ``streams(chunk) -> bytes or None`` compresses one stream (None =
+    store raw, the incompressible path)."""
+    raw = payload.tobytes()
+    typesize = payload.dtype.itemsize
+    nbytes = len(raw)
+    nblocks = max(1, -(-nbytes // blocksize))
+    header = bytearray(16)
+    header[0], header[1] = 2, 1
+    flags = (codec_id << 5) | (1 if shuffle else 0)
+    header[2], header[3] = flags, typesize
+    header[4:8] = np.uint32(nbytes).tobytes()
+    header[8:12] = np.uint32(blocksize).tobytes()
+
+    split = codec_id in (0, 1) and 1 < typesize <= 16 and (
+        blocksize // typesize >= 128)
+    body = bytearray()
+    bstarts = []
+    pos = 16 + 4 * nblocks
+    for b in range(nblocks):
+        bstarts.append(pos)
+        block = raw[b * blocksize:(b + 1) * blocksize]
+        if shuffle and typesize > 1:
+            arr = np.frombuffer(block, np.uint8)
+            m = arr.size // typesize
+            shuf = (arr[:m * typesize].reshape(m, typesize).T.reshape(-1)
+                    .tobytes() + block[m * typesize:])
+            block = shuf
+        nsplits = typesize if split else 1
+        neblock = len(block) // nsplits
+        for s in range(nsplits):
+            want = (len(block) - neblock * (nsplits - 1)
+                    if s == nsplits - 1 else neblock)
+            start = s * neblock
+            chunk = block[start:start + want]
+            comp = streams(chunk)
+            if comp is None or len(comp) >= want:
+                body += np.uint32(want).tobytes() + chunk
+                pos += 4 + want
+            else:
+                body += np.uint32(len(comp)).tobytes() + comp
+                pos += 4 + len(comp)
+    header[12:16] = np.uint32(pos).tobytes()
+    return bytes(header) + b"".join(np.uint32(s).tobytes()
+                                    for s in bstarts) + bytes(body)
+
+
+def test_blosc_decode_paths():
+    from magnify_tpu.io.zarrlite import blosc_decompress
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 50, 4096).astype(np.uint16)
+
+    # lz4 inner codec, shuffled, split streams (the zarr default layout).
+    frame = _blosc_frame(data, 1, _lz4_compress_literals, shuffle=True,
+                         blocksize=2048)
+    assert np.array_equal(
+        np.frombuffer(blosc_decompress(frame), np.uint16), data)
+
+    # Incompressible path: every stream stored raw.
+    frame = _blosc_frame(data, 1, lambda b: None, shuffle=False,
+                         blocksize=2048)
+    assert np.array_equal(
+        np.frombuffer(blosc_decompress(frame), np.uint16), data)
+
+    # zstd inner codec (real compressor), unsplit, shuffled.
+    import zstandard
+
+    comp = zstandard.ZstdCompressor().compress
+    frame = _blosc_frame(data, 4, comp, shuffle=True, blocksize=2048)
+    assert np.array_equal(
+        np.frombuffer(blosc_decompress(frame), np.uint16), data)
+
+    # memcpy frame.
+    raw = data.tobytes()
+    header = bytearray(16)
+    header[0], header[2], header[3] = 2, 0x2, 2
+    header[4:8] = np.uint32(len(raw)).tobytes()
+    header[8:12] = np.uint32(len(raw)).tobytes()
+    header[12:16] = np.uint32(16 + len(raw)).tobytes()
+    assert blosc_decompress(bytes(header) + raw) == raw
+
+
+def test_lz4_block_matches():
+    """Hand-crafted LZ4 block with a real back-reference match."""
+    from magnify_tpu.io.zarrlite import _lz4_block_decompress
+
+    # "abcd" literals, then match of length 8 at offset 4 -> "abcdabcdabcd",
+    # then final literal sequence "XY".
+    block = bytes([0x44]) + b"abcd" + bytes([0x04, 0x00])
+    block += bytes([0x20]) + b"XY"
+    out = _lz4_block_decompress(block, 64)
+    assert out == b"abcd" + b"abcdabcd" + b"XY"
+
+
+def test_zarr_v2_blosc_chunks(tmp_path):
+    """A zarr-v2 store whose chunks are blosc-compressed loads."""
+    from magnify_tpu.io.zarrlite import open_zarr_v2
+
+    root = tmp_path / "store"
+    (root / "image").mkdir(parents=True)
+    data = np.arange(64, dtype=np.uint16).reshape(8, 8)
+    frame = _blosc_frame(data.ravel(), 1, _lz4_compress_literals,
+                         shuffle=True, blocksize=data.nbytes)
+    (root / ".zgroup").write_text('{"zarr_format": 2}')
+    (root / "image" / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [8, 8], "chunks": [8, 8],
+        "dtype": "<u2", "order": "C", "fill_value": 0,
+        "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+                       "shuffle": 1},
+    }))
+    (root / "image" / ".zattrs").write_text(
+        '{"_ARRAY_DIMENSIONS": ["y", "x"]}')
+    (root / "image" / "0.0").write_bytes(frame)
+    ds = open_zarr_v2(root)
+    np.testing.assert_array_equal(ds.image.values, data)
+
+
+def test_zarr_v3_store_reads(tmp_path):
+    """A zarr-v3 group (zarr.json metadata, c/-prefixed chunks, zstd and
+    gzip codecs) loads through open_any_store."""
+    import gzip
+
+    import zstandard
+
+    from magnify_tpu.io.zarrlite import open_any_store
+
+    root = tmp_path / "v3store"
+    root.mkdir()
+    (root / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "group",
+        "attributes": {"name": "v3exp"},
+    }))
+
+    img = np.arange(96, dtype=np.float32).reshape(8, 12)
+    adir = root / "image"
+    (adir / "c" / "0").mkdir(parents=True)
+    (adir / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [8, 12],
+        "data_type": "float32",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [8, 6]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "codecs": [{"name": "bytes",
+                    "configuration": {"endian": "little"}},
+                   {"name": "zstd", "configuration": {"level": 3}}],
+        "fill_value": 0.0, "dimension_names": ["y", "x"],
+    }))
+    comp = zstandard.ZstdCompressor()
+    for j in range(2):
+        chunk = np.ascontiguousarray(img[:, j * 6:(j + 1) * 6])
+        (adir / "c" / "0" / str(j)).write_bytes(
+            comp.compress(chunk.tobytes()))
+
+    tdir = root / "t"
+    (tdir / "c").mkdir(parents=True)
+    (tdir / "zarr.json").write_text(json.dumps({
+        "zarr_format": 3, "node_type": "array", "shape": [8],
+        "data_type": "int64",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [8]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "codecs": [{"name": "bytes",
+                    "configuration": {"endian": "little"}},
+                   {"name": "gzip", "configuration": {"level": 5}}],
+        "fill_value": 0, "dimension_names": ["t"],
+    }))
+    (tdir / "c" / "0").write_bytes(
+        gzip.compress(np.arange(8, dtype=np.int64).tobytes()))
+
+    ds = open_any_store(root)
+    np.testing.assert_array_equal(ds.image.values, img)
+    assert ds.image.dims == ("y", "x")
+    assert "t" in ds.coords
+    assert ds.attrs["name"] == "v3exp"
