@@ -38,6 +38,12 @@ from magnify_tpu.ops import detect as ops_detect
 from magnify_tpu.ops import geom as ops_geom
 
 
+# Stacks above this many bytes are processed out-of-core (per-channel host
+# reads + streamed ROI writes) instead of being materialized in RAM/HBM.
+# Module-level so tests can lower it to exercise the out-of-core path.
+MAX_RESIDENT_BYTES = 512 * 1024 * 1024
+
+
 def _progress(iterable, enabled):
     if not enabled:
         return iterable
@@ -479,7 +485,7 @@ class BeadFinder:
         stack_bytes = (np.prod(img_var.shape)
                        * np.dtype(img_var.dtype).itemsize)
         image_np = None
-        if stack_bytes <= 512 * 1024 * 1024:
+        if stack_bytes <= MAX_RESIDENT_BYTES:
             image_np = np.ascontiguousarray(assay.image.to_numpy())
 
         search_idxs = tuple(
@@ -576,7 +582,7 @@ class BeadFinder:
         tops_j = jnp.asarray(tops)
         lefts_j = jnp.asarray(lefts)
         roi_bytes = roi.size * roi.itemsize
-        if image_dev is not None and roi_bytes <= 512 * 1024 * 1024:
+        if image_dev is not None and roi_bytes <= MAX_RESIDENT_BYTES:
             # Fused path: masks + every channel's ROI crops in one dispatch,
             # reading the already-resident device image.
             fg_dev, bg_dev, crops = _bead_masks_and_rois(

@@ -20,17 +20,50 @@ __all__ = ["quantify"]
 
 @component("quantify")
 def quantify(assay, batch_timesteps: int = 8):
-    """Attach intensity (mark, channel, time): fg mean minus bg median."""
+    """Attach intensity (mark, channel, time): fg mean minus bg median.
+
+    Processes ``batch_timesteps`` timesteps per reduction call — the
+    (mark, time) axes fold together so one fused summary pass covers the
+    whole batch — while a background thread reads the next batch from the
+    (possibly memmapped) ROI store, keeping IO behind compute.
+    """
+    import concurrent.futures
+
     n_t = assay.sizes["time"]
     n_marks = assay.sizes["mark"]
     n_ch = assay.sizes["channel"]
     out = np.empty((n_marks, n_ch, n_t), np.float32)
-    for start in range(0, n_t, batch_timesteps):
+    starts = list(range(0, n_t, batch_timesteps))
+
+    roi_da = assay.roi.transpose("mark", "channel", "time", "roi_y", "roi_x")
+    fg_da = assay["fg"].transpose("mark", "time", "roi_y", "roi_x")
+    bg_da = assay["bg"].transpose("mark", "time", "roi_y", "roi_x")
+
+    def load(start):
         stop = min(start + batch_timesteps, n_t)
-        for t in range(start, stop):
-            roi = assay.roi.isel(time=t).to_numpy()
-            fg = assay["fg"].isel(time=t).to_numpy()
-            bg = assay["bg"].isel(time=t).to_numpy()
-            out[:, :, t] = fg_mean_bg_median(roi, fg, bg)
+        window = slice(start, stop)
+        return (
+            start, stop,
+            roi_da.isel(time=window).to_numpy(),
+            fg_da.isel(time=window).to_numpy(),
+            bg_da.isel(time=window).to_numpy(),
+        )
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        pending = pool.submit(load, starts[0])
+        for i in range(len(starts)):
+            start, stop, roi, fg, bg = pending.result()
+            if i + 1 < len(starts):
+                pending = pool.submit(load, starts[i + 1])
+            b = stop - start
+            length_y, length_x = roi.shape[-2:]
+            # Fold (mark, time) into one batch axis for a single reduction.
+            roi_f = roi.transpose(0, 2, 1, 3, 4).reshape(
+                n_marks * b, n_ch, length_y, length_x)
+            fg_f = fg.reshape(n_marks * b, length_y, length_x)
+            bg_f = bg.reshape(n_marks * b, length_y, length_x)
+            vals = fg_mean_bg_median(roi_f, fg_f, bg_f)
+            out[:, :, start:stop] = vals.reshape(n_marks, b,
+                                                 n_ch).transpose(0, 2, 1)
     assay["intensity"] = (("mark", "channel", "time"), out)
     return assay

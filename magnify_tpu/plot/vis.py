@@ -1,28 +1,69 @@
 """Interactive step-tuning UI with a headless fallback.
 
 The reference docks magicgui widgets in a napari window and blocks on a Qt
-event loop (/root/reference/src/magnify/plot/vis.py). This framework keeps
-the same ``InteractiveUI.run_widget`` contract but renders with matplotlib:
-in a GUI/notebook session the tuning callback re-renders on parameter
-change; in a headless session it degrades to a single non-blocking call so
-pipelines with ``interactive=True`` still run.
+event loop (/root/reference/src/magnify/plot/vis.py:7-45): every tunable
+stage exposes its keyword defaults as live controls, re-runs on change
+(``auto_call``), and a Continue button advances to the next stage. This
+framework keeps the same ``InteractiveUI.run_widget`` contract but renders
+with matplotlib: numeric keyword parameters become ``Slider`` widgets, a
+Run button fires non-auto stages, Continue unblocks, and the dense detector
+makes each re-run cheap. Headless sessions degrade to a single call with
+the defaults, and every stage's :class:`TuningSession` stays accessible so
+parameter changes can be driven programmatically (tests, scripts).
 """
 
 from __future__ import annotations
 
-
+import inspect
 
 import numpy as np
 
-__all__ = ["InteractiveUI", "interactive_find_circles"]
+__all__ = ["InteractiveUI", "TuningSession", "interactive_find_circles"]
+
+
+class TuningSession:
+    """One tunable stage: keyword defaults -> live parameters.
+
+    Mirrors the reference's magicgui widget semantics: ``set_param``
+    updates a parameter and, under ``auto_call``, immediately re-invokes
+    the callback (reference plot/vis.py:18-24); ``run`` invokes it
+    explicitly. ``calls`` counts invocations, ``result`` holds the last
+    returned layer list.
+    """
+
+    def __init__(self, func, auto_call: bool = False):
+        self.func = func
+        self.auto_call = auto_call
+        self.params = {
+            name: p.default
+            for name, p in inspect.signature(func).parameters.items()
+            if p.default is not inspect.Parameter.empty
+        }
+        self.calls = 0
+        self.result = None
+
+    def run(self):
+        self.result = self.func(**self.params)
+        self.calls += 1
+        return self.result
+
+    def set_param(self, name: str, value):
+        if name not in self.params:
+            raise KeyError(f"{name!r} is not a tunable parameter "
+                           f"({sorted(self.params)})")
+        self.params[name] = value
+        if self.auto_call:
+            return self.run()
+        return self.result
 
 
 class InteractiveUI:
-    """Run a parameter-tuning callback, interactively when possible."""
+    """Run parameter-tuning callbacks, interactively when possible."""
 
     def __init__(self):
         self.interactive = self._gui_available()
         self.last_result = None
+        self.sessions: list[TuningSession] = []
 
     @staticmethod
     def _gui_available() -> bool:
@@ -36,37 +77,112 @@ class InteractiveUI:
             return False
 
     def run_widget(self, func, auto_call: bool = False, last: bool = False):
-        """Invoke ``func`` with its default (tunable) parameters.
+        """Tune ``func``'s keyword parameters, then return its last result.
 
-        With a GUI backend, renders the returned layers and interactive
-        sliders for numeric parameters; headless, calls once with defaults
-        (the same values the reference would start from).
+        With a GUI backend this blocks like the reference's Qt loop: the
+        layers render, numeric parameters get sliders (re-running on
+        change when ``auto_call``), a Run button fires non-auto stages,
+        and Continue ends the stage (closing the window when ``last``).
+        Headless, the callback runs once with its defaults and the session
+        is kept on ``self.sessions`` for programmatic driving.
         """
-        result = func()
-        self.last_result = result
+        session = TuningSession(func, auto_call=auto_call)
+        session.run()
+        self.sessions.append(session)
         if self.interactive:
-            self._render(result)
-        return result
+            self._run_gui(session, last)
+        self.last_result = session.result
+        return session.result
 
-    def _render(self, layers):
+    # -- GUI machinery -----------------------------------------------------
+
+    def _run_gui(self, session: TuningSession, last: bool) -> None:
         try:
             import matplotlib.pyplot as plt
-
-            fig, ax = plt.subplots()
-            for layer in layers:
-                data = layer[0] if isinstance(layer, tuple) else layer
-                meta = layer[1] if isinstance(layer, tuple) and len(layer) > 1 else {}
-                data = np.asarray(data)
-                if data.ndim == 2 and data.shape[1] in (2, 3) and data.shape[0] < 1e5 \
-                        and len(layer) > 2:
-                    sizes = np.asarray(meta.get("size", 10))
-                    ax.scatter(data[:, 1], data[:, 0], s=sizes,
-                               facecolors="none", edgecolors="w")
-                elif data.ndim == 2:
-                    ax.imshow(data, cmap="gray")
-            plt.show(block=False)
+            from matplotlib.widgets import Button, Slider
         except Exception:
-            pass
+            return
+
+        n_sliders = len(session.params)
+        fig = plt.figure(figsize=(7, 6 + 0.3 * n_sliders))
+        bottom = 0.08 + 0.05 * n_sliders
+        ax = fig.add_axes([0.08, bottom + 0.05, 0.86, 0.9 - bottom])
+
+        def redraw():
+            ax.clear()
+            self._render(ax, session.result)
+            fig.canvas.draw_idle()
+
+        sliders = []
+        for i, (name, value) in enumerate(session.params.items()):
+            sax = fig.add_axes([0.25, 0.1 + 0.05 * i, 0.55, 0.03])
+            lo, hi, step = _slider_range(value)
+            slider = Slider(sax, name, lo, hi, valinit=float(value),
+                            valstep=step)
+
+            def on_change(val, name=name, step=step):
+                session.set_param(name,
+                                  int(val) if step == 1 else float(val))
+                if session.auto_call:
+                    redraw()
+
+            slider.on_changed(on_change)
+            sliders.append(slider)
+
+        state = {"done": False}
+        bax = fig.add_axes([0.82, 0.02, 0.13, 0.05])
+        cont = Button(bax, "Continue")
+        cont.on_clicked(lambda _ev: state.__setitem__("done", True))
+        widgets = [cont]
+        if not session.auto_call:
+            rax = fig.add_axes([0.66, 0.02, 0.13, 0.05])
+            run_btn = Button(rax, "Run")
+
+            def on_run(_ev):
+                session.run()
+                redraw()
+
+            run_btn.on_clicked(on_run)
+            widgets.append(run_btn)
+
+        self._render(ax, session.result)
+        fig.show()
+        # Block like the reference's Qt loop until Continue is pressed.
+        while not state["done"] and plt.fignum_exists(fig.number):
+            plt.pause(0.05)
+        if last or not plt.fignum_exists(fig.number):
+            plt.close(fig)
+
+    @staticmethod
+    def _render(ax, layers) -> None:
+        if layers is None:
+            return
+        for layer in layers:
+            data = layer[0] if isinstance(layer, tuple) else layer
+            meta = (layer[1] if isinstance(layer, tuple) and len(layer) > 1
+                    else {})
+            data = np.asarray(data)
+            is_points = isinstance(layer, tuple) and len(layer) > 2
+            if is_points and data.ndim == 2 and data.shape[1] in (2, 3):
+                sizes = np.asarray(meta.get("size", 10))
+                ax.scatter(data[:, 1], data[:, 0], s=sizes,
+                           facecolors="none", edgecolors="r")
+            elif data.ndim == 2:
+                ax.imshow(data, cmap="gray")
+
+
+def _slider_range(value):
+    """Pick a (lo, hi, step) for a parameter's slider from its default,
+    like magicgui's automatic widget ranges."""
+    if isinstance(value, bool):
+        return 0, 1, 1
+    if isinstance(value, (int, np.integer)):
+        hi = max(2 * int(value), int(value) + 10)
+        return 0, hi, 1
+    v = float(value)
+    if 0.0 <= v <= 1.0:
+        return 0.0, 1.0, None
+    return 0.0, max(2 * v, v + 1.0), None
 
 
 def interactive_find_circles(image, gui, *, low_edge_quantile,
@@ -94,8 +210,8 @@ def interactive_find_circles(image, gui, *, low_edge_quantile,
                      min_dist: int = min_dist):
         circles, scores = _find(
             image, state["low"], state["high"], grid_length, num_iter,
-            min_radius, max_radius, min_roundness, min_dist, gui=None,
-            seed=seed,
+            int(min_radius), int(max_radius), min_roundness, int(min_dist),
+            gui=None, seed=seed,
         )
         state["result"] = (circles, scores)
         return [

@@ -78,3 +78,48 @@ def test_interactive_find_circles_headless():
     c, s = find_circles(img, 0.1, 0.9, 20, 2000, 8, 12, 0.3, 8,
                         gui=InteractiveUI())
     assert len(c) == 1
+
+
+def test_tuning_session_reruns_on_param_change():
+    """Parameter changes re-run detection through the tuning session (the
+    headless-drivable core of the interactive widget loop)."""
+    from magnify_tpu.ops.detect import find_circles
+    from magnify_tpu.plot.vis import InteractiveUI
+    from tests.synth import draw_beads
+
+    img = draw_beads((256, 256), [[80, 80], [180, 180]], diameters=20)
+    ui = InteractiveUI()
+    find_circles(img, 0.1, 0.9, 20, 2000, 8, 12, 0.3, 8, gui=ui)
+
+    # Stage 2 is the circle-filter widget: auto_call re-runs on set_param.
+    session = ui.sessions[-1]
+    assert session.auto_call
+    base_calls = session.calls
+    layers = session.set_param("min_roundness", 0.99)
+    assert session.calls == base_calls + 1
+    # An impossible roundness filters both beads out of the points layer.
+    assert len(layers[1][0]) == 0
+
+    layers = session.set_param("min_roundness", 0.3)
+    assert session.calls == base_calls + 2
+    assert len(layers[1][0]) == 2
+
+    with pytest.raises(KeyError):
+        session.set_param("not_a_param", 1)
+
+
+def test_tuning_session_manual_run():
+    from magnify_tpu.plot.vis import TuningSession
+
+    seen = []
+
+    def stage(alpha: float = 0.5):
+        seen.append(alpha)
+        return [(np.zeros((2, 2)), {})]
+
+    s = TuningSession(stage, auto_call=False)
+    s.run()
+    s.set_param("alpha", 0.9)  # no auto_call: does not re-run
+    assert seen == [0.5]
+    s.run()
+    assert seen == [0.5, 0.9]
