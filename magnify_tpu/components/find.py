@@ -361,29 +361,23 @@ def _bead_finalize_dense(images, beads, n, *, roi_length, max_radius,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("search_idxs", "roi_length", "min_radius", "max_radius",
-                     "chamber_radius"),
+    static_argnames=("search_idxs", "roi_length", "min_radius",
+                     "max_radius"),
 )
-def _chip_refine_dense(images, xs, ys, nonblank, low_q, high_q,
-                       min_roundness, *, search_idxs, roi_length, min_radius,
-                       max_radius, chamber_radius):
-    """Fused per-chamber refinement: crop -> dense re-detect (all search
-    channels) -> recrop at refined centers -> fg/bg masks, in one dispatch.
-
-    Device version of the reference's per-chamber loop (find.py:324-402)
-    under the dense detector.
-    """
+def _chip_detect_dense(images, xs, ys, low_q, high_q, min_roundness, *,
+                       search_idxs, roi_length, min_radius, max_radius):
+    """Fused per-chamber re-detection: crop every chamber and dense-detect
+    the best circle per chamber across all search channels in one dispatch
+    (device half of the reference's per-chamber loop, find.py:324-402).
+    Returns a single (n, 4) float32 block (row, col, radius, score) — the
+    one small transfer back to host; cropping at refined centers and fg/bg
+    rasterization are cheap host work."""
     from magnify_tpu.ops.detect import _detect_rois_dense
 
     c, h, w = images.shape
     L = roi_length
-
-    def corners(px, py):
-        top = jnp.clip(jnp.round(py).astype(jnp.int32) - L // 2, 0, h - L)
-        left = jnp.clip(jnp.round(px).astype(jnp.int32) - L // 2, 0, w - L)
-        return top, left
-
-    tops, lefts = corners(xs, ys)
+    tops = jnp.clip(jnp.round(ys).astype(jnp.int32) - L // 2, 0, h - L)
+    lefts = jnp.clip(jnp.round(xs).astype(jnp.int32) - L // 2, 0, w - L)
     crops = ops_geom.extract_rois(images, tops, lefts, L)  # (n, C, L, L)
 
     best_score = jnp.full(xs.shape, -jnp.inf)
@@ -397,22 +391,9 @@ def _chip_refine_dense(images, xs, ys, nonblank, low_q, high_q,
         best_score = jnp.where(better, scores, best_score)
         best_circle = jnp.where(better[:, None], circles, best_circle)
 
-    refined = jnp.isfinite(best_score) & nonblank
-    new_y = jnp.where(refined, (best_circle[:, 0] + tops).astype(jnp.float32),
-                      ys)
-    new_x = jnp.where(refined,
-                      (best_circle[:, 1] + lefts).astype(jnp.float32), xs)
-    radius = jnp.where(refined, best_circle[:, 2], max_radius)
-
-    tops2, lefts2 = corners(new_x, new_y)
-    crops2 = ops_geom.extract_rois(images, tops2, lefts2, L)
-    y_rel = jnp.round(new_y).astype(jnp.int32) - tops2
-    x_rel = jnp.round(new_x).astype(jnp.int32) - lefts2
-    fg, bg = _button_masks(
-        y_rel, x_rel, radius, roi_length=L, max_radius=max_radius,
-        chamber_radius=chamber_radius, inner_radius=max_radius,
+    return jnp.concatenate(
+        [best_circle.astype(jnp.float32), best_score[:, None]], axis=1
     )
-    return crops2, fg, bg, new_x, new_y
 
 
 def _extract_rois_host(images, xs, ys, roi_length):
@@ -800,7 +781,7 @@ class ButtonFinder:
             )
             (roi[:, :, :, t], fg[:, :, t], bg[:, :, t], x[..., t], y[..., t],
              valid[..., t]) = self.find_rois(
-                images_dev, tag, x[..., t], y[..., t], valid[..., t],
+                images, images_dev, tag, x[..., t], y[..., t], valid[..., t],
                 search_idxs,
             )
 
@@ -915,7 +896,8 @@ class ButtonFinder:
         mark_x = mark_y * col_slope + col_intercepts[None]
         return mark_x, mark_y
 
-    def find_rois(self, images, tag, x, y, valid, search_channel_idxs):
+    def find_rois(self, images_np, images, tag, x, y, valid,
+                  search_channel_idxs):
         """Batched per-chamber refinement (reference find.py:308-402)."""
         num_rows, num_cols = tag.shape
         n = num_rows * num_cols
@@ -928,23 +910,54 @@ class ButtonFinder:
 
         if ops_detect.resolve_detector(self.detector) == "dense":
             high_q = 1 - np.pi * self.min_button_radius / L**2
-            crops, fg_dev, bg_dev, out_x, out_y = _chip_refine_dense(
+            best = np.asarray(_chip_detect_dense(
                 jnp.asarray(images), jnp.asarray(xs, jnp.float32),
                 jnp.asarray(ys, jnp.float32),
-                jnp.asarray(tag.reshape(-1) != ""),
                 float(self.low_edge_quantile), float(high_q),
                 float(self.min_roundness),
                 search_idxs=tuple(search_channel_idxs), roi_length=L,
                 min_radius=self.min_button_radius,
                 max_radius=self.max_button_radius,
-                chamber_radius=self.chamber_radius,
-            )
+            ))  # the one device pull: (n, 4) row/col/radius/score
+            circle, score = best[:, :3], best[:, 3]
+            # Match the device program's f32 rounding of the crop corners
+            # (the detected circle coordinates are relative to them).
+            ys32 = ys.astype(np.float32)
+            xs32 = xs.astype(np.float32)
+            tops = np.clip(np.round(ys32).astype(np.int32) - L // 2, 0, h - L)
+            lefts = np.clip(np.round(xs32).astype(np.int32) - L // 2, 0,
+                            w - L)
+            refined = np.isfinite(score) & (tag.reshape(-1) != "")
+            new_y = np.where(refined, circle[:, 0] + tops, ys)
+            new_x = np.where(refined, circle[:, 1] + lefts, xs)
+            radius = np.where(refined, circle[:, 2],
+                              self.max_button_radius).astype(int)
+
+            tops2 = np.clip(np.round(new_y).astype(np.int32) - L // 2, 0,
+                            h - L)
+            lefts2 = np.clip(np.round(new_x).astype(np.int32) - L // 2, 0,
+                             w - L)
+            crops = np.stack([
+                images_np[..., t:t + L, le:le + L]
+                for t, le in zip(tops2, lefts2)
+            ])
+            y_rel = np.round(new_y).astype(np.int32) - tops2
+            x_rel = np.round(new_x).astype(np.int32) - lefts2
+            fg_h = np.stack([
+                utils.circle((L, L), (yr, xr), r).astype(bool)
+                for yr, xr, r in zip(y_rel, x_rel, radius)
+            ])
+            bg_h = np.stack([
+                utils.annulus((L, L), (yr, xr), self.chamber_radius,
+                              self.max_button_radius, True)
+                for yr, xr in zip(y_rel, x_rel)
+            ])
             return (
-                np.asarray(crops).reshape(num_rows, num_cols, n_ch, L, L),
-                np.asarray(fg_dev).reshape(num_rows, num_cols, L, L),
-                np.asarray(bg_dev).reshape(num_rows, num_cols, L, L),
-                np.asarray(out_x).astype(float).reshape(num_rows, num_cols),
-                np.asarray(out_y).astype(float).reshape(num_rows, num_cols),
+                crops.reshape(num_rows, num_cols, n_ch, L, L),
+                fg_h.reshape(num_rows, num_cols, L, L),
+                bg_h.reshape(num_rows, num_cols, L, L),
+                new_x.astype(float).reshape(num_rows, num_cols),
+                new_y.astype(float).reshape(num_rows, num_cols),
                 valid,
             )
         crops, tops, lefts, crops_dev = _extract_rois_host(images, xs, ys, L)

@@ -208,6 +208,43 @@ def _stage_dense_full(image, low_q, high_q, min_roundness, *, min_radius,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("min_radius", "max_radius", "cap", "nms_cap",
+                     "min_dist", "pull_cap", "normalized"),
+)
+def _stage_dense_packed(image, low_q, high_q, min_roundness, *, min_radius,
+                        max_radius, cap, nms_cap, min_dist, pull_cap,
+                        normalized=False):
+    """Dense detection returning ONE small pullable array.
+
+    Wraps :func:`_stage_dense_full`, compacts the NMS-accepted circles to
+    the front (score order preserved), and packs counts + (row, col, radius,
+    score) rows into a (pull_cap + 1, 4) float32 block — so the host makes a
+    single small transfer instead of pulling circles/scores/accepted/n_keep
+    separately (each transfer costs a full link round trip). The full
+    compacted buffer is also returned device-resident for the rare
+    n_accepted > pull_cap overflow."""
+    circles, scores, accepted, n_keep = _stage_dense_full(
+        image, low_q, high_q, min_roundness, min_radius=min_radius,
+        max_radius=max_radius, cap=cap, nms_cap=nms_cap, min_dist=min_dist,
+        normalized=normalized,
+    )
+    total = circles.shape[0]
+    rank = jnp.cumsum(accepted) - 1
+    n_acc = accepted.sum()
+    dest = jnp.where(accepted, rank, total)
+    rows = jnp.concatenate(
+        [circles.astype(jnp.float32), scores[:, None]], axis=1
+    )
+    compacted = jnp.zeros((total, 4), jnp.float32).at[dest].set(rows,
+                                                                mode="drop")
+    packed = jnp.zeros((pull_cap + 1, 4), jnp.float32)
+    packed = packed.at[0, 0].set(n_acc).at[0, 1].set(n_keep)
+    packed = packed.at[1:].set(compacted[:pull_cap])
+    return packed, compacted
+
+
+@functools.partial(
     jax.jit, static_argnames=("min_radius", "max_radius", "cap"),
 )
 def _stage_dense(image, low_q, high_q, min_roundness, *, min_radius,
@@ -316,22 +353,24 @@ def find_circles(
             )
         memo_key = ("frame", h, w, int(min_radius), int(max_radius))
         cap = _cap_memo.get(memo_key, 4096)
+        pull_cap = 511
         while True:
-            circles, scores, accepted, n_keep = _stage_dense_full(
+            packed_d, full_d = _stage_dense_packed(
                 image, float(low_edge_quantile), float(high_edge_quantile),
                 float(min_roundness), min_radius=int(min_radius),
                 max_radius=int(max_radius), cap=cap, nms_cap=cap,
-                min_dist=int(min_dist),
+                min_dist=int(min_dist), pull_cap=pull_cap,
             )
-            n_keep = int(n_keep)
+            packed = np.asarray(packed_d)  # the single transfer + sync
+            n_acc, n_keep = int(packed[0, 0]), int(packed[0, 1])
             if n_keep <= cap:
                 _cap_memo[memo_key] = cap
                 break
             cap = _grow_cap(n_keep, cap)
-        accepted = np.asarray(accepted)
-        circles = np.asarray(circles)[accepted]
-        scores = np.asarray(scores)[accepted]
-        return circles, scores
+        rows = packed[1:1 + min(n_acc, pull_cap)]
+        if n_acc > pull_cap:
+            rows = np.concatenate([rows, np.asarray(full_d[pull_cap:n_acc])])
+        return rows[:, :3].astype(np.int32), rows[:, 3].copy()
 
     else:
         key = jax.random.PRNGKey(seed)
