@@ -802,11 +802,13 @@ class Dataset:
                     new_vars[d] = Variable((new_dim,), idx)
                     out._coord_names.add(d)
             if create_index:
+                # Every sub-dim has a coordinate array by now; build the
+                # tuple index with one zip instead of a per-element Python
+                # loop (a real cost at terabyte-scale mark counts).
+                levels = [_materialize(new_vars[d].data).tolist()
+                          for d in dims]
                 tuples = np.empty(n, dtype=object)
-                for i in range(n):
-                    tuples[i] = tuple(int(f[i]) if d not in out._coord_names
-                                      else _materialize(new_vars[d].data)[i]
-                                      for d, f in zip(dims, flat))
+                tuples[:] = list(zip(*levels))
                 new_vars[new_dim] = Variable((new_dim,), tuples)
                 out._coord_names.add(new_dim)
             out._vars = new_vars
