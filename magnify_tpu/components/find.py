@@ -208,19 +208,21 @@ def _bead_step_dense(images, low_q, high_q, min_roundness, *, search_idxs,
 @functools.partial(
     jax.jit,
     static_argnames=("search_channels", "min_radius", "max_radius", "cap",
-                     "nms_cap", "min_dist", "pull_cap"),
+                     "nms_cap", "min_dist", "pull_cap", "normalized"),
 )
-def _bead_detect_packed(planes_u8, low_q, high_q, min_roundness, *,
-                        search_channels, min_radius, max_radius, cap,
-                        nms_cap, min_dist, pull_cap):
-    """Detection-only fused bead step on pre-normalized u8 planes.
+def _bead_detect_packed(planes, low_q, high_q, min_roundness, dedupe_dist,
+                        *, search_channels, min_radius, max_radius, cap,
+                        nms_cap, min_dist, pull_cap, normalized=True):
+    """Detection-only fused multi-channel step.
 
-    The minimum-traffic single-frame path: the host normalizes each search
-    channel to uint8 (1 byte/pixel up the relay), this one dispatch runs
-    per-channel dense detection + NMS + cross-channel dedupe + compaction,
-    and the result comes back as ONE small int32 array: row 0 holds
-    (live count, worst per-channel keep count, 0), rows 1..pull_cap the
-    compacted beads. Masks and ROI crops are cheap host work
+    The minimum-traffic single-frame path for BeadFinder (pre-normalized u8
+    planes, 1 byte/pixel up the relay) and ButtonFinder's center search
+    (raw planes): this one dispatch runs per-channel dense detection + NMS
+    + cross-channel dedupe (circles within ``dedupe_dist`` of an earlier
+    channel's circle drop, reference find.py:490-500 / find.py:224-227) +
+    compaction, and the result comes back as ONE small int32 array: row 0
+    holds (live count, worst per-channel keep count, 0), rows 1..pull_cap
+    the compacted circles. Masks and ROI crops are cheap host work
     (_bead_finalize_host), so nothing else crosses the link.
     """
     from magnify_tpu.ops.detect import _stage_dense_full
@@ -229,22 +231,19 @@ def _bead_detect_packed(planes_u8, low_q, high_q, min_roundness, *,
     n_keeps = []
     for ci in range(search_channels):
         c, s, acc, nk = _stage_dense_full(
-            planes_u8[ci], low_q, high_q, min_roundness,
+            planes[ci], low_q, high_q, min_roundness,
             min_radius=min_radius, max_radius=max_radius, cap=cap,
-            nms_cap=nms_cap, min_dist=min_dist, normalized=True,
+            nms_cap=nms_cap, min_dist=min_dist, normalized=normalized,
         )
         blocks.append((c, acc))
         n_keeps.append(nk)
 
-    # Cross-channel dedupe: a later channel's circle is dropped when any
-    # earlier channel's accepted circle lies within 2*min_radius
-    # (reference find.py:490-500).
     for k in range(1, len(blocks)):
         ck, vk = blocks[k]
         for j in range(k):
             cj, vj = blocks[j]
             d2 = ((ck[:, None, :2] - cj[None, :, :2]) ** 2).sum(-1)
-            dup = jnp.any(vj[None, :] & (d2 <= (2 * min_radius) ** 2), axis=1)
+            dup = jnp.any(vj[None, :] & (d2 <= dedupe_dist**2), axis=1)
             vk = vk & ~dup
         blocks[k] = (ck, vk)
 
@@ -627,6 +626,7 @@ class BeadFinder:
             packed_d, beads_full = _bead_detect_packed(
                 planes_dev, float(self.low_edge_quantile),
                 float(self.high_edge_quantile), float(self.min_roundness),
+                2.0 * self.min_bead_radius,
                 search_channels=len(search_idxs),
                 min_radius=self.min_bead_radius,
                 max_radius=self.max_bead_radius, cap=cap, nms_cap=cap,
@@ -823,27 +823,63 @@ class ButtonFinder:
 
     def find_centers(self, images_dev, search_idxs, assay, tag):
         """Grid-constrained center estimation (reference find.py:205-306)."""
-        points = np.empty((0, 2))
         min_button_dist = self.chamber_radius
         img_shape = images_dev.shape[-2:]
-        for ci in search_idxs:
-            found = ops_detect.find_circles(
-                images_dev[ci],
-                low_edge_quantile=self.low_edge_quantile,
-                high_edge_quantile=self.high_edge_quantile,
-                grid_length=20,
-                num_iter=self.num_iter,
-                min_radius=self.min_button_radius,
-                max_radius=self.max_button_radius,
-                min_dist=min_button_dist,
-                min_roundness=self.min_roundness,
-                gui=self.gui,
-                detector=self.detector,
-            )[0][:, :2].astype(float)
-            if len(points) > 0 and len(found) > 0:
-                dists = np.linalg.norm(points[None] - found[:, None], axis=2)
-                found = found[np.min(dists, axis=1) > min_button_dist]
-            points = np.concatenate([points, found])
+        from magnify_tpu.parallel.mesh import active_mesh
+
+        on_mesh = active_mesh() is not None and active_mesh().size > 1
+        if (self.gui is None and not on_mesh
+                and ops_detect.resolve_detector(self.detector) == "dense"):
+            # All search channels detected + deduped in one dispatch, one
+            # small packed pull.
+            planes = jnp.stack([images_dev[ci] for ci in search_idxs])
+            memo_key = ("chip_centers", planes.shape,
+                        self.min_button_radius, self.max_button_radius)
+            cap = ops_detect._cap_memo.get(memo_key, 1024)
+            pull_cap = 511
+            while True:
+                packed_d, full_d = _bead_detect_packed(
+                    planes, float(self.low_edge_quantile),
+                    float(self.high_edge_quantile),
+                    float(self.min_roundness), float(min_button_dist),
+                    search_channels=len(search_idxs),
+                    min_radius=self.min_button_radius,
+                    max_radius=self.max_button_radius, cap=cap, nms_cap=cap,
+                    min_dist=int(min_button_dist), pull_cap=pull_cap,
+                    normalized=False,
+                )
+                packed = np.asarray(packed_d)
+                n, worst = int(packed[0, 0]), int(packed[0, 1])
+                if worst > cap:
+                    cap = ops_detect._grow_cap(worst, cap)
+                    continue
+                ops_detect._cap_memo[memo_key] = cap
+                break
+            rows = packed[1:1 + min(n, pull_cap)]
+            if n > pull_cap:
+                rows = np.concatenate([rows, np.asarray(full_d[pull_cap:n])])
+            points = rows[:, :2].astype(float)
+        else:
+            points = np.empty((0, 2))
+            for ci in search_idxs:
+                found = ops_detect.find_circles(
+                    images_dev[ci],
+                    low_edge_quantile=self.low_edge_quantile,
+                    high_edge_quantile=self.high_edge_quantile,
+                    grid_length=20,
+                    num_iter=self.num_iter,
+                    min_radius=self.min_button_radius,
+                    max_radius=self.max_button_radius,
+                    min_dist=min_button_dist,
+                    min_roundness=self.min_roundness,
+                    gui=self.gui,
+                    detector=self.detector,
+                )[0][:, :2].astype(float)
+                if len(points) > 0 and len(found) > 0:
+                    dists = np.linalg.norm(points[None] - found[:, None],
+                                           axis=2)
+                    found = found[np.min(dists, axis=1) > min_button_dist]
+                points = np.concatenate([points, found])
 
         xs, ys = points[:, 1], points[:, 0]
         points_per_row = (tag != "").sum(axis=1)

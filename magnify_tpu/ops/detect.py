@@ -491,6 +491,26 @@ def _stage_dense_batch(images, low_q, high_q, min_roundness, *, min_radius,
     return jax.vmap(one)(images)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_radius", "max_radius", "cap", "nms_cap",
+                     "min_dist", "pull_cap"),
+)
+def _stage_dense_batch_packed(images, low_q, high_q, min_roundness, *,
+                              min_radius, max_radius, cap, nms_cap, min_dist,
+                              pull_cap):
+    """Vmapped :func:`_stage_dense_packed`: one small (B, pull_cap+1, 4)
+    transfer carries every plane's accepted circles + counts."""
+    def one(img):
+        return _stage_dense_packed(
+            img, low_q, high_q, min_roundness, min_radius=min_radius,
+            max_radius=max_radius, cap=cap, nms_cap=nms_cap,
+            min_dist=min_dist, pull_cap=pull_cap,
+        )
+
+    return jax.vmap(one)(images)
+
+
 def find_circles_stack(
     images: np.ndarray,
     low_edge_quantile: float,
@@ -521,26 +541,29 @@ def find_circles_stack(
     # Cap persists across chunks (and runs): an overflow on chunk k should
     # not be rediscovered by chunk k+1 or the next call.
     cap = max(nms_cap, _cap_memo.get(memo_key, nms_cap))
+    pull_cap = 511
     for chunk in chunks:
         while True:
-            circles, scores, accepted, n_keep = _stage_dense_batch(
+            packed_d, full_d = _stage_dense_batch_packed(
                 chunk, float(low_edge_quantile), float(high_edge_quantile),
                 float(min_roundness), min_radius=int(min_radius),
                 max_radius=int(max_radius), cap=cap, nms_cap=cap,
-                min_dist=int(min_dist),
+                min_dist=int(min_dist), pull_cap=pull_cap,
             )
-            worst = int(np.max(np.asarray(n_keep)))
+            packed = np.asarray(packed_d)  # one transfer per chunk
+            worst = int(packed[:, 0, 1].max())
             if worst <= cap:
                 _cap_memo[memo_key] = cap
                 break
             cap = _grow_cap(worst, cap)
-        circles = np.asarray(circles)
-        scores = np.asarray(scores)
-        accepted = np.asarray(accepted)
-        results.extend(
-            (circles[b][accepted[b]], scores[b][accepted[b]])
-            for b in range(circles.shape[0])
-        )
+        for b in range(packed.shape[0]):
+            n_acc = int(packed[b, 0, 0])
+            rows = packed[b, 1:1 + min(n_acc, pull_cap)]
+            if n_acc > pull_cap:
+                rows = np.concatenate(
+                    [rows, np.asarray(full_d[b, pull_cap:n_acc])]
+                )
+            results.append((rows[:, :3].astype(np.int32), rows[:, 3].copy()))
     return results
 
 
