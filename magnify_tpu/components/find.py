@@ -150,63 +150,6 @@ def _button_masks(y_rel, x_rel, radii, *, roi_length, max_radius,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("search_idxs", "roi_length", "min_radius", "max_radius",
-                     "cap", "min_dist", "max_neighbors"),
-)
-def _bead_step_dense(images, low_q, high_q, min_roundness, *, search_idxs,
-                     roi_length, min_radius, max_radius, cap, min_dist,
-                     max_neighbors):
-    """Fused dense bead detection: per-channel detection, cross-channel
-    dedupe, and compaction in one dispatch.
-
-    The device realization of the reference's BeadFinder detection body
-    (find.py:471-501). Returns (beads (S*cap, 3), n, worst_keep); masks and
-    ROI gathers follow in :func:`_bead_finalize_dense` once the live count
-    sizes their buffers.
-    """
-    from magnify_tpu.ops.detect import _stage_dense_full
-
-    n_ch, n_t, h, w = images.shape
-    L = roi_length
-    blocks = []
-    n_keeps = []
-    for ci in search_idxs:
-        c, s, acc, nk = _stage_dense_full(
-            images[ci, 0], low_q, high_q, min_roundness,
-            min_radius=min_radius, max_radius=max_radius, cap=cap,
-            nms_cap=cap, min_dist=min_dist,
-        )
-        blocks.append((c, acc))
-        n_keeps.append(nk)
-
-    # Cross-channel dedupe: a later channel's circle is dropped when any
-    # earlier channel's accepted circle lies within 2*min_radius
-    # (find.py:490-500).
-    for k in range(1, len(blocks)):
-        ck, vk = blocks[k]
-        for j in range(k):
-            cj, vj = blocks[j]
-            d2 = ((ck[:, None, :2] - cj[None, :, :2]) ** 2).sum(-1)
-            dup = jnp.any(vj[None, :] & (d2 <= (2 * min_radius) ** 2), axis=1)
-            vk = vk & ~dup
-        blocks[k] = (ck, vk)
-
-    circles = jnp.concatenate([c for c, _ in blocks])
-    valid = jnp.concatenate([v for _, v in blocks])
-    total = circles.shape[0]
-
-    # Compact live beads to the front, preserving channel-major score order.
-    rank = jnp.cumsum(valid) - 1
-    n = valid.sum()
-    dest = jnp.where(valid, rank, total)
-    beads = jnp.zeros((total, 3), jnp.int32).at[dest].set(circles,
-                                                          mode="drop")
-    worst_keep = jnp.max(jnp.stack(n_keeps))
-    return beads, n, worst_keep
-
-
-@functools.partial(
-    jax.jit,
     static_argnames=("search_channels", "min_radius", "max_radius", "cap",
                      "nms_cap", "min_dist", "pull_cap", "normalized"),
 )
@@ -313,49 +256,6 @@ def _bead_finalize_host(image, beads, roi_length, max_radius):
 
     fg &= count == 1
     return fg, count == 0, rois, tops, lefts
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("roi_length", "max_radius", "max_neighbors"),
-)
-def _bead_finalize_dense(images, beads, n, *, roi_length, max_radius,
-                         max_neighbors):
-    """Masks + ROI gathers for the first ``beads.shape[0]`` compacted beads.
-
-    ``beads`` is the detection output sliced to a pow2 bucket of the live
-    count, so the padded mask/ROI work stays proportional to real beads.
-    """
-    _n_ch, _n_t, h, w = images.shape
-    L = roi_length
-    total = beads.shape[0]
-    live = jnp.arange(total) < n
-
-    tops = jnp.clip(beads[:, 0] - L // 2, 0, h - L)
-    lefts = jnp.clip(beads[:, 1] - L // 2, 0, w - L)
-
-    # Neighbors: beads whose disks can touch another bead's ROI window.
-    # Bead j (radius <= max_radius) intersects window i exactly when the
-    # Chebyshev distance from j's CENTER to the window center is at most
-    # L/2 + max_radius; measuring from bead centers (not the clipped window
-    # centers) keeps border beads' neighbor lists exact, matching the host
-    # KDTree path (reference find.py:561-586 semantics).
-    win_r = tops + L // 2
-    win_c = lefts + L // 2
-    reach = L / 2 + max_radius + 1
-    cheb = jnp.maximum(
-        jnp.abs(beads[None, :, 0] - win_r[:, None]),
-        jnp.abs(beads[None, :, 1] - win_c[:, None]),
-    ).astype(jnp.float32)
-    cheb = jnp.where(live[None, :], cheb, jnp.inf)
-    neg_d, nbr = jax.lax.top_k(-cheb, max_neighbors)
-    nbr = jnp.where((-neg_d <= reach), nbr, -1)
-    nbr_count = jnp.where(live, (nbr >= 0).sum(axis=1), 0)
-
-    fg, bg = _bead_masks(beads, tops, lefts, nbr, roi_length=L,
-                         max_radius=max_radius, max_neighbors=max_neighbors)
-    rois = ops_geom.extract_rois(images, tops, lefts, L)
-    return fg, bg, rois, jnp.max(nbr_count)
 
 
 @functools.partial(
