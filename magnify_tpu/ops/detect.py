@@ -150,6 +150,33 @@ def _stage_nms(circles, scores, *, nms_cap, min_dist, height, width,
     return c, s, accepted
 
 
+def checkify_enabled() -> bool:
+    """Opt-in runtime guards (SURVEY §5 race/failure detection): with
+    MAGNIFY_TPU_CHECKIFY=1, the detection program runs under
+    jax.experimental.checkify float checks — NaNs produced in the
+    edge/score math raise instead of silently corrupting detections.
+    (Index checks stay off: the compaction scatters deliberately use
+    out-of-range indices as drop sinks.) Off by default; the checks cost
+    extra device work and can flag guarded where(...) divides on
+    degenerate inputs."""
+    return os.environ.get("MAGNIFY_TPU_CHECKIFY", "0") == "1"
+
+
+@functools.lru_cache(maxsize=None)
+def _checked_dense_packed(min_radius, max_radius, cap, nms_cap, min_dist,
+                          pull_cap, normalized):
+    from jax.experimental import checkify
+
+    def run(image, low_q, high_q, min_roundness):
+        return _stage_dense_packed.__wrapped__(
+            image, low_q, high_q, min_roundness, min_radius=min_radius,
+            max_radius=max_radius, cap=cap, nms_cap=nms_cap,
+            min_dist=min_dist, pull_cap=pull_cap, normalized=normalized,
+        )
+
+    return jax.jit(checkify.checkify(run, errors=checkify.float_checks))
+
+
 def _pow2_at_least(n: int, lo: int, hi: int) -> int:
     out = lo
     while out < n and out < hi:
@@ -355,12 +382,24 @@ def find_circles(
         cap = _cap_memo.get(memo_key, 4096)
         pull_cap = 511
         while True:
-            packed_d, full_d = _stage_dense_packed(
-                image, float(low_edge_quantile), float(high_edge_quantile),
-                float(min_roundness), min_radius=int(min_radius),
-                max_radius=int(max_radius), cap=cap, nms_cap=cap,
-                min_dist=int(min_dist), pull_cap=pull_cap,
-            )
+            if checkify_enabled():
+                checked = _checked_dense_packed(
+                    int(min_radius), int(max_radius), cap, cap,
+                    int(min_dist), pull_cap, False,
+                )
+                err, (packed_d, full_d) = checked(
+                    image, float(low_edge_quantile),
+                    float(high_edge_quantile), float(min_roundness),
+                )
+                err.throw()
+            else:
+                packed_d, full_d = _stage_dense_packed(
+                    image, float(low_edge_quantile),
+                    float(high_edge_quantile), float(min_roundness),
+                    min_radius=int(min_radius), max_radius=int(max_radius),
+                    cap=cap, nms_cap=cap, min_dist=int(min_dist),
+                    pull_cap=pull_cap,
+                )
             packed = np.asarray(packed_d)  # the single transfer + sync
             n_acc, n_keep = int(packed[0, 0]), int(packed[0, 1])
             if n_keep <= cap:

@@ -331,3 +331,20 @@ def test_grow_cap_errors_at_ceiling():
     assert cap >= 100_000 and cap & (cap - 1) == 0
     with pytest.raises(ValueError, match="ceiling"):
         _grow_cap(CAP_CEILING + 1, CAP_CEILING)
+
+
+def test_checkify_mode_matches_unchecked(monkeypatch):
+    """MAGNIFY_TPU_CHECKIFY=1 runs detection under float/index guards and
+    returns identical results on healthy inputs."""
+    from magnify_tpu.ops.detect import find_circles
+    from tests.synth import draw_beads
+
+    img = draw_beads((128, 128), [[40, 40], [90, 90]], diameters=16)
+    ref_c, ref_s = find_circles(img, 0.1, 0.9, 20, 1000, 6, 10, 0.3, 6,
+                                detector="dense")
+    monkeypatch.setenv("MAGNIFY_TPU_CHECKIFY", "1")
+    got_c, got_s = find_circles(img, 0.1, 0.9, 20, 1000, 6, 10, 0.3, 6,
+                                detector="dense")
+    np.testing.assert_array_equal(got_c, ref_c)
+    np.testing.assert_array_equal(got_s, ref_s)
+    assert len(ref_c) == 2
