@@ -15,7 +15,7 @@ factories, ``save``/``load``, the ``component`` decorator, and the plot
 sublibrary ``magnify_tpu.plot``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "DataArray",
