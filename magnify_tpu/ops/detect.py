@@ -267,7 +267,8 @@ def _stage_dense_packed(image, low_q, high_q, min_roundness, *, min_radius,
                                                                 mode="drop")
     packed = jnp.zeros((pull_cap + 1, 4), jnp.float32)
     packed = packed.at[0, 0].set(n_acc).at[0, 1].set(n_keep)
-    packed = packed.at[1:].set(compacted[:pull_cap])
+    take = min(pull_cap, total)
+    packed = packed.at[1:1 + take].set(compacted[:take])
     return packed, compacted
 
 
@@ -567,9 +568,40 @@ def find_circles_stack(
     dense detector ``batch`` at a time — edge stack, MXU score maps,
     compaction, and per-plane NMS all batched — so per-dispatch overhead
     amortizes across the stack while HBM temporaries stay bounded. Returns a
-    list of (circles, scores) per plane.
+    list of (circles, scores) per plane. With a multi-device mesh active
+    (``mg.parallel.use_mesh``), the whole stack shards over (batch, space)
+    instead.
     """
     images = np.ascontiguousarray(images)
+
+    from magnify_tpu.parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    if mesh is not None and mesh.size > 1:
+        from magnify_tpu.parallel.mesh import sharded_find_circles_batch
+
+        memo_key = ("stack_mesh", images.shape[-2], images.shape[-1],
+                    int(min_radius), int(max_radius),
+                    tuple(sorted(mesh.shape.items())))
+        cap = max(nms_cap, _cap_memo.get(memo_key, nms_cap))
+        while True:
+            circles, scores, accepted, n_keep = sharded_find_circles_batch(
+                images, mesh, float(low_edge_quantile),
+                float(high_edge_quantile), float(min_roundness),
+                min_radius=int(min_radius), max_radius=int(max_radius),
+                min_dist=int(min_dist), cap=cap,
+            )
+            worst = int(np.max(np.asarray(n_keep)))
+            if worst <= cap:
+                _cap_memo[memo_key] = cap
+                break
+            cap = _grow_cap(worst, cap)
+        circles = np.asarray(circles)
+        scores = np.asarray(scores)
+        accepted = np.asarray(accepted)
+        return [(circles[b][accepted[b]], scores[b][accepted[b]])
+                for b in range(circles.shape[0])]
+
     results = []
     # device_put is asynchronous: queue every chunk's transfer up front so
     # uploads overlap with the previous chunk's compute.

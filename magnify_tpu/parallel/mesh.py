@@ -170,7 +170,12 @@ def _sharded_edges_one_plane(img, low_q, high_q, valid_h: int):
     weak = strong_weak[1][1:-1]
 
     # Distributed hysteresis: local dilate-and-mask to fixpoint, then halo
-    # exchange; repeat until no shard changes (psum'd flag).
+    # exchange; repeat until no shard changes. The convergence flag psums
+    # over BOTH mesh axes: every loop iteration issues collective permutes,
+    # and XLA's rendezvous spans the whole mesh — if batch rows iterated
+    # different counts (planes converge at different speeds) the collectives
+    # would deadlock. Extra iterations on already-converged planes are
+    # idempotent (grown == cur at fixpoint), so results are unchanged.
     def cond(state):
         cur, changed = state
         return changed
@@ -179,14 +184,11 @@ def _sharded_edges_one_plane(img, low_q, high_q, valid_h: int):
         cur, _ = state
         padded_cur = _exchange_halo(cur, 1, "space")
         grown = edge_ops.dilate8(padded_cur)[1:-1] & weak | cur
-        changed = jax.lax.psum(jnp.any(grown != cur).astype(jnp.int32),
-                               "space") > 0
-        return grown, changed
+        delta = jnp.any(grown != cur).astype(jnp.int32)
+        delta = jax.lax.psum(jax.lax.psum(delta, "space"), "batch")
+        return grown, delta > 0
 
-    # The convergence flag is psum'd over "space" but still varies across
-    # "batch" shards; mark the initial carry accordingly.
-    changed0 = jax.lax.pcast(jnp.asarray(True), "batch", to="varying")
-    edges, _ = jax.lax.while_loop(cond, body, (strong, changed0))
+    edges, _ = jax.lax.while_loop(cond, body, (strong, jnp.asarray(True)))
     grad_angles = jnp.arctan2(dy, dx)
     return edges, grad_angles
 

@@ -135,7 +135,7 @@ def test_device_prefetcher_releases_producer_on_abandonment():
     assert threading.active_count() <= before
 
 
-def test_sharded_find_circles_matches_single_chip_on_noise():
+def test_sharded_find_circles_matches_single_chip_on_noise(devices):
     """The full sharded dense detector (row-sharded score maps, all_gather
     merge, replicated NMS) must reproduce the single-chip find_circles
     output exactly on a noisy multi-bead plane — including a plane whose
@@ -162,7 +162,7 @@ def test_sharded_find_circles_matches_single_chip_on_noise():
         assert len(ref_c) == 6
 
 
-def test_beads_pipeline_on_mesh_matches_single_chip(monkeypatch):
+def test_beads_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
     """mg.beads under use_mesh (detection sharded over 8 devices) returns
     the same marks as the single-device run."""
     from magnify_tpu.parallel import make_mesh, use_mesh
@@ -190,3 +190,28 @@ def test_beads_pipeline_on_mesh_matches_single_chip(monkeypatch):
     np.testing.assert_array_equal(got.fg.values, ref.fg.values)
     np.testing.assert_array_equal(got.bg.values, ref.bg.values)
     np.testing.assert_array_equal(got.roi.values, ref.roi.values)
+
+
+def test_find_circles_stack_on_mesh_matches_single(devices):
+    """find_circles_stack under use_mesh shards the whole stack and matches
+    the single-device results exactly."""
+    from magnify_tpu.ops.detect import find_circles_stack
+    from magnify_tpu.parallel import make_mesh, use_mesh
+    from magnify_tpu.utils import filled_circle_points
+
+    rng = np.random.default_rng(5)
+    planes = rng.normal(100, 5, (4, 128, 160)).astype(np.float32)
+    for b in range(4):
+        for pos in [(40, 50), (90, 110)]:
+            pts = filled_circle_points(8) + np.array(pos) + b
+            planes[b, pts[:, 0], pts[:, 1]] = 1000
+
+    args = (0.1, 0.9, 6, 10, 0.3, 6)
+    ref = find_circles_stack(planes, *args, nms_cap=256, batch=2)
+    with use_mesh(make_mesh(batch=2, space=4)):
+        got = find_circles_stack(planes, *args, nms_cap=256, batch=2)
+    assert len(got) == len(ref) == 4
+    for (gc, gs), (rc, rs) in zip(got, ref):
+        np.testing.assert_array_equal(gc, rc)
+        np.testing.assert_array_equal(gs, rs)
+        assert len(rc) >= 2  # both planted beads found (noise may add more)
