@@ -34,7 +34,7 @@ CPU_ANCHOR_CHIP_MPIX_S = 0.375     # chip 8x8 pipeline
 
 NUM_ITER = 5_000_000
 SHAPE = (1024, 1024)
-N_RUNS = 5
+N_RUNS = 9
 
 
 def make_workload(seed: int = 0):

@@ -534,21 +534,33 @@ def _stage_dense_batch(images, low_q, high_q, min_roundness, *, min_radius,
 @functools.partial(
     jax.jit,
     static_argnames=("min_radius", "max_radius", "cap", "nms_cap",
-                     "min_dist", "pull_cap"),
+                     "min_dist", "pull_cap", "normalized"),
 )
 def _stage_dense_batch_packed(images, low_q, high_q, min_roundness, *,
                               min_radius, max_radius, cap, nms_cap, min_dist,
-                              pull_cap):
+                              pull_cap, normalized=False):
     """Vmapped :func:`_stage_dense_packed`: one small (B, pull_cap+1, 4)
     transfer carries every plane's accepted circles + counts."""
     def one(img):
         return _stage_dense_packed(
             img, low_q, high_q, min_roundness, min_radius=min_radius,
             max_radius=max_radius, cap=cap, nms_cap=nms_cap,
-            min_dist=min_dist, pull_cap=pull_cap,
+            min_dist=min_dist, pull_cap=pull_cap, normalized=normalized,
         )
 
     return jax.vmap(one)(images)
+
+
+def normalize_planes_u8(images: np.ndarray) -> np.ndarray:
+    """Host twin of per-plane :func:`magnify_tpu.ops.edge.normalize_to_u8`
+    (bitwise-identical f32 arithmetic), so only 1 byte/pixel crosses the
+    host->device link and the device skips its normalization."""
+    x = images.astype(np.float32)
+    x -= x.min(axis=(-2, -1), keepdims=True)
+    peak = x.max(axis=(-2, -1), keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x = np.where(peak > 0, 255.0 * x / peak, x)
+    return np.trunc(x).astype(np.uint8)
 
 
 def find_circles_stack(
@@ -603,9 +615,12 @@ def find_circles_stack(
                 for b in range(circles.shape[0])]
 
     results = []
+    # Host-normalize to uint8 (exact): halves/quarters the bytes crossing
+    # the link; the device program skips its own normalization.
+    planes_u8 = normalize_planes_u8(images)
     # device_put is asynchronous: queue every chunk's transfer up front so
     # uploads overlap with the previous chunk's compute.
-    chunks = [jax.device_put(images[start:start + batch])
+    chunks = [jax.device_put(planes_u8[start:start + batch])
               for start in range(0, images.shape[0], batch)]
     memo_key = ("stack", images.shape[-2], images.shape[-1],
                 int(min_radius), int(max_radius))
@@ -619,7 +634,7 @@ def find_circles_stack(
                 chunk, float(low_edge_quantile), float(high_edge_quantile),
                 float(min_roundness), min_radius=int(min_radius),
                 max_radius=int(max_radius), cap=cap, nms_cap=cap,
-                min_dist=int(min_dist), pull_cap=pull_cap,
+                min_dist=int(min_dist), pull_cap=pull_cap, normalized=True,
             )
             packed = np.asarray(packed_d)  # one transfer per chunk
             worst = int(packed[:, 0, 1].max())
