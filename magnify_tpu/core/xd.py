@@ -331,6 +331,10 @@ class DataArray:
             iidx[d] = _label_to_index(self._coords, d, lab)
         return self.isel(**iidx)
 
+    @property
+    def loc(self) -> "_LocIndexer":
+        return _LocIndexer(self)
+
     def squeeze(self, dim=None) -> "DataArray":
         if dim is None:
             dims = [d for d, s in self.sizes.items() if s == 1]
@@ -528,12 +532,38 @@ def _resolve_order(order, dims, missing_dims="raise"):
     return order
 
 
+def _label_slice_to_index(vals, label):
+    """Label slice -> positional slice (xarray semantics: both endpoints
+    inclusive, requires a monotonic coordinate)."""
+    diffs = np.diff(vals) if len(vals) > 1 else np.zeros(0)
+    if len(diffs) and (diffs >= 0).all():
+        asc = vals
+        def pos(x, side):
+            return int(np.searchsorted(asc, x, side=side))
+        start = pos(label.start, "left") if label.start is not None else None
+        stop = pos(label.stop, "right") if label.stop is not None else None
+    elif len(diffs) and (diffs <= 0).all():
+        rev = vals[::-1]
+        n = len(vals)
+        def rpos(x, side):
+            return n - int(np.searchsorted(rev, x, side=side))
+        start = rpos(label.start, "right") if label.start is not None else None
+        stop = rpos(label.stop, "left") if label.stop is not None else None
+    else:
+        raise KeyError(
+            "label-slice selection needs a monotonic coordinate"
+        )
+    return slice(start, stop, label.step)
+
+
 def _label_to_index(coords, dim, label):
     """Convert label-based selection to positional indices using a dim coord."""
     if dim not in coords:
         # No coordinate: treat labels as positions.
         return label
     vals = coords[dim].values
+    if isinstance(label, slice):
+        return _label_slice_to_index(vals, label)
     if isinstance(label, DataArray):
         label = label.values
     if isinstance(label, (list, np.ndarray)) and not isinstance(label, str):
@@ -548,6 +578,21 @@ def _label_to_index(coords, dim, label):
     if len(where) == 0:
         raise KeyError(f"{label!r} not found in coordinate {dim!r}")
     return int(where[0])
+
+
+class _LocIndexer:
+    """``da.loc[...]`` label selection: a dict of dim->label, or positional
+    labels applied to leading dims (xarray's DataArray.loc subset)."""
+
+    def __init__(self, da: "DataArray"):
+        self._da = da
+
+    def __getitem__(self, key):
+        if isinstance(key, dict):
+            return self._da.sel(key)
+        if not isinstance(key, tuple):
+            key = (key,)
+        return self._da.sel(dict(zip(self._da.dims, key)))
 
 
 def _stack_dataarray(da: DataArray, new_dim: str, dims):

@@ -203,3 +203,36 @@ def test_any_all_reductions():
     assert da.any().values.item()
     assert not da.all().values.item()
     np.testing.assert_array_equal(da.all(dim="b").values, [False, True])
+
+
+def test_sel_with_label_slices():
+    da = DataArray(np.arange(12).reshape(3, 4), dims=("t", "x"),
+                   coords={"t": [10, 20, 30], "x": [0.5, 1.5, 2.5, 3.5]})
+    # Label slices are inclusive of both endpoints (xarray semantics).
+    out = da.sel(t=slice(10, 20))
+    assert out.sizes["t"] == 2
+    np.testing.assert_array_equal(out.t.values, [10, 20])
+    out = da.sel(x=slice(1.0, 3.0))
+    np.testing.assert_array_equal(out.x.values, [1.5, 2.5])
+    # Open-ended slices.
+    assert da.sel(t=slice(None, 20)).sizes["t"] == 2
+    assert da.sel(t=slice(20, None)).sizes["t"] == 2
+    # Descending coordinate.
+    dd = DataArray(np.arange(4), dims=("t",), coords={"t": [40, 30, 20, 10]})
+    np.testing.assert_array_equal(dd.sel(t=slice(35, 15)).t.values, [30, 20])
+    # Non-monotonic coordinates reject label slices.
+    nm = DataArray(np.arange(3), dims=("t",), coords={"t": [1, 3, 2]})
+    with pytest.raises(KeyError, match="monotonic"):
+        nm.sel(t=slice(1, 2))
+    # Dataset sel with slices works too.
+    ds = Dataset({"v": da})
+    assert ds.sel(t=slice(10, 20)).sizes["t"] == 2
+
+
+def test_dataarray_loc():
+    da = DataArray(np.arange(12).reshape(3, 4), dims=("t", "x"),
+                   coords={"t": [10, 20, 30], "x": [0.5, 1.5, 2.5, 3.5]})
+    assert float(da.loc[20, 1.5].values) == 5
+    np.testing.assert_array_equal(da.loc[{"x": 2.5}].values, [2, 6, 10])
+    np.testing.assert_array_equal(da.loc[slice(20, 30)].values,
+                                  da.values[1:])
