@@ -94,8 +94,10 @@ def main():
     tags, counts = np.unique(xp.tag.values, return_counts=True)
     print("decoded:", dict(zip(tags.tolist(), counts.tolist())))
 
-    out_path = os.path.join(outdir, "mrbles_result.npz")
+    # netCDF4 (the reference's save format) — xarray/netCDF4 can open it.
+    out_path = os.path.join(outdir, "mrbles_result.nc")
     mg.save(out_path, xp)
+    assert mg.load(out_path).roi.sizes["mark"] == xp.roi.sizes["mark"]
     print("saved dataset to", out_path)
 
     try:
