@@ -521,7 +521,11 @@ class BeadFinder:
         memo_key = ("beads", planes.shape, self.min_bead_radius,
                     self.max_bead_radius)
         cap = ops_detect._cap_memo.get(memo_key, 1024)
-        pull_cap = 511
+        # One pull covers the live beads when the packed block is sized from
+        # the last observed count (pow2-bucketed; overflow falls back to a
+        # second small pull).
+        pull_key = memo_key + ("pull",)
+        pull_cap = ops_detect._cap_memo.get(pull_key, 511)
         while True:
             packed_d, beads_full = _bead_detect_packed(
                 planes_dev, float(self.low_edge_quantile),
@@ -544,6 +548,10 @@ class BeadFinder:
         if n > pull_cap:
             beads_i = np.concatenate(
                 [beads_i, np.asarray(beads_full[pull_cap:n])]
+            )
+            ops_detect._cap_memo[pull_key] = min(
+                ops_detect._pow2_at_least(n + 1, 512, 1 << 20) - 1,
+                len(search_idxs) * cap - 1,
             )
         beads = beads_i.astype(float)
 
