@@ -352,3 +352,50 @@ def test_checkify_mode_matches_unchecked(monkeypatch):
     np.testing.assert_array_equal(got_c, ref_c)
     np.testing.assert_array_equal(got_s, ref_s)
     assert len(ref_c) == 2
+
+
+def test_histogram_quantiles_property_fuzz():
+    """Seeded fuzz: exact np.quantile equality across distributions, sizes,
+    duplicates, negatives, and extreme magnitudes."""
+    import jax
+
+    from magnify_tpu.ops.edge import histogram_quantiles
+
+    rng = np.random.default_rng(42)
+    datasets = [
+        rng.normal(0, 1, 10_001).astype(np.float32),
+        rng.gamma(0.3, 1e6, 4_096).astype(np.float32),
+        np.repeat(rng.normal(5, 2, 13).astype(np.float32), 100),
+        (rng.random(2_048).astype(np.float32) - 0.5) * 1e30,
+        np.array([3.0], np.float32),
+        np.array([-1.0, -1.0, 2.0], np.float32),
+    ]
+    qs = np.array([0.0, 0.013, 0.1, 0.5, 0.9, 0.987, 1.0], np.float32)
+    fn = jax.jit(lambda x: histogram_quantiles(x, qs))
+    for data in datasets:
+        got = np.asarray(fn(data))
+        want = np.quantile(data.astype(np.float32), qs).astype(np.float32)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_nms_oracle_property_fuzz():
+    """Seeded fuzz: the parallel NMS equals the sequential claimed-raster
+    oracle across random circle sets, validity masks, and distances."""
+    from magnify_tpu.ops.nms import claimed_raster_nms, parallel_greedy_nms
+
+    rng = np.random.default_rng(7)
+    for _ in range(15):
+        n = int(rng.integers(1, 120))
+        circles = np.stack([
+            rng.integers(-5, 100, n), rng.integers(-5, 130, n),
+            rng.integers(3, 9, n),
+        ], axis=1).astype(np.int32)
+        valid = rng.random(n) < 0.85
+        md = int(rng.integers(1, 10))
+        a = np.asarray(parallel_greedy_nms(circles, valid, min_dist=md,
+                                           height=96, width=128,
+                                           max_radius=8))
+        b = np.asarray(claimed_raster_nms(circles, valid, min_dist=md,
+                                          height=96, width=128,
+                                          max_radius=8))
+        np.testing.assert_array_equal(a, b)
