@@ -295,6 +295,20 @@ def _chip_detect_dense(images, xs, ys, low_q, high_q, min_roundness, *,
     )
 
 
+def _crop_rois_np(images, xs, ys, roi_length):
+    """Host ROI crops at clamped windows (reference bounding_box semantics):
+    images (..., H, W) numpy, returns (n, ..., L, L)."""
+    h, w = images.shape[-2:]
+    out = np.empty((len(xs),) + images.shape[:-2]
+                   + (roi_length, roi_length), images.dtype)
+    for i, (px, py) in enumerate(zip(xs, ys)):
+        top, _, left, _ = utils.bounding_box(
+            int(round(float(px))), int(round(float(py))), roi_length, w, h
+        )
+        out[i] = images[..., top:top + roi_length, left:left + roi_length]
+    return out
+
+
 def _extract_rois_host(images, xs, ys, roi_length):
     """Batched ROI crop. images (C, H, W) or (H, W), numpy or device;
     returns (numpy crops, tops, lefts, device crops)."""
@@ -693,27 +707,34 @@ class ButtonFinder:
                 search_idxs,
             )
 
-        # Non-searched timesteps copy positions; their per-timestep images
-        # stream host->HBM double-buffered behind the ROI gathers.
-        from magnify_tpu.parallel.streaming import DevicePrefetcher
+        # Non-searched timesteps copy positions and only need ROI crops —
+        # pure host slicing: no device involvement, with the next plane's
+        # (possibly lazy/memmapped) read prefetched on a background thread.
+        import concurrent.futures
 
         copy_ts = [t for t in range(n_t) if t not in self.search_timesteps]
-        plane_stream = DevicePrefetcher(
-            copy_ts, lambda t: assay.image.isel(time=int(t)).to_numpy(),
-            depth=2,
-        )
-        for t, images in _progress(plane_stream, self.progress_bar):
-            copy_t = (self.search_timesteps[0]
-                      if t < self.search_timesteps[0] else t - 1)
-            xs = x[..., copy_t].reshape(-1)
-            ys = y[..., copy_t].reshape(-1)
-            crops, _tops, _lefts, _dev = _extract_rois_host(images, xs, ys, L)
-            roi[:, :, :, t] = crops.reshape(num_rows, num_cols, n_ch, L, L)
-            fg[:, :, t] = fg[:, :, copy_t]
-            bg[:, :, t] = bg[:, :, copy_t]
-            x[..., t] = x[..., copy_t]
-            y[..., t] = y[..., copy_t]
-            valid[..., t] = valid[..., copy_t]
+        if copy_ts:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+                def _load(t):
+                    return assay.image.isel(time=int(t)).to_numpy()
+
+                pending = pool.submit(_load, copy_ts[0])
+                for i, t in enumerate(_progress(copy_ts, self.progress_bar)):
+                    images = pending.result()
+                    if i + 1 < len(copy_ts):
+                        pending = pool.submit(_load, copy_ts[i + 1])
+                    copy_t = (self.search_timesteps[0]
+                              if t < self.search_timesteps[0] else t - 1)
+                    xs = x[..., copy_t].reshape(-1)
+                    ys = y[..., copy_t].reshape(-1)
+                    crops = _crop_rois_np(images, xs, ys, L)
+                    roi[:, :, :, t] = crops.reshape(num_rows, num_cols, n_ch,
+                                                    L, L)
+                    fg[:, :, t] = fg[:, :, copy_t]
+                    bg[:, :, t] = bg[:, :, copy_t]
+                    x[..., t] = x[..., copy_t]
+                    y[..., t] = y[..., copy_t]
+                    valid[..., t] = valid[..., copy_t]
 
         assay["roi"] = Variable(
             ("mark_row", "mark_col", "channel", "time", "roi_y", "roi_x"), roi
