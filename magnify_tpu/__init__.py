@@ -18,6 +18,7 @@ sublibrary ``magnify_tpu.plot``.
 __version__ = "0.2.0"
 
 __all__ = [
+    "parallel",
     "DataArray",
     "Dataset",
     "Pipeline",
@@ -46,7 +47,7 @@ __all__ = [
 ]
 
 import magnify_tpu.core.jaxcache  # noqa: F401  (persistent XLA cache)
-from magnify_tpu import accessor, io, ops, utils  # noqa: F401
+from magnify_tpu import accessor, io, ops, parallel, utils  # noqa: F401
 from magnify_tpu.components import (  # noqa: F401
     filter,
     find,
