@@ -431,7 +431,10 @@ def sharded_find_circles_batch(images, mesh: Mesh, low_q: float,
     if pad_h:
         imgs = jnp.concatenate([imgs, imgs[:, -2:-2 - pad_h:-1, :]], axis=1)
     if pad_b:
-        imgs = jnp.concatenate([imgs, imgs[:pad_b]], axis=0)
+        # Fill with existing planes cyclically (pad_b may exceed b).
+        imgs = jnp.concatenate(
+            [imgs, imgs[np.arange(pad_b) % b]], axis=0
+        )
 
     edges, grad_angles = sharded_edge_pipeline(imgs, mesh, low_q, high_q,
                                                valid_h=h)

@@ -215,3 +215,36 @@ def test_find_circles_stack_on_mesh_matches_single(devices):
         np.testing.assert_array_equal(gc, rc)
         np.testing.assert_array_equal(gs, rs)
         assert len(rc) >= 2  # both planted beads found (noise may add more)
+
+
+@pytest.mark.parametrize("batch,space", [(1, 8), (8, 1), (4, 2)])
+def test_sharded_detector_mesh_geometries(devices, batch, space):
+    """Detection parity holds across mesh factorizations, including pure
+    data parallelism (space=1) and pure spatial sharding (batch=1)."""
+    from magnify_tpu.ops.detect import find_circles
+    from magnify_tpu.parallel import make_mesh, sharded_find_circles
+    from magnify_tpu.utils import filled_circle_points
+
+    rng = np.random.default_rng(11)
+    img = rng.normal(100, 5, (192, 224)).astype(np.float32)
+    for pos in [(50, 60), (120, 150), (160, 60)]:
+        pts = filled_circle_points(8) + np.array(pos)
+        img[pts[:, 0], pts[:, 1]] = 1000
+
+    ref_c, ref_s = find_circles(img, 0.1, 0.9, 20, 1000, 6, 10, 0.3, 6,
+                                detector="dense")
+    mesh = make_mesh(batch=batch, space=space)
+    got_c, got_s = sharded_find_circles(img, mesh, 0.1, 0.9, 6, 10, 0.3, 6)
+    np.testing.assert_array_equal(got_c, ref_c)
+    np.testing.assert_array_equal(got_s, ref_s)
+    assert len(ref_c) == 3
+
+
+def test_sharded_detector_rejects_oversharded_rows(devices):
+    from magnify_tpu.parallel import make_mesh, sharded_find_circles_batch
+
+    mesh = make_mesh(batch=1, space=8)
+    tiny = np.zeros((1, 64, 64), np.float32)  # 8 rows/shard < 2R halo
+    with pytest.raises(ValueError, match="halo"):
+        sharded_find_circles_batch(tiny, mesh, 0.1, 0.9, 0.3, min_radius=6,
+                                   max_radius=10, min_dist=6, cap=128)
