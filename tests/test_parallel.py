@@ -248,3 +248,42 @@ def test_sharded_detector_rejects_oversharded_rows(devices):
     with pytest.raises(ValueError, match="halo"):
         sharded_find_circles_batch(tiny, mesh, 0.1, 0.9, 0.3, min_radius=6,
                                    max_radius=10, min_dist=6, cap=128)
+
+
+def test_mrbles_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
+    """The full mrbles pipeline (multi-channel detection + spectral decode)
+    under use_mesh matches the single-device run."""
+    import io as _io
+
+    monkeypatch.setenv("MAGNIFY_TPU_DETECTOR", "dense")
+    from magnify_tpu.core import DataArray
+    from magnify_tpu.parallel import make_mesh, use_mesh
+    from magnify_tpu.utils import filled_circle_points
+
+    channels = ["c1", "c2"]
+    spectra = "name,c1,c2\neu,1.0,0.1\ndy,0.2,1.0\n"
+    codes = "name,eu,dy\ncode_a,1.0,0.0\ncode_b,1.0,1.0\n"
+    rng = np.random.default_rng(13)
+    planes = rng.normal(2.0, 0.3, (2, 256, 256)).astype(np.float32)
+    disk = filled_circle_points(9)
+    for i, pos in enumerate([(60, 60), (60, 180), (180, 60), (180, 180)]):
+        vols = np.array([100.0, 100.0 * (i % 2)])
+        inten = vols @ np.array([[1.0, 0.1], [0.2, 1.0]])
+        pts = disk + np.array(pos)
+        for ci in range(2):
+            planes[ci, pts[:, 0], pts[:, 1]] = inten[ci]
+    data = DataArray(planes, dims=("channel", "y", "x"),
+                     coords={"channel": channels})
+
+    kw = dict(min_bead_diameter=14, max_bead_diameter=22, overlap=0,
+              num_iter=1000, search_channel="c1")
+    ref = mg.mrbles(data=data, spectra=_io.StringIO(spectra),
+                    codes=_io.StringIO(codes), **kw)
+    with use_mesh(make_mesh(batch=2, space=4)):
+        got = mg.mrbles(data=data, spectra=_io.StringIO(spectra),
+                        codes=_io.StringIO(codes), **kw)
+    assert ref.roi.sizes["mark"] == got.roi.sizes["mark"] == 4
+    np.testing.assert_array_equal(got.tag.values, ref.tag.values)
+    np.testing.assert_array_equal(got.x.values, ref.x.values)
+    np.testing.assert_array_equal(got.roi.values, ref.roi.values)
+    assert sorted(np.unique(ref.tag.values)) == ["code_a", "code_b"]
