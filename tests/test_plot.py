@@ -123,3 +123,26 @@ def test_tuning_session_manual_run():
     assert seen == [0.5]
     s.run()
     assert seen == [0.5, 0.9]
+
+
+def test_interactive_gui_loop_builds_widgets(monkeypatch):
+    """The matplotlib widget loop constructs sliders/buttons and exits when
+    the window closes (simulated by monkeypatching plt.pause)."""
+    import matplotlib.pyplot as plt
+
+    from magnify_tpu.plot.vis import InteractiveUI
+
+    ui = InteractiveUI()
+    ui.interactive = True  # force the GUI path on the Agg backend
+
+    monkeypatch.setattr(plt, "pause", lambda _dt: plt.close("all"))
+
+    def stage(threshold: float = 0.4, radius: int = 8, flag: bool = False):
+        return [(np.full((8, 8), threshold), {"name": "img"}),
+                (np.array([[4.0, 4.0]]), {"size": 2 * radius}, "points")]
+
+    out = ui.run_widget(stage, auto_call=True, last=True)
+    assert out[0][1]["name"] == "img"
+    assert ui.sessions[-1].params == {"threshold": 0.4, "radius": 8,
+                                      "flag": False}
+    assert not plt.get_fignums()  # last=True closed the figure
