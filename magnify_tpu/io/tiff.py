@@ -41,6 +41,7 @@ class _Page:
     rows_per_strip: int
     description: str | None
     samples_per_pixel: int = 1
+    predictor: int = 1
 
 
 @dataclasses.dataclass
@@ -166,12 +167,15 @@ class _Parser:
             rows_per_strip=int(one(278, one(257))),
             description=t.get(270) if isinstance(t.get(270), str) else None,
             samples_per_pixel=int(one(277, 1)),
+            predictor=int(one(317, 1)),
         )
 
     def decode(self, page_idx) -> np.ndarray:
         p = self.page(page_idx)
         dtype = _dtype_of(p.bits, p.sample_format).newbyteorder(self.end)
-        if p.compression not in (1, 8, 32946):
+        if p.compression not in (1, 8, 32946) or p.predictor not in (1, 2):
+            # LZW/PackBits/JPEG and the floating-point predictor decode
+            # through PIL (always present in this environment).
             return self._decode_via_pil(page_idx, p)
         chunks = []
         for off, cnt in zip(p.strip_offsets, p.strip_counts):
@@ -182,9 +186,14 @@ class _Parser:
         buf = b"".join(chunks)
         n = p.height * p.width * p.samples_per_pixel
         arr = np.frombuffer(buf[: n * dtype.itemsize], dtype=dtype)
-        arr = arr.reshape(p.height, p.width, p.samples_per_pixel).squeeze(-1) \
-            if p.samples_per_pixel > 1 else arr.reshape(p.height, p.width)
-        return arr.astype(arr.dtype.newbyteorder("="))
+        arr = arr.reshape(p.height, p.width, p.samples_per_pixel)
+        arr = arr.astype(arr.dtype.newbyteorder("="))
+        if p.predictor == 2:
+            # Horizontal differencing: each row stores per-sample deltas;
+            # reverse with a wrapping cumsum along the row in the storage
+            # dtype.
+            arr = np.cumsum(arr, axis=1, dtype=arr.dtype)
+        return arr.squeeze(-1) if p.samples_per_pixel == 1 else arr
 
     def _decode_via_pil(self, page_idx, p):
         from PIL import Image
@@ -320,7 +329,8 @@ def read_pages(path, page_indices) -> np.ndarray:
         and p.compression == p0.compression and p.samples_per_pixel == 1
         for p in pages
     )
-    native_ok = same and p0.compression in (1, 8, 32946)
+    native_ok = (same and p0.compression in (1, 8, 32946)
+                 and p0.predictor == 1)
     if native_ok:
         from magnify_tpu import native
 

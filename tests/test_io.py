@@ -584,3 +584,68 @@ def test_zarr_v3_store_reads(tmp_path):
     assert ds.image.dims == ("y", "x")
     assert "t" in ds.coords
     assert ds.attrs["name"] == "v3exp"
+
+
+def test_lzw_tiff_reads(tmp_path):
+    """LZW-compressed TIFFs (PIL-written) decode through the PIL fallback."""
+    from PIL import Image
+
+    from magnify_tpu.io import tiff
+
+    arr = (np.arange(48 * 64) % 251).astype(np.uint8).reshape(48, 64)
+    p = tmp_path / "lzw.tif"
+    Image.fromarray(arr).save(p, compression="tiff_lzw")
+    got = tiff.read_tiff(p)
+    np.testing.assert_array_equal(got, arr)
+
+
+def _write_tiff_deflate_predictor(path, arr):
+    """Minimal single-strip little-endian TIFF with deflate + horizontal
+    predictor (hand-built: the framework's writer doesn't emit predictors,
+    so this exercises the reader against an independent construction)."""
+    import struct
+    import zlib
+
+    h, w = arr.shape
+    diff = arr.astype(np.int32)
+    diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
+    payload = zlib.compress(diff.astype(arr.dtype).tobytes())
+
+    bits = arr.dtype.itemsize * 8
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, bits),
+        (259, 3, 1, 8),            # deflate
+        (262, 3, 1, 1),
+        (273, 4, 1, 0),            # strip offset (patched below)
+        (277, 3, 1, 1),
+        (278, 3, 1, h),
+        (279, 4, 1, len(payload)),
+        (317, 3, 1, 2),            # horizontal predictor
+    ]
+    ifd = struct.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        ifd += struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+    ifd += struct.pack("<I", 0)
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    strip_off = 8 + len(ifd)
+    # patch tag 273's value (6th tag entry, value at offset 8 within entry)
+    entry_pos = 2 + 5 * 12 + 8
+    ifd = ifd[:entry_pos] + struct.pack("<I", strip_off) + ifd[entry_pos + 4:]
+    path.write_bytes(header + ifd + payload)
+
+
+def test_deflate_predictor_tiff_reads(tmp_path):
+    """Deflate-compressed strips with TIFF predictor 2 decode correctly
+    (the predictor reversal is a wrapping per-row cumsum)."""
+    from magnify_tpu.io import tiff
+
+    rng = np.random.default_rng(0)
+    for dtype in (np.uint8, np.uint16):
+        arr = rng.integers(0, np.iinfo(dtype).max, (20, 31)).astype(dtype)
+        p = tmp_path / f"pred_{dtype.__name__}.tif"
+        _write_tiff_deflate_predictor(p, arr)
+        got = tiff.read_tiff(p)
+        np.testing.assert_array_equal(got, arr)
+        # The multi-page reader path must agree (native gate falls back).
+        got2 = tiff.read_pages(p, [0])[0]
+        np.testing.assert_array_equal(got2, arr)
