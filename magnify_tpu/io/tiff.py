@@ -173,9 +173,12 @@ class _Parser:
     def decode(self, page_idx) -> np.ndarray:
         p = self.page(page_idx)
         dtype = _dtype_of(p.bits, p.sample_format).newbyteorder(self.end)
-        if p.compression not in (1, 8, 32946) or p.predictor not in (1, 2):
-            # LZW/PackBits/JPEG and the floating-point predictor decode
-            # through PIL (always present in this environment).
+        if (p.compression not in (1, 8, 32946)
+                or p.predictor not in (1, 2)
+                or not p.strip_offsets):
+            # LZW/PackBits/JPEG, the floating-point predictor, and tiled
+            # layouts (no strip tags) decode through PIL (always present
+            # in this environment).
             return self._decode_via_pil(page_idx, p)
         chunks = []
         for off, cnt in zip(p.strip_offsets, p.strip_counts):
@@ -330,7 +333,7 @@ def read_pages(path, page_indices) -> np.ndarray:
         for p in pages
     )
     native_ok = (same and p0.compression in (1, 8, 32946)
-                 and p0.predictor == 1)
+                 and p0.predictor == 1 and bool(p0.strip_offsets))
     if native_ok:
         from magnify_tpu import native
 

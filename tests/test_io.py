@@ -649,3 +649,16 @@ def test_deflate_predictor_tiff_reads(tmp_path):
         # The multi-page reader path must agree (native gate falls back).
         got2 = tiff.read_pages(p, [0])[0]
         np.testing.assert_array_equal(got2, arr)
+
+
+def test_tiled_tiff_reads_via_fallback(tmp_path):
+    """Tiled TIFFs (tile tags instead of strips) decode via PIL."""
+    from PIL import Image
+
+    from magnify_tpu.io import tiff
+
+    arr = (np.arange(128 * 96) % 251).astype(np.uint8).reshape(128, 96)
+    p = tmp_path / "tiled.tif"
+    Image.fromarray(arr).save(p, compression="tiff_adobe_deflate",
+                              tiffinfo={322: 64, 323: 64})
+    np.testing.assert_array_equal(tiff.read_tiff(p), arr)
