@@ -26,7 +26,7 @@ import numpy as np
 from magnify_tpu.core import Dataset
 
 __all__ = ["blosc_decompress", "open_any_store", "open_store",
-           "open_zarr_v2", "open_zarr_v3", "write_store"]
+           "open_zarr_v2", "open_zarr_v3", "write_store", "write_zarr_v2"]
 
 MANIFEST = "manifest.json"
 
@@ -62,6 +62,42 @@ def open_store(path, group: str | None = None) -> Dataset:
         if name in coords:
             ds._coord_names.add(name)
     return ds
+
+
+def write_zarr_v2(path, dataset: Dataset, level: int = 5) -> None:
+    """Write a Dataset as a zarr-v2 directory store (zlib-compressed).
+
+    The layout xarray/zarr-python read directly (one chunk per variable,
+    ``_ARRAY_DIMENSIONS`` attributes, numcodecs ``zlib`` compressor), so
+    reference-era tooling can re-open outputs written by this framework —
+    the reverse direction of :func:`open_zarr_v2`.
+    """
+    root = pathlib.Path(path)
+    root.mkdir(parents=True, exist_ok=True)
+    (root / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
+    (root / ".zattrs").write_text(
+        json.dumps(dataset.attrs, default=str))
+    for name, var in dataset.variables.items():
+        values = np.ascontiguousarray(var.values)
+        if values.dtype == object:
+            values = values.astype(str)
+        adir = root / name
+        adir.mkdir(exist_ok=True)
+        (adir / ".zarray").write_text(json.dumps({
+            "zarr_format": 2,
+            "shape": list(values.shape),
+            "chunks": list(values.shape) if values.ndim else [1],
+            "dtype": values.dtype.str,
+            "compressor": {"id": "zlib", "level": int(level)},
+            "fill_value": None,
+            "order": "C",
+            "filters": None,
+        }))
+        (adir / ".zattrs").write_text(json.dumps(
+            {"_ARRAY_DIMENSIONS": list(var.dims)}))
+        chunk_name = ".".join(["0"] * max(values.ndim, 1))
+        (adir / chunk_name).write_bytes(zlib.compress(values.tobytes(),
+                                                      int(level)))
 
 
 def _lz4_block_decompress(src: bytes, max_out: int) -> bytes:

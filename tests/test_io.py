@@ -662,3 +662,29 @@ def test_tiled_tiff_reads_via_fallback(tmp_path):
     Image.fromarray(arr).save(p, compression="tiff_adobe_deflate",
                               tiffinfo={322: 64, 323: 64})
     np.testing.assert_array_equal(tiff.read_tiff(p), arr)
+
+
+def test_write_zarr_v2_round_trip(tmp_path):
+    """Datasets written as zarr v2 re-open (and follow the spec layout a
+    zarr/xarray reader expects: .zgroup, .zarray with numcodecs zlib,
+    _ARRAY_DIMENSIONS)."""
+    from magnify_tpu.io.zarrlite import open_any_store, write_zarr_v2
+
+    ds = Dataset({"image": (("y", "x"),
+                            np.arange(48, dtype=np.uint16).reshape(6, 8))},
+                 attrs={"name": "run1"})
+    ds = ds.assign_coords(y=(("y",), np.arange(6)))
+    root = tmp_path / "store"
+    write_zarr_v2(root, ds)
+
+    meta = json.loads((root / "image" / ".zarray").read_text())
+    assert meta["zarr_format"] == 2
+    assert meta["compressor"] == {"id": "zlib", "level": 5}
+    assert json.loads((root / "image" / ".zattrs").read_text()) == {
+        "_ARRAY_DIMENSIONS": ["y", "x"]}
+
+    back = open_any_store(root)
+    np.testing.assert_array_equal(back.image.values, ds.image.values)
+    assert back.image.dims == ("y", "x")
+    assert "y" in back.coords
+    assert back.attrs["name"] == "run1"
