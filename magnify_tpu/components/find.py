@@ -5,11 +5,11 @@ TPU-first re-design of /root/reference/src/magnify/find.py:
 * Detection (edges, RANSAC, scoring, NMS) runs as the fused device program in
   :mod:`magnify_tpu.ops.detect`.
 * Bead ownership labels (reference ``utils.circle_labels``, find.py:561) are
-  computed per-ROI on device from neighbor lists instead of painting a global
-  label raster: a pixel's foreground/background status is a closed-form
-  function of how many bead disks cover it.
-* ROI crops are batched ``dynamic_slice`` gathers (ops.geom.extract_rois)
-  instead of per-marker numpy loops (find.py:589-602).
+  computed per-ROI from neighbor lists instead of painting a global label
+  raster: a pixel's foreground/background status is a closed-form function
+  of how many bead disks cover it. Masks and ROI crops are cheap host work
+  (raster math + numpy slices) — only detection crosses the device link,
+  as one packed dispatch and one small pull.
 * The chip pipeline's per-chamber re-detection (find.py:324-402) runs as one
   vmapped program over all R x C chambers.
 * Large roi/fg/bg outputs are disk-backed memmaps (the dask-allocation
@@ -69,65 +69,6 @@ def _channel_index(assay, channel):
 # ---------------------------------------------------------------------------
 # Device helpers
 # ---------------------------------------------------------------------------
-
-@functools.partial(jax.jit, static_argnames=("roi_length", "max_radius",
-                                             "max_neighbors"))
-def _bead_masks(beads, tops, lefts, neighbor_idx, *, roi_length, max_radius,
-                max_neighbors):
-    """Per-bead fg/bg masks from disk-coverage counting.
-
-    Equivalent to cropping the reference's painted ownership raster
-    (find.py:561-586): fg = pixels covered by this bead only, bg = pixels
-    covered by no bead.
-    """
-    lut = jnp.asarray(ops_geom.extent_lut(max_radius))
-    n = beads.shape[0]
-
-    def cover(window_rows, window_cols, bead):
-        # window_rows/cols: (L,) absolute coordinates.
-        dr = jnp.abs(window_rows - bead[0])
-        dc = jnp.abs(window_cols - bead[1])
-        r = jnp.clip(bead[2], 0, max_radius)
-        width = jnp.where(dr <= r, lut[r, jnp.minimum(dr, max_radius)], -1)
-        return dc[None, :] <= width[:, None]
-
-    def one(i):
-        top, left = tops[i], lefts[i]
-        rows = top + jnp.arange(roi_length)
-        cols = left + jnp.arange(roi_length)
-
-        def body(k, state):
-            count, owned = state
-            j = neighbor_idx[i, k]
-            bead = beads[jnp.maximum(j, 0)]
-            c = cover(rows, cols, bead) & (j >= 0)
-            count = count + c.astype(jnp.int32)
-            owned = owned | (c & (j == i))
-            return count, owned
-
-        count0 = jnp.zeros((roi_length, roi_length), jnp.int32)
-        owned0 = jnp.zeros((roi_length, roi_length), bool)
-        count, owned = jax.lax.fori_loop(0, max_neighbors, body,
-                                         (count0, owned0))
-        fg = owned & (count == 1)
-        bg = count == 0
-        return fg, bg
-
-    return jax.vmap(one)(jnp.arange(n))
-
-
-@functools.partial(jax.jit, static_argnames=("roi_length", "max_radius",
-                                             "max_neighbors"))
-def _bead_masks_and_rois(beads, tops, lefts, neighbor_idx, image, *,
-                         roi_length, max_radius, max_neighbors):
-    """Fused fg/bg ownership masks + all-channel ROI gathers (one dispatch)."""
-    fg, bg = _bead_masks(beads, tops, lefts, neighbor_idx,
-                         roi_length=roi_length, max_radius=max_radius,
-                         max_neighbors=max_neighbors)
-    crops = ops_geom.extract_rois(image, tops, lefts, roi_length)
-    # crops: (mark, channel, time, L, L).
-    return fg, bg, crops
-
 
 @functools.partial(
     jax.jit,
@@ -208,31 +149,25 @@ def _bead_detect_packed(planes, low_q, high_q, min_roundness, dedupe_dist,
     return packed, beads
 
 
-def _bead_finalize_host(image, beads, roi_length, max_radius):
-    """Host fg/bg ownership masks + ROI crops (numpy).
+def _bead_ownership_host(beads, h, w, roi_length, max_radius):
+    """Host fg/bg ownership masks + ROI windows (numpy).
 
-    Exactly the semantics of the device :func:`_bead_masks` (itself the
-    reference's painted ownership raster, find.py:561-586): fg = pixels
-    covered by this bead's disk only, bg = pixels covered by none; disks
-    rasterized from the shared Bresenham extent LUT. At a few hundred beads
-    this is microseconds of numpy — far cheaper than pulling the mask and
-    ROI tensors through the host<->device link.
-
-    ``image``: (C, T, H, W) numpy. Returns (fg (n, L, L), bg, rois
-    (n, C, T, L, L), tops, lefts).
+    The reference's painted ownership raster semantics (find.py:561-586):
+    fg = pixels covered by this bead's disk only, bg = pixels covered by
+    none; disks rasterized from the shared Bresenham extent LUT. At a few
+    hundred beads this is microseconds of numpy — far cheaper than any
+    device round trip. Returns (fg (n, L, L), bg, tops, lefts).
     """
     n = len(beads)
     L = roi_length
-    h, w = image.shape[-2:]
     lut = ops_geom.extent_lut(max_radius)
     tops = np.clip(beads[:, 0] - L // 2, 0, h - L)
     lefts = np.clip(beads[:, 1] - L // 2, 0, w - L)
 
     fg = np.zeros((n, L, L), bool)
     count = np.zeros((n, L, L), np.int16)
-    rois = np.empty((n,) + image.shape[:-2] + (L, L), image.dtype)
     if n == 0:
-        return fg, count == 0, rois, tops, lefts
+        return fg, count == 0, tops, lefts
 
     # Neighbor lists: beads whose disks can reach a window (Chebyshev
     # distance from bead center to window center <= L/2 + max_radius).
@@ -252,10 +187,21 @@ def _bead_finalize_host(image, beads, roi_length, max_radius):
             count[i] += cover
             if j == i:
                 fg[i] = cover
-        rois[i] = image[..., tops[i]:tops[i] + L, lefts[i]:lefts[i] + L]
 
     fg &= count == 1
-    return fg, count == 0, rois, tops, lefts
+    return fg, count == 0, tops, lefts
+
+
+def _bead_finalize_host(image, beads, roi_length, max_radius):
+    """Host masks + ROI crops: ``image`` (C, T, H, W) numpy. Returns
+    (fg (n, L, L), bg, rois (n, C, T, L, L), tops, lefts)."""
+    h, w = image.shape[-2:]
+    L = roi_length
+    fg, bg, tops, lefts = _bead_ownership_host(beads, h, w, L, max_radius)
+    rois = np.empty((len(beads),) + image.shape[:-2] + (L, L), image.dtype)
+    for i in range(len(beads)):
+        rois[i] = image[..., tops[i]:tops[i] + L, lefts[i]:lefts[i] + L]
+    return fg, bg, rois, tops, lefts
 
 
 @functools.partial(
@@ -393,14 +339,14 @@ class BeadFinder:
                 and ops_detect.resolve_detector(self.detector) == "dense"):
             return self._fused_dense(assay, image_np, search_idxs)
 
-        image_dev = jnp.asarray(image_np) if image_np is not None else None
+
 
         beads = np.empty((0, 3))
         for channel in search_channels:
             ci = (_channel_index(assay, channel)
                   if not isinstance(channel, int) else channel)
-            if image_dev is not None:
-                det_input = image_dev[ci, 0]
+            if image_np is not None:
+                det_input = image_np[ci, 0]
             else:
                 det_input = assay.image.isel(time=0, channel=ci).to_numpy()
             found = ops_detect.find_circles(
@@ -454,54 +400,21 @@ class BeadFinder:
         # matching find.py:564).
         ints = np.round(beads).astype(np.int32)
         h, w = sizes["im_y"], sizes["im_x"]
-        tops = np.empty(num_beads, np.int32)
-        lefts = np.empty(num_beads, np.int32)
-        for i in range(num_beads):
-            top, _, left, _ = utils.bounding_box(
-                int(round(beads[i, 1])), int(round(beads[i, 0])), L, w, h
-            )
-            tops[i], lefts[i] = top, left
 
-        # Neighbor lists: beads whose disks can reach each bead's window.
-        reach = L / 2 + self.max_bead_radius + 2
-        tree = scipy.spatial.KDTree(ints[:, :2])
-        centers = np.stack([tops + L // 2, lefts + L // 2], axis=1)
-        neighbor_lists = tree.query_ball_point(centers, reach * np.sqrt(2),
-                                               p=np.inf)
-        max_nb = max(len(nb) for nb in neighbor_lists)
-        neighbor_idx = -np.ones((num_beads, max_nb), np.int32)
-        for i, nb in enumerate(neighbor_lists):
-            neighbor_idx[i, : len(nb)] = nb
-
-        tops_j = jnp.asarray(tops)
-        lefts_j = jnp.asarray(lefts)
-        roi_bytes = roi.size * roi.itemsize
-        if image_dev is not None and roi_bytes <= MAX_RESIDENT_BYTES:
-            # Fused path: masks + every channel's ROI crops in one dispatch,
-            # reading the already-resident device image.
-            fg_dev, bg_dev, crops = _bead_masks_and_rois(
-                jnp.asarray(ints), tops_j, lefts_j,
-                jnp.asarray(neighbor_idx), image_dev,
-                roi_length=L, max_radius=self.max_bead_radius,
-                max_neighbors=max_nb,
-            )
-            fg[:] = np.asarray(fg_dev)[:, None]
-            bg[:] = np.asarray(bg_dev)[:, None]
-            roi[:] = np.asarray(crops)
-        else:
-            # Out-of-core path: one channel at a time (find.py:589-602).
-            fg_dev, bg_dev = _bead_masks(
-                jnp.asarray(ints), tops_j, lefts_j,
-                jnp.asarray(neighbor_idx), roi_length=L,
-                max_radius=self.max_bead_radius, max_neighbors=max_nb,
-            )
-            fg[:] = np.asarray(fg_dev)[:, None]
-            bg[:] = np.asarray(bg_dev)[:, None]
-            for ci in range(n_ch):
-                image = assay.image.isel(channel=ci).to_numpy()
-                crops = ops_geom.extract_rois(jnp.asarray(image), tops_j,
-                                              lefts_j, L)
-                roi[:, ci] = np.asarray(crops)
+        # Ownership masks + ROI crops on host: pure raster math and slicing
+        # (no device round trips); out-of-core stacks stream one channel at
+        # a time (find.py:589-602).
+        fg1, bg1, tops, lefts = _bead_ownership_host(
+            ints, h, w, L, self.max_bead_radius
+        )
+        fg[:] = fg1[:, None]
+        bg[:] = bg1[:, None]
+        for ci in range(n_ch):
+            image_c = (image_np[ci] if image_np is not None
+                       else assay.image.isel(channel=ci).to_numpy())
+            for i in range(num_beads):
+                roi[i, ci] = image_c[..., tops[i]:tops[i] + L,
+                                     lefts[i]:lefts[i] + L]
 
         assay.cache(["roi", "fg", "bg"])
         return assay
