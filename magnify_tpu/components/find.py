@@ -89,31 +89,19 @@ def _button_masks(y_rel, x_rel, radii, *, roi_length, max_radius,
     return jax.vmap(one)(y_rel, x_rel, radii)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("search_channels", "min_radius", "max_radius", "cap",
-                     "nms_cap", "min_dist", "pull_cap", "normalized"),
-)
-def _bead_detect_packed(planes, low_q, high_q, min_roundness, dedupe_dist,
-                        *, search_channels, min_radius, max_radius, cap,
-                        nms_cap, min_dist, pull_cap, normalized=True):
-    """Detection-only fused multi-channel step.
-
-    The minimum-traffic single-frame path for BeadFinder (pre-normalized u8
-    planes, 1 byte/pixel up the relay) and ButtonFinder's center search
-    (raw planes): this one dispatch runs per-channel dense detection + NMS
-    + cross-channel dedupe (circles within ``dedupe_dist`` of an earlier
-    channel's circle drop, reference find.py:490-500 / find.py:224-227) +
-    compaction, and the result comes back as ONE small int32 array: row 0
-    holds (live count, worst per-channel keep count, 0), rows 1..pull_cap
-    the compacted circles. Masks and ROI crops are cheap host work
-    (_bead_finalize_host), so nothing else crosses the link.
-    """
+def _multi_channel_detect(planes, low_q, high_q, min_roundness, dedupe_dist,
+                          *, min_radius, max_radius, cap, nms_cap, min_dist,
+                          normalized):
+    """Per-channel dense detection + NMS + cross-channel dedupe (circles
+    within ``dedupe_dist`` of an earlier channel's circle drop, reference
+    find.py:490-500 / find.py:224-227). Traced helper shared by the bead
+    frame path and the fused chip step. Returns (circles (S*nms_cap, 3)
+    int32, valid bool, worst per-channel keep count)."""
     from magnify_tpu.ops.detect import _stage_dense_full
 
     blocks = []
     n_keeps = []
-    for ci in range(search_channels):
+    for ci in range(planes.shape[0]):
         c, s, acc, nk = _stage_dense_full(
             planes[ci], low_q, high_q, min_roundness,
             min_radius=min_radius, max_radius=max_radius, cap=cap,
@@ -133,6 +121,32 @@ def _bead_detect_packed(planes, low_q, high_q, min_roundness, dedupe_dist,
 
     circles = jnp.concatenate([c[:nms_cap] for c, _ in blocks])
     valid = jnp.concatenate([v for _, v in blocks])
+    return circles, valid, jnp.max(jnp.stack(n_keeps))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search_channels", "min_radius", "max_radius", "cap",
+                     "nms_cap", "min_dist", "pull_cap", "normalized"),
+)
+def _bead_detect_packed(planes, low_q, high_q, min_roundness, dedupe_dist,
+                        *, search_channels, min_radius, max_radius, cap,
+                        nms_cap, min_dist, pull_cap, normalized=True):
+    """Detection-only fused multi-channel step.
+
+    The minimum-traffic single-frame path for BeadFinder (pre-normalized u8
+    planes, 1 byte/pixel up the relay) and ButtonFinder's center search
+    (raw planes): one dispatch through :func:`_multi_channel_detect` +
+    compaction, and the result comes back as ONE small int32 array: row 0
+    holds (live count, worst per-channel keep count, 0), rows 1..pull_cap
+    the compacted circles. Masks and ROI crops are cheap host work
+    (_bead_finalize_host), so nothing else crosses the link.
+    """
+    circles, valid, worst_keep = _multi_channel_detect(
+        planes, low_q, high_q, min_roundness, dedupe_dist,
+        min_radius=min_radius, max_radius=max_radius, cap=cap,
+        nms_cap=nms_cap, min_dist=min_dist, normalized=normalized,
+    )
     total = circles.shape[0]
 
     # Compact live beads to the front, preserving channel-major score order.
@@ -142,9 +156,7 @@ def _bead_detect_packed(planes, low_q, high_q, min_roundness, dedupe_dist,
     beads = jnp.zeros((total, 3), jnp.int32).at[dest].set(circles,
                                                           mode="drop")
     packed = jnp.zeros((pull_cap + 1, 3), jnp.int32)
-    packed = packed.at[0].set(
-        jnp.stack([n, jnp.max(jnp.stack(n_keeps)), jnp.int32(0)])
-    )
+    packed = packed.at[0].set(jnp.stack([n, worst_keep, jnp.int32(0)]))
     packed = packed.at[1:].set(beads[:pull_cap])
     return packed, beads
 
@@ -204,19 +216,12 @@ def _bead_finalize_host(image, beads, roi_length, max_radius):
     return fg, bg, rois, tops, lefts
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("search_idxs", "roi_length", "min_radius",
-                     "max_radius"),
-)
-def _chip_detect_dense(images, xs, ys, low_q, high_q, min_roundness, *,
-                       search_idxs, roi_length, min_radius, max_radius):
-    """Fused per-chamber re-detection: crop every chamber and dense-detect
-    the best circle per chamber across all search channels in one dispatch
-    (device half of the reference's per-chamber loop, find.py:324-402).
-    Returns a single (n, 4) float32 block (row, col, radius, score) — the
-    one small transfer back to host; cropping at refined centers and fg/bg
-    rasterization are cheap host work."""
+def _refine_chambers(images, xs, ys, low_q, high_q, min_roundness, *,
+                     search_idxs, roi_length, min_radius, max_radius):
+    """Traced per-chamber re-detection: crop every chamber and dense-detect
+    the best circle per chamber across all search channels (device half of
+    the reference's per-chamber loop, find.py:324-402). Returns an (n, 4)
+    float32 block (row, col, radius, score)."""
     from magnify_tpu.ops.detect import _detect_rois_dense
 
     c, h, w = images.shape
@@ -239,6 +244,114 @@ def _chip_detect_dense(images, xs, ys, low_q, high_q, min_roundness, *,
     return jnp.concatenate(
         [best_circle.astype(jnp.float32), best_score[:, None]], axis=1
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search_idxs", "roi_length", "min_radius",
+                     "max_radius"),
+)
+def _chip_detect_dense(images, xs, ys, low_q, high_q, min_roundness, *,
+                       search_idxs, roi_length, min_radius, max_radius):
+    """Jitted :func:`_refine_chambers` — one dispatch, one (n, 4) pull;
+    cropping at refined centers and fg/bg rasterization are cheap host
+    work."""
+    return _refine_chambers(
+        images, xs, ys, low_q, high_q, min_roundness,
+        search_idxs=search_idxs, roi_length=roi_length,
+        min_radius=min_radius, max_radius=max_radius,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search_idxs", "num_rows", "num_cols", "row_dist",
+                     "col_dist", "top_chamber", "left_chamber",
+                     "chamber_radius", "min_radius", "max_radius", "cap",
+                     "min_dist", "roi_length"),
+)
+def _chip_fused_packed(images, low_q, high_q, high_q_roi, min_roundness,
+                       penalty, ppr, ppc, *, search_idxs, num_rows, num_cols,
+                       row_dist, col_dist, top_chamber, left_chamber,
+                       chamber_radius, min_radius, max_radius, cap, min_dist,
+                       roi_length):
+    """The ENTIRE chip timestep as one device program.
+
+    Fuses what the reference runs as a host-orchestrated chain
+    (find.py:119-141 -> find_centers -> cluster_1d/label_clusters ->
+    regress_clusters -> find_rois): multi-channel dense detection + NMS +
+    cross-channel dedupe, the 1-D grid-offset sweeps, per-cluster robust
+    regression, grid-line intersection, and per-chamber re-detection at the
+    intersected centers — one dispatch, one small (2 + R*C, 6) float32
+    pull. Row 0 carries [worst_keep, n_centers, row edge-cluster counts,
+    col edge-cluster counts] (for cap growth and the host-side sparse-edge
+    warnings), row 1 [row_slope, col_slope, ...], rows 2.. per chamber
+    [best_row, best_col, radius, score, mark_x, mark_y].
+    """
+    from magnify_tpu.ops import gridfit
+
+    h, w = images.shape[-2:]
+    planes = jnp.stack([images[ci] for ci in search_idxs])
+    circles, valid, worst_keep = _multi_channel_detect(
+        planes, low_q, high_q, min_roundness, jnp.float32(chamber_radius),
+        min_radius=min_radius, max_radius=max_radius, cap=cap, nms_cap=cap,
+        min_dist=min_dist, normalized=False,
+    )
+    ys = circles[:, 0].astype(jnp.float32)
+    xs = circles[:, 1].astype(jnp.float32)
+    n_centers = valid.sum()
+
+    if top_chamber is None:
+        row_labels = gridfit.cluster_1d_dev(
+            ys, valid, total_length=h, num_clusters=num_rows,
+            cluster_length=row_dist, ideal_num_points=ppr, penalty=penalty,
+        )
+    else:
+        row_labels = gridfit.label_clusters_dev(
+            ys, valid, offset=top_chamber, num_clusters=num_rows,
+            cluster_length=2 * chamber_radius,
+            cluster_gap=row_dist - 2 * chamber_radius,
+        )
+    if left_chamber is None:
+        col_labels = gridfit.cluster_1d_dev(
+            xs, valid, total_length=w, num_clusters=num_cols,
+            cluster_length=col_dist, ideal_num_points=ppc, penalty=penalty,
+        )
+    else:
+        col_labels = gridfit.label_clusters_dev(
+            xs, valid, offset=left_chamber, num_clusters=num_cols,
+            cluster_length=2 * chamber_radius,
+            cluster_gap=col_dist - 2 * chamber_radius,
+        )
+
+    in_cluster = (row_labels >= 0) & (col_labels >= 0)
+    row_labels = jnp.where(in_cluster, row_labels, -1)
+    col_labels = jnp.where(in_cluster, col_labels, -1)
+    row_slope, row_intercepts, row_counts = gridfit.regress_clusters_dev(
+        xs, ys, row_labels, num_clusters=num_rows, ideal_num_points=ppr,
+    )
+    col_slope, col_intercepts, col_counts = gridfit.regress_clusters_dev(
+        ys, xs, col_labels, num_clusters=num_cols, ideal_num_points=ppc,
+    )
+    mark_y = (row_slope * col_intercepts[None, :] + row_intercepts[:, None]
+              ) / (1 - row_slope * col_slope)
+    mark_x = mark_y * col_slope + col_intercepts[None, :]
+
+    best = _refine_chambers(
+        images, mark_x.reshape(-1), mark_y.reshape(-1), low_q, high_q_roi,
+        min_roundness, search_idxs=search_idxs, roi_length=roi_length,
+        min_radius=min_radius, max_radius=max_radius,
+    )  # (R*C, 4)
+
+    rows = jnp.concatenate(
+        [best, mark_x.reshape(-1, 1), mark_y.reshape(-1, 1)], axis=1
+    )
+    header = jnp.stack([
+        worst_keep.astype(jnp.float32), n_centers.astype(jnp.float32),
+        row_counts[0], row_counts[-1], col_counts[0], col_counts[-1],
+    ])
+    slopes = jnp.stack([row_slope, col_slope, 0.0, 0.0, 0.0, 0.0])
+    return jnp.concatenate([header[None], slopes[None], rows], axis=0)
 
 
 def _crop_rois_np(images, xs, ys, roi_length):
@@ -605,12 +718,29 @@ class ButtonFinder:
             "mark_row", "mark_col", "time").to_numpy().copy()
         tag = assay["tag"].to_numpy()
 
+        from magnify_tpu.parallel.mesh import active_mesh
+
+        mesh = active_mesh()
+        on_mesh = mesh is not None and mesh.size > 1
+        search_idxs = [_channel_index(assay, c) for c in search_channels]
+        # The whole timestep (detect -> cluster -> regress -> intersect ->
+        # refine chambers) fuses into ONE dispatch when the dense detector
+        # runs off-mesh and non-interactively.
+        use_fused = (self.gui is None and not on_mesh
+                     and ops_detect.resolve_detector(self.detector)
+                     == "dense")
+
         for t in _progress(self.search_timesteps, self.progress_bar):
             images = assay.image.isel(time=t).to_numpy()  # (channel, H, W)
             # One transfer per searched timestep; detection/ROI slicing runs
             # on the device-resident stack.
             images_dev = jnp.asarray(np.ascontiguousarray(images))
-            search_idxs = [_channel_index(assay, c) for c in search_channels]
+            if use_fused:
+                (roi[:, :, :, t], fg[:, :, t], bg[:, :, t], x[..., t],
+                 y[..., t], valid[..., t]) = self._fused_timestep(
+                    images, images_dev, tag, valid[..., t], search_idxs,
+                )
+                continue
             x[..., t], y[..., t] = self.find_centers(
                 images_dev, search_idxs, assay, tag
             )
@@ -662,6 +792,119 @@ class ButtonFinder:
         assay = assay.stack(mark=("mark_row", "mark_col")).transpose("mark", ...)
         assay.cache(["roi", "fg", "bg"])
         return assay
+
+    def _fused_timestep(self, images_np, images_dev, tag, valid_t,
+                        search_idxs):
+        """One-dispatch chip timestep: :func:`_chip_fused_packed` on device,
+        then host-side crops at the refined centers plus fg/bg rasters.
+        Replaces the find_centers + find_rois pair (two dispatches, two
+        pulls, host geometry in between) with one dispatch and one small
+        pull."""
+        from magnify_tpu.ops import gridfit
+
+        num_rows, num_cols = tag.shape
+        L = self.roi_length
+        h, w = images_np.shape[-2:]
+
+        for name, chamber, total, count, dist in (
+            ("rows", self.top_chamber, h, num_rows, self.row_dist),
+            ("cols", self.left_chamber, w, num_cols, self.col_dist),
+        ):
+            if chamber is None and gridfit.num_offsets(
+                    total, count, dist) <= 0:
+                raise ValueError(
+                    "cluster_1d: num_clusters * cluster_length exceeds "
+                    "total_length."
+                )
+
+        ppr = (tag != "").sum(axis=1).astype(np.float32)
+        ppc = (tag != "").sum(axis=0).astype(np.float32)
+        high_q_roi = 1 - np.pi * self.min_button_radius / L**2
+
+        memo_key = ("chip_fused", images_dev.shape, tuple(search_idxs),
+                    self.min_button_radius, self.max_button_radius)
+        cap = ops_detect._cap_memo.get(memo_key, 1024)
+        while True:
+            packed_d = _chip_fused_packed(
+                images_dev, float(self.low_edge_quantile),
+                float(self.high_edge_quantile), float(high_q_roi),
+                float(self.min_roundness), float(self.cluster_penalty),
+                jnp.asarray(ppr), jnp.asarray(ppc),
+                search_idxs=tuple(search_idxs), num_rows=num_rows,
+                num_cols=num_cols, row_dist=float(self.row_dist),
+                col_dist=float(self.col_dist), top_chamber=self.top_chamber,
+                left_chamber=self.left_chamber,
+                chamber_radius=int(self.chamber_radius),
+                min_radius=self.min_button_radius,
+                max_radius=self.max_button_radius, cap=cap,
+                min_dist=int(self.chamber_radius), roi_length=L,
+            )
+            packed = np.asarray(packed_d)  # the single pull + sync
+            worst = int(packed[0, 0])
+            if worst <= cap:
+                ops_detect._cap_memo[memo_key] = cap
+                break
+            cap = ops_detect._grow_cap(worst, cap)
+
+        # Host twins of the regress_clusters sparse-edge warnings.
+        from magnify_tpu import diagnostics
+
+        for cnt, ideal_arr, edge in (
+            (packed[0, 2], ppr, 0), (packed[0, 3], ppr, num_rows - 1),
+            (packed[0, 4], ppc, 0), (packed[0, 5], ppc, num_cols - 1),
+        ):
+            if cnt < 2 and ideal_arr[edge] >= 2:
+                diagnostics.log.warning(
+                    "edge cluster %d has %d point(s); the chip grid is "
+                    "unlikely to be segmented correctly", edge, int(cnt),
+                )
+
+        rows = packed[2:]
+        circle, score = rows[:, :3], rows[:, 3]
+        mark_x = rows[:, 4]
+        mark_y = rows[:, 5]
+        # Match the device program's f32 rounding of the crop corners (the
+        # detected circle coordinates are relative to them).
+        with np.errstate(invalid="ignore"):
+            tops = np.clip(np.round(mark_y).astype(np.int32) - L // 2, 0,
+                           h - L)
+            lefts = np.clip(np.round(mark_x).astype(np.int32) - L // 2, 0,
+                            w - L)
+            refined = np.isfinite(score) & (tag.reshape(-1) != "")
+            new_y = np.where(refined, circle[:, 0] + tops, mark_y)
+            new_x = np.where(refined, circle[:, 1] + lefts, mark_x)
+            radius = np.where(refined, circle[:, 2],
+                              self.max_button_radius).astype(int)
+
+            tops2 = np.clip(np.round(new_y).astype(np.int32) - L // 2, 0,
+                            h - L)
+            lefts2 = np.clip(np.round(new_x).astype(np.int32) - L // 2, 0,
+                             w - L)
+        crops = np.stack([
+            images_np[..., t:t + L, le:le + L]
+            for t, le in zip(tops2, lefts2)
+        ])
+        with np.errstate(invalid="ignore"):
+            y_rel = np.round(new_y).astype(np.int32) - tops2
+            x_rel = np.round(new_x).astype(np.int32) - lefts2
+        fg_h = np.stack([
+            utils.circle((L, L), (yr, xr), r).astype(bool)
+            for yr, xr, r in zip(y_rel, x_rel, radius)
+        ])
+        bg_h = np.stack([
+            utils.annulus((L, L), (yr, xr), self.chamber_radius,
+                          self.max_button_radius, True)
+            for yr, xr in zip(y_rel, x_rel)
+        ])
+        n_ch = images_np.shape[0]
+        return (
+            crops.reshape(num_rows, num_cols, n_ch, L, L),
+            fg_h.reshape(num_rows, num_cols, L, L),
+            bg_h.reshape(num_rows, num_cols, L, L),
+            new_x.astype(float).reshape(num_rows, num_cols),
+            new_y.astype(float).reshape(num_rows, num_cols),
+            valid_t,
+        )
 
     def find_centers(self, images_dev, search_idxs, assay, tag):
         """Grid-constrained center estimation (reference find.py:205-306)."""

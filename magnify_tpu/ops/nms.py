@@ -22,6 +22,78 @@ from magnify_tpu import utils
 __all__ = ["claimed_raster_nms", "parallel_greedy_nms"]
 
 
+# Above this many circles the (n, n) pairwise conflict matrix costs more
+# HBM than the raster rounds; below it, the matrix formulation wins big on
+# TPU (masked reductions instead of full-raster scatters per round).
+PAIRWISE_NMS_LIMIT = 8192
+
+
+@functools.lru_cache(maxsize=None)
+def _conflict_extents(min_dist: int) -> np.ndarray:
+    """EXT[a] = max |dcol| at which two radius-``min_dist`` exclusion rings
+    whose centers differ by (a, dcol) share a pixel; -1 when no dcol does.
+
+    Exact: the conflicting offsets are the correlation support
+    ring (+) (-ring), enumerated from all L^2 ring-pixel pairs. Each |drow|
+    row of that support is a contiguous, symmetric |dcol| interval
+    (asserted), so the whole relation compresses to one extent per row —
+    the same trick as the disk-extent LUT in ops.geom.
+    """
+    ring = utils.circle_points(min_dist, four_connected=True)
+    d = min_dist
+    off = 2 * d
+    diff = ring[:, None, :] - ring[None, :, :]
+    lut = np.zeros((4 * d + 1, 4 * d + 1), bool)
+    lut[diff[..., 0] + off, diff[..., 1] + off] = True
+    ext = np.full(2 * d + 1, -1, np.int32)
+    for a in range(2 * d + 1):
+        xs = np.flatnonzero(lut[off + a])
+        if len(xs):
+            assert xs[0] + xs[-1] == 2 * off, f"asymmetric row {a}"
+            assert np.all(np.diff(xs) == 1), f"non-convex conflict row {a}"
+            ext[a] = xs[-1] - off
+    return ext
+
+
+def _pairwise_greedy_nms(circles, valid, *, min_dist: int):
+    """Greedy rounds over an exact pairwise conflict matrix.
+
+    conflict[i, j] == rings of i and j share a pixel — computed from the
+    center offset via the extent LUT, so each round is two masked (n, n)
+    reductions (VPU-friendly) instead of the raster version's full-image
+    scatters.
+    """
+    n = circles.shape[0]
+    ext = jnp.asarray(_conflict_extents(min_dist))
+    drow = jnp.abs(circles[:, 0, None] - circles[None, :, 0])
+    dcol = jnp.abs(circles[:, 1, None] - circles[None, :, 1])
+    lim = jnp.where(drow <= 2 * min_dist,
+                    ext[jnp.minimum(drow, 2 * min_dist)], -1)
+    conflict = dcol <= lim  # (n, n), diagonal True
+    pri = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.int32(np.iinfo(np.int32).max)
+
+    def cond(state):
+        live, accepted, progressed = state
+        return jnp.any(live) & progressed
+
+    def body(state):
+        live, accepted, _ = state
+        best = jnp.min(
+            jnp.where(conflict & live[None, :], pri[None, :], big), axis=1
+        )
+        newly = live & (best == pri)
+        accepted = accepted | newly
+        conflicted = jnp.any(conflict & accepted[None, :], axis=1)
+        live = live & ~newly & ~conflicted
+        return live, accepted, jnp.any(newly)
+
+    _, accepted, _ = jax.lax.while_loop(
+        cond, body, (valid, jnp.zeros_like(valid), jnp.asarray(True))
+    )
+    return accepted
+
+
 @functools.partial(
     jax.jit, static_argnames=("min_dist", "height", "width", "max_radius")
 )
@@ -32,7 +104,9 @@ def parallel_greedy_nms(circles, valid, *, min_dist: int, height: int,
     Produces the same accepted set as :func:`claimed_raster_nms` (circles
     sorted best first, conflict = exclusion rings sharing a pixel) but runs
     in O(conflict-chain depth) parallel rounds instead of one sequential
-    scan step per circle. Each round:
+    scan step per circle. Small batches use the pairwise conflict-matrix
+    rounds (:func:`_pairwise_greedy_nms`); larger ones the raster rounds
+    below, where each round:
 
     * scatter-min every live circle's priority onto its ring pixels,
     * accept circles whose ring sees no better live priority (their greedy
@@ -43,6 +117,8 @@ def parallel_greedy_nms(circles, valid, *, min_dist: int, height: int,
         return valid
 
     n = circles.shape[0]
+    if n <= PAIRWISE_NMS_LIMIT:
+        return _pairwise_greedy_nms(circles, valid, min_dist=min_dist)
     ring = jnp.asarray(utils.circle_points(min_dist, four_connected=True))
     shift = max_radius + min_dist + 1
     rh = height + 2 * shift
