@@ -24,8 +24,21 @@ __all__ = ["claimed_raster_nms", "parallel_greedy_nms"]
 
 # Above this many circles the (n, n) pairwise conflict matrix costs more
 # HBM than the raster rounds; below it, the matrix formulation wins big on
-# TPU (masked reductions instead of full-raster scatters per round).
+# TPU (masked reductions instead of full-raster scatters per round). On
+# CPU the raster rounds win (scatters are cheap, (n, n) passes are not),
+# so pairwise is TPU-only unless MAGNIFY_TPU_NMS forces it.
 PAIRWISE_NMS_LIMIT = 8192
+
+
+def _use_pairwise(n: int) -> bool:
+    import os
+
+    mode = os.environ.get("MAGNIFY_TPU_NMS", "auto")
+    if mode == "pairwise":
+        return True
+    if mode == "raster":
+        return False
+    return n <= PAIRWISE_NMS_LIMIT and jax.default_backend() == "tpu"
 
 
 @functools.lru_cache(maxsize=None)
@@ -64,12 +77,16 @@ def _pairwise_greedy_nms(circles, valid, *, min_dist: int):
     scatters.
     """
     n = circles.shape[0]
-    ext = jnp.asarray(_conflict_extents(min_dist))
+    ext = _conflict_extents(min_dist)
     drow = jnp.abs(circles[:, 0, None] - circles[None, :, 0])
     dcol = jnp.abs(circles[:, 1, None] - circles[None, :, 1])
-    lim = jnp.where(drow <= 2 * min_dist,
-                    ext[jnp.minimum(drow, 2 * min_dist)], -1)
-    conflict = dcol <= lim  # (n, n), diagonal True
+    # Gather-free LUT lookup: an unrolled masked sum over the <= 2d+1
+    # table entries fuses into pure VPU compares/adds — (n, n) gathers from
+    # the table are ~100x slower on TPU.
+    acc = jnp.zeros(drow.shape, jnp.int32)
+    for a in range(2 * min_dist + 1):
+        acc = acc + jnp.where(drow == a, jnp.int32(int(ext[a]) + 1), 0)
+    conflict = dcol < acc  # dcol <= ext[drow]; drow out of range -> False
     pri = jnp.arange(n, dtype=jnp.int32)
     big = jnp.int32(np.iinfo(np.int32).max)
 
@@ -117,7 +134,7 @@ def parallel_greedy_nms(circles, valid, *, min_dist: int, height: int,
         return valid
 
     n = circles.shape[0]
-    if n <= PAIRWISE_NMS_LIMIT:
+    if _use_pairwise(n):
         return _pairwise_greedy_nms(circles, valid, min_dist=min_dist)
     ring = jnp.asarray(utils.circle_points(min_dist, four_connected=True))
     shift = max_radius + min_dist + 1

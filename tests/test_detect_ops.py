@@ -165,9 +165,11 @@ def test_masked_reductions():
     assert np.isnan(masked_median(np.ones((1, 4, 4), np.float32), empty))[0]
 
 
-def test_parallel_nms_matches_scan_nms():
+@pytest.mark.parametrize("mode", ["raster", "pairwise"])
+def test_parallel_nms_matches_scan_nms(mode, monkeypatch):
     from magnify_tpu.ops.nms import parallel_greedy_nms
 
+    monkeypatch.setenv("MAGNIFY_TPU_NMS", mode)
     rng = np.random.default_rng(7)
     for trial in range(3):
         n = 300
@@ -179,9 +181,9 @@ def test_parallel_nms_matches_scan_nms():
         a = claimed_raster_nms(jnp.asarray(circles), jnp.asarray(valid),
                                min_dist=7, height=200, width=200,
                                max_radius=12)
-        b = parallel_greedy_nms(jnp.asarray(circles), jnp.asarray(valid),
-                                min_dist=7, height=200, width=200,
-                                max_radius=12)
+        b = parallel_greedy_nms.__wrapped__(
+            jnp.asarray(circles), jnp.asarray(valid), min_dist=7, height=200,
+            width=200, max_radius=12)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
@@ -378,11 +380,15 @@ def test_histogram_quantiles_property_fuzz():
         np.testing.assert_array_equal(got, want)
 
 
-def test_nms_oracle_property_fuzz():
-    """Seeded fuzz: the parallel NMS equals the sequential claimed-raster
-    oracle across random circle sets, validity masks, and distances."""
+@pytest.mark.parametrize("mode", ["raster", "pairwise"])
+def test_nms_oracle_property_fuzz(mode, monkeypatch):
+    """Seeded fuzz: both parallel NMS formulations (raster scatter rounds
+    and the pairwise conflict-matrix rounds used on TPU) equal the
+    sequential claimed-raster oracle across random circle sets, validity
+    masks, and distances."""
     from magnify_tpu.ops.nms import claimed_raster_nms, parallel_greedy_nms
 
+    monkeypatch.setenv("MAGNIFY_TPU_NMS", mode)
     rng = np.random.default_rng(7)
     for _ in range(15):
         n = int(rng.integers(1, 120))
@@ -392,9 +398,9 @@ def test_nms_oracle_property_fuzz():
         ], axis=1).astype(np.int32)
         valid = rng.random(n) < 0.85
         md = int(rng.integers(1, 10))
-        a = np.asarray(parallel_greedy_nms(circles, valid, min_dist=md,
-                                           height=96, width=128,
-                                           max_radius=8))
+        a = np.asarray(parallel_greedy_nms.__wrapped__(
+            jnp.asarray(circles), jnp.asarray(valid), min_dist=md,
+            height=96, width=128, max_radius=8))
         b = np.asarray(claimed_raster_nms(circles, valid, min_dist=md,
                                           height=96, width=128,
                                           max_radius=8))
