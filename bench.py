@@ -29,7 +29,7 @@ import numpy as np
 # has made the CPU anchor FASTER (0.294 -> 0.472 -> 0.554 beads), i.e.
 # vs_baseline is computed against the hardest anchor. See BASELINE.md.
 CPU_ANCHOR_MPIX_S = 0.5541         # beads pipeline, 1.89 s/frame
-CPU_ANCHOR_MRBLES_MPIX_S = 4.0     # mrbles pipeline (sparse-edge field)
+CPU_ANCHOR_MRBLES_MPIX_S = 1.099   # mrbles pipeline (noisy field), 3.82 s
 CPU_ANCHOR_CHIP_MPIX_S = 0.438     # chip 8x8 pipeline
 
 NUM_ITER = 5_000_000
@@ -116,7 +116,10 @@ def _mrbles_codes_csv():
 
 def make_mrbles_workload(seed: int = 2, n_per_code: int = 27):
     """Synthetic 4-channel spectral bead field at the benchmark frame size
-    (the reference's examples/mrbles.ipynb workload shape)."""
+    (the reference's examples/mrbles.ipynb workload shape), with a noisy
+    autofluorescence background like real acquisitions (and like the
+    beads workload above) — a clean background makes the CPU anchor's
+    Canny edge map unrealistically sparse."""
     from magnify_tpu.core import DataArray
     from magnify_tpu.utils import filled_circle_points
 
@@ -139,7 +142,10 @@ def make_mrbles_workload(seed: int = 2, n_per_code: int = 27):
             for ci in range(len(MRBLES_CHANNELS)):
                 planes[ci, pts[:, 0], pts[:, 1]] = intensity[ci]
             placed += 1
-    planes += rng.normal(2.0, 0.3, planes.shape).astype(np.float32)
+    # Non-negative like real acquisitions (cameras clip at zero).
+    planes = np.maximum(
+        planes + rng.normal(10.0, 2.5, planes.shape).astype(np.float32), 0.0
+    )
     data = DataArray(planes, dims=("channel", "y", "x"),
                      coords={"channel": MRBLES_CHANNELS})
     return data, len(centers)
@@ -174,12 +180,19 @@ def measure_mrbles(n_runs: int = 3) -> dict:
         per_run.append(time.perf_counter() - t0)
     sec = float(np.median(per_run))
     mpix = data.values.size / 1e6
+    tags = np.unique(xp.tag.values)
+    n_outlier = int(np.sum(xp.tag.values == "outlier"))
     out = {
         "mrbles_mpix_per_s": round(mpix / sec, 3),
         "mrbles_seconds": round(sec, 3),
+        # On the noisy field the detector's marginal noise hits are tagged
+        # "outlier" by the decode stage (the reference's kNN-trim + GMM
+        # outlier component); `coded` counts the beads assigned a real code.
         "mrbles_found": int(xp.roi.sizes["mark"]),
+        "mrbles_coded": int(xp.roi.sizes["mark"]) - n_outlier,
         "mrbles_true": int(n_true),
-        "mrbles_codes_decoded": int(len(np.unique(xp.tag.values))),
+        "mrbles_codes_decoded": int(np.sum(tags != "outlier")),
+        "mrbles_outliers": n_outlier,
     }
     if CPU_ANCHOR_MRBLES_MPIX_S:
         out["mrbles_vs_anchor"] = round(

@@ -173,6 +173,13 @@ def flatfield_correct(xp, flatfield=1.0, darkfield=0.0):
         xp["tile"] = Variable(tile_var.dims, out, tile_var.attrs)
     else:
         pre = corrected(np.asarray(data))
+        if np.isscalar(flatfield) and flatfield == 1.0:
+            # Unit flatfield: the rescale factor is exactly 1 and the
+            # divide/multiply passes are identities — only the darkfield
+            # clip (already applied) matters.
+            xp["tile"] = Variable(tile_var.dims, pre.astype(dtype),
+                                  tile_var.attrs)
+            return xp
         max_pre = pre.max(initial=-np.inf)
         post = pre / flatfield
         max_post = post.max(initial=-np.inf)
