@@ -287,3 +287,32 @@ def test_mrbles_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
     np.testing.assert_array_equal(got.x.values, ref.x.values)
     np.testing.assert_array_equal(got.roi.values, ref.roi.values)
     assert sorted(np.unique(ref.tag.values)) == ["code_a", "code_b"]
+
+
+def test_chip_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
+    """The chip pipeline under use_mesh (center search sharded over the
+    mesh; per-chamber refinement local) matches the single-device run."""
+    monkeypatch.setenv("MAGNIFY_TPU_DETECTOR", "dense")
+    from magnify_tpu.core import DataArray
+    from magnify_tpu.parallel import make_mesh, use_mesh
+    from magnify_tpu.utils import filled_circle_points
+
+    grid = (3, 3)
+    img = np.zeros((400, 400), np.uint16)
+    pts = filled_circle_points(10)
+    for i in range(grid[0]):
+        for j in range(grid[1]):
+            img[pts[:, 0] + (i + 1) * 100, pts[:, 1] + (j + 1) * 100] = 1000
+
+    kw = dict(shape=grid, min_button_diameter=16, max_button_diameter=32,
+              overlap=0, row_dist=100, col_dist=100, num_iter=1000)
+    ref = mg.microfluidic_chip(data=DataArray(img, dims=("y", "x")), **kw)
+    with use_mesh(make_mesh(batch=2, space=4)):
+        got = mg.microfluidic_chip(data=DataArray(img, dims=("y", "x")),
+                                   **kw)
+
+    assert got.sizes["mark_row"] == ref.sizes["mark_row"] == 3
+    np.testing.assert_allclose(got.x.values, ref.x.values, atol=0.51)
+    np.testing.assert_allclose(got.y.values, ref.y.values, atol=0.51)
+    assert (got.fg.values == ref.fg.values).mean() > 0.99
+    assert (got.roi.values == ref.roi.values).mean() > 0.99
