@@ -11,6 +11,11 @@ import io
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import magnify_tpu as mg
 from magnify_tpu.utils import filled_circle_points
 
