@@ -192,8 +192,53 @@ CAP_CEILING = 1 << 24
 # Last adequate compaction cap per (purpose, *static shape params): frames of
 # a run have similar candidate counts, so starting from the remembered cap
 # avoids the grow-retry recompile (tens of seconds cold on TPU) after the
-# first frame.
-_cap_memo: dict[tuple, int] = {}
+# first frame. Persisted next to the XLA compile cache so FRESH PROCESSES
+# also start from the right cap — the grow-retry path compiles a program
+# per candidate cap, and skipping the undersized first guess saves one
+# compile + dispatch per workload on cold starts.
+
+
+class _CapMemo(dict):
+    """Write-through dict[tuple, int] persisted as a JSON sidecar."""
+
+    def __init__(self):
+        super().__init__()
+        self._path = None
+        if os.environ.get("MAGNIFY_TPU_DISABLE_CACHE"):
+            return
+        cache_dir = os.environ.get(
+            "MAGNIFY_TPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "magnify_tpu",
+                         "xla"),
+        )
+        self._path = os.path.join(cache_dir, "cap_memo.json")
+        try:
+            import ast
+            import json
+
+            with open(self._path) as fh:
+                for key, val in json.load(fh).items():
+                    super().__setitem__(ast.literal_eval(key), int(val))
+        except Exception:
+            pass
+
+    def __setitem__(self, key, value):
+        changed = self.get(key) != value
+        super().__setitem__(key, value)
+        if changed and self._path is not None:
+            try:
+                import json
+
+                os.makedirs(os.path.dirname(self._path), exist_ok=True)
+                tmp = self._path + f".tmp{os.getpid()}"
+                with open(tmp, "w") as fh:
+                    json.dump({repr(k): v for k, v in self.items()}, fh)
+                os.replace(tmp, self._path)
+            except Exception:
+                pass
+
+
+_cap_memo: dict[tuple, int] = _CapMemo()
 
 
 def _grow_cap(n_keep: int, cap: int) -> int:

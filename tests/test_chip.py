@@ -253,3 +253,35 @@ def test_chip_dense_detector_matches_ransac():
     areas_b = b.fg.sum(["roi_x", "roi_y"]).values
     np.testing.assert_allclose(areas_a, areas_b, rtol=0.25)
     grid_positions_ok(b, (3, 3))
+
+
+@pytest.mark.parametrize("detector", ["ransac", "dense"])
+def test_known_chamber_offsets_use_fixed_labeling(monkeypatch, detector):
+    """With top_chamber/left_chamber given, clustering uses the fixed
+    interval geometry (reference find.py:680-695) instead of the offset
+    sweep — in both detector modes (the dense mode runs the labeling on
+    device inside the fused timestep)."""
+    monkeypatch.setenv("MAGNIFY_TPU_DETECTOR", detector)
+    import magnify_tpu as mg
+    from magnify_tpu.core import DataArray
+    from magnify_tpu.utils import filled_circle_points
+
+    grid = (3, 3)
+    img = np.zeros((400, 400), np.uint16)
+    pts = filled_circle_points(10)
+    for i in range(grid[0]):
+        for j in range(grid[1]):
+            img[pts[:, 0] + (i + 1) * 100, pts[:, 1] + (j + 1) * 100] = 1000
+
+    xp = mg.microfluidic_chip(
+        data=DataArray(img, dims=("y", "x")), shape=grid,
+        min_button_diameter=16, max_button_diameter=32, overlap=0,
+        row_dist=100, col_dist=100, chamber_diameter=60,
+        top_chamber=70, left_chamber=70, num_iter=2000,
+    )
+    assert xp.sizes["mark_row"] == xp.sizes["mark_col"] == 3
+    xs = np.sort(np.round(np.ravel(xp.x.values)).astype(int).reshape(3, 3)[0])
+    ys = np.sort(np.round(np.ravel(
+        xp.y.values)).astype(int).reshape(3, 3)[:, 0])
+    np.testing.assert_allclose(xs, [100, 200, 300], atol=2)
+    np.testing.assert_allclose(ys, [100, 200, 300], atol=2)
