@@ -1,7 +1,11 @@
 """MRBLEs cluster visualization (counterpart of reference plot/mrbles.py).
 
 Scatter of per-bead lanthanide ratios colored by decoded tag, with 1/2/3
-sigma Gaussian ellipses per cluster, rendered with matplotlib.
+sigma Gaussian ellipses per cluster, rendered with matplotlib. Parameter
+surface mirrors the reference ``mrbles_clusters`` (plot/mrbles.py:277):
+lanthanides are selected by name from the ``ln`` coordinate, outliers are
+excluded by default (or drawn red), and precomputed ``means``/``covars``
+(e.g. the GMM's) can replace the per-tag empirical moments.
 """
 
 from __future__ import annotations
@@ -20,32 +24,83 @@ def _ellipse_path(mean, cov, n_sigma):
     return mean[0] + pts[0], mean[1] + pts[1]
 
 
-def mrbles_clusters(xp, dims=(1, 2), show: bool = True):
+def _resolve_ln(xp, name, default_idx, n_cols):
+    """Column index of a lanthanide: by name when the ``ln`` coordinate
+    carries labels, else the positional default (reference ln order puts
+    the reference lanthanide first, so dy/sm default to columns 1/2)."""
+    if "ln" in xp.coords:
+        labels = [str(v) for v in np.asarray(xp["ln"].values).tolist()]
+        if str(name) in labels:
+            return labels.index(str(name))
+    if isinstance(name, int):
+        return name
+    return default_idx
+
+
+def mrbles_clusters(xp, x="dy", y="sm", z=None, means=None, covars=None,
+                    exclude_outliers: bool = True, show: bool = True):
     """Scatter ``ln_ratio`` pairs colored by tag with sigma contours.
 
-    ``dims`` picks the two lanthanide-ratio columns to plot (the reference
-    plots all pairs; column 0 is the reference lanthanide and always 1).
+    Mirrors the reference signature (plot/mrbles.py:277): ``x``/``y`` (and
+    optional ``z`` for a 3-D scatter) name the lanthanide-ratio columns;
+    ``means``/``covars`` override the per-tag empirical moments used for
+    the 1/2/3 sigma ellipses; ``exclude_outliers`` drops "outlier"-tagged
+    beads (otherwise they plot in red).
     """
     import matplotlib.pyplot as plt
 
-    ratios = xp.ln_ratio.to_numpy()
-    tags = xp.tag.values
-    i, j = dims
-    fig, ax = plt.subplots()
+    ratios = np.asarray(xp.ln_ratio.to_numpy())
+    tags = np.asarray(xp.tag.values)
+    i = _resolve_ln(xp, x, 1, ratios.shape[1])
+    j = _resolve_ln(xp, y, 2, ratios.shape[1])
+    k = _resolve_ln(xp, z, 3, ratios.shape[1]) if z is not None else None
+
+    fig = plt.figure()
+    if k is None:
+        ax = fig.add_subplot()
+    else:
+        ax = fig.add_subplot(projection="3d")
     cmap = plt.get_cmap("tab20")
-    for k, tag in enumerate(np.unique(tags)):
+
+    is_outlier = tags == "outlier"
+    plot_tags = np.unique(tags[~is_outlier] if exclude_outliers else tags)
+    for t_idx, tag in enumerate(plot_tags):
         members = ratios[tags == tag]
-        color = cmap(k % 20)
-        ax.scatter(members[:, i], members[:, j], s=4, color=color,
-                   label=str(tag))
-        if len(members) > 2 and tag != "outlier":
-            mean = members[:, [i, j]].mean(axis=0)
-            cov = np.cov(members[:, [i, j]], rowvar=False)
-            for s in (1, 2, 3):
-                ex, ey = _ellipse_path(mean, cov, s)
-                ax.plot(ex, ey, color=color, alpha=0.4, linewidth=0.7)
-    ax.set_xlabel(f"ln_ratio[{i}]")
-    ax.set_ylabel(f"ln_ratio[{j}]")
+        color = "red" if tag == "outlier" else cmap(t_idx % 20)
+        cols = (members[:, i], members[:, j]) if k is None else (
+            members[:, i], members[:, j], members[:, k])
+        ax.scatter(*cols, s=4, color=color, label=str(tag),
+                   linewidths=0.5)
+
+    # Gaussian contours always exclude outliers (reference behavior).
+    sel = [i, j] if k is None else [i, j, k]
+    contour_tags = np.unique(tags[~is_outlier])
+    if means is None or covars is None:
+        means = np.stack([
+            ratios[tags == t][:, sel].mean(axis=0) for t in contour_tags
+        ]) if len(contour_tags) else np.zeros((0, len(sel)))
+        covars = np.stack([
+            np.cov(ratios[tags == t][:, sel], rowvar=False)
+            if (tags == t).sum() > 1 else np.eye(len(sel))
+            for t in contour_tags
+        ]) if len(contour_tags) else np.zeros((0, len(sel), len(sel)))
+    else:
+        means = np.asarray(means)
+        covars = np.asarray(covars)
+
+    if k is None:
+        for m in range(means.shape[0]):
+            for level in (1, 2, 3):
+                ex, ey = _ellipse_path(means[m, :2], covars[m, :2, :2],
+                                       level)
+                ax.plot(ex, ey, color="gray", alpha=0.2, linewidth=0.8)
+
+    def _label(v, idx):
+        return str(v) if v is not None and not isinstance(v, int) \
+            else f"ln_ratio[{idx}]"
+
+    ax.set_xlabel(_label(x, i))
+    ax.set_ylabel(_label(y, j))
     ax.legend(fontsize=6, markerscale=2)
     if show:
         import matplotlib

@@ -146,3 +146,34 @@ def test_interactive_gui_loop_builds_widgets(monkeypatch):
     assert ui.sessions[-1].params == {"threshold": 0.4, "radius": 8,
                                       "flag": False}
     assert not plt.get_fignums()  # last=True closed the figure
+
+
+def test_mrbles_clusters_reference_surface():
+    """Reference parameter surface (plot/mrbles.py:277): lanthanide
+    selection by name, z for 3-D, explicit means/covars, and
+    exclude_outliers=False drawing outliers red."""
+    from magnify_tpu.core import Dataset
+
+    rng = np.random.default_rng(0)
+    n = 60
+    ratios = np.column_stack([
+        np.ones(n),
+        np.repeat([0.1, 1.0, 2.0], 20) + rng.normal(0, 0.02, n),
+        np.repeat([0.5, 1.5, 0.5], 20) + rng.normal(0, 0.02, n),
+        np.repeat([0.2, 0.2, 0.9], 20) + rng.normal(0, 0.02, n),
+    ])
+    tags = np.array(["a"] * 20 + ["b"] * 20 + ["outlier"] * 20)
+    ds = Dataset({"ln_ratio": (("mark", "ln"), ratios)},
+                 coords={"tag": (("mark",), tags),
+                         "ln": (("ln",), np.array(["eu", "dy", "sm",
+                                                   "tm"]))})
+    assert mp.mrbles_clusters(ds, show=False) is not None
+    assert mp.mrbles_clusters(ds, x="dy", y="tm", show=False) is not None
+    fig = mp.mrbles_clusters(ds, exclude_outliers=False, show=False)
+    labels = [t.get_text() for t in fig.axes[0].get_legend().get_texts()]
+    assert "outlier" in labels
+    assert mp.mrbles_clusters(ds, z="tm", show=False) is not None
+    means = np.array([[0.1, 0.5], [1.0, 1.5]])
+    covs = np.tile(np.eye(2) * 0.01, (2, 1, 1))
+    assert mp.mrbles_clusters(ds, means=means, covars=covs,
+                              show=False) is not None
