@@ -15,7 +15,7 @@ factories, ``save``/``load``, the ``component`` decorator, and the plot
 sublibrary ``magnify_tpu.plot``.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "parallel",
@@ -40,6 +40,7 @@ __all__ = [
     "ops",
     "postprocess",
     "preprocess",
+    "quantify",
     "readers",
     "save",
     "stitch",
@@ -56,6 +57,7 @@ from magnify_tpu.components import (  # noqa: F401
     preprocess,
     stitch,
 )
+from magnify_tpu.components.quantify import quantify  # noqa: F401
 from magnify_tpu.core import DataArray, Dataset
 from magnify_tpu.core.pipeline import Pipeline
 from magnify_tpu.io import reader  # noqa: F401  (registers the "read" reader)

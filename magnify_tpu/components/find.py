@@ -462,6 +462,11 @@ class BeadFinder:
                 det_input = image_np[ci, 0]
             else:
                 det_input = assay.image.isel(time=0, channel=ci).to_numpy()
+            # Host-normalize to uint8 before the upload: normalize_to_u8 is
+            # exactly idempotent, so detection is bit-identical while 1
+            # byte/pixel crosses the link instead of 2-8 (large planes
+            # through the dev relay are upload-bound).
+            det_input = ops_detect.normalize_planes_u8(det_input[None])[0]
             found = ops_detect.find_circles(
                 det_input,
                 low_edge_quantile=self.low_edge_quantile,
@@ -515,19 +520,39 @@ class BeadFinder:
         h, w = sizes["im_y"], sizes["im_x"]
 
         # Ownership masks + ROI crops on host: pure raster math and slicing
-        # (no device round trips); out-of-core stacks stream one channel at
-        # a time (find.py:589-602).
+        # (no device round trips). Out-of-core stacks stream ONE
+        # (channel, time) plane at a time — peak RAM stays at a plane plus
+        # the ROI memmap regardless of stack size — with the next plane's
+        # read prefetched on a background thread (find.py:589-602).
         fg1, bg1, tops, lefts = _bead_ownership_host(
             ints, h, w, L, self.max_bead_radius
         )
         fg[:] = fg1[:, None]
         bg[:] = bg1[:, None]
-        for ci in range(n_ch):
-            image_c = (image_np[ci] if image_np is not None
-                       else assay.image.isel(channel=ci).to_numpy())
-            for i in range(num_beads):
-                roi[i, ci] = image_c[..., tops[i]:tops[i] + L,
-                                     lefts[i]:lefts[i] + L]
+        if image_np is not None:
+            for ci in range(n_ch):
+                image_c = image_np[ci]
+                for i in range(num_beads):
+                    roi[i, ci] = image_c[..., tops[i]:tops[i] + L,
+                                         lefts[i]:lefts[i] + L]
+        else:
+            import concurrent.futures
+
+            planes = [(ci, t) for ci in range(n_ch) for t in range(n_t)]
+
+            def _load(idx):
+                ci, t = idx
+                return assay.image.isel(channel=ci, time=t).to_numpy()
+
+            with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
+                pending = ex.submit(_load, planes[0])
+                for k, (ci, t) in enumerate(planes):
+                    plane = pending.result()
+                    if k + 1 < len(planes):
+                        pending = ex.submit(_load, planes[k + 1])
+                    for i in range(num_beads):
+                        roi[i, ci, t] = plane[tops[i]:tops[i] + L,
+                                              lefts[i]:lefts[i] + L]
 
         assay.cache(["roi", "fg", "bg"])
         return assay
