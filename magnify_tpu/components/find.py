@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import math
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -1326,7 +1327,11 @@ def regress_clusters(
     if num_clusters == 1:
         if len(x) == 1:
             return 0, y
-        return _linregress(x, y)
+        slope, intercept = _linregress(x, y)
+        # Intercepts are per-cluster arrays everywhere else; a single-row
+        # grid must intersect like any other (the reference returns a bare
+        # scalar here and crashes on 1xN chips, reference find.py:708).
+        return slope, np.atleast_1d(intercept)
 
     slopes, counts = _grouped_slopes(x, y, labels, num_clusters)
     for edge in (0, num_clusters - 1):
@@ -1338,7 +1343,14 @@ def regress_clusters(
                 "to be segmented correctly", edge, counts[edge],
             )
 
-    slope = np.nanmedian(slopes)
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        slope = np.nanmedian(slopes)
+    if np.isnan(slope):
+        # Every cluster has <= 1 point (e.g. an Nx1 or 1xN grid): no slope
+        # is estimable, so treat the grid lines as axis-aligned. (The
+        # reference propagates NaN here and fails downstream.)
+        slope = 0.0
     residuals = y - slope * x
     intercepts = np.full(num_clusters, np.nan)
     for i in np.flatnonzero(counts):

@@ -179,6 +179,10 @@ def regress_clusters_dev(x, y, labels, *, num_clusters: int,
     slopes = jnp.where((n >= 2) & (sxx != 0.0),
                        sxy / jnp.where(sxx == 0.0, 1.0, sxx), jnp.nan)
     slope = _nanmedian_small(slopes)
+    # Every cluster has <= 1 point (Nx1 / 1xN grids): no slope is
+    # estimable — treat the grid lines as axis-aligned (host twin does the
+    # same; the reference propagates NaN and fails downstream).
+    slope = jnp.where(jnp.isnan(slope), 0.0, slope)
 
     residuals = y - slope * x
     res = jnp.where(onehot.T, residuals[None, :], jnp.inf)  # (C, N)

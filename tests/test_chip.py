@@ -285,3 +285,35 @@ def test_known_chamber_offsets_use_fixed_labeling(monkeypatch, detector):
         xp.y.values)).astype(int).reshape(3, 3)[:, 0])
     np.testing.assert_allclose(xs, [100, 200, 300], atol=2)
     np.testing.assert_allclose(ys, [100, 200, 300], atol=2)
+
+
+@pytest.mark.parametrize("detector", ["ransac", "dense"])
+@pytest.mark.parametrize("grid", [(1, 2), (2, 1), (1, 3)])
+def test_single_row_or_column_grids(monkeypatch, detector, grid):
+    """Single-row/column chips: no per-cluster slope is estimable on the
+    singleton axis, so the grid lines fall back to axis-aligned (the
+    upstream reference crashes on these shapes — find.py:708 returns a
+    bare scalar intercept and nanmedian of all-NaN slopes poisons the
+    intersection)."""
+    monkeypatch.setenv("MAGNIFY_TPU_DETECTOR", detector)
+    import magnify_tpu as mg
+    from magnify_tpu.core import DataArray
+    from magnify_tpu.utils import filled_circle_points
+
+    rows, cols = grid
+    img = np.zeros(((rows + 1) * 100, (cols + 1) * 100), np.uint16)
+    pts = filled_circle_points(10)
+    for i in range(rows):
+        for j in range(cols):
+            img[pts[:, 0] + (i + 1) * 100, pts[:, 1] + (j + 1) * 100] = 1000
+
+    xp = mg.microfluidic_chip(
+        data=DataArray(img, dims=("y", "x")), shape=grid,
+        min_button_diameter=16, max_button_diameter=32, overlap=0,
+        row_dist=100, col_dist=100, num_iter=20000,
+    )
+    assert xp.sizes["mark_row"] == rows and xp.sizes["mark_col"] == cols
+    xs = np.sort(np.unique(np.round(np.ravel(xp.x.values)).astype(int)))
+    ys = np.sort(np.unique(np.round(np.ravel(xp.y.values)).astype(int)))
+    np.testing.assert_allclose(xs, (np.arange(cols) + 1) * 100, atol=2)
+    np.testing.assert_allclose(ys, (np.arange(rows) + 1) * 100, atol=2)
