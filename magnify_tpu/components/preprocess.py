@@ -189,34 +189,17 @@ def flatfield_correct(xp, flatfield=1.0, darkfield=0.0):
     return xp
 
 
-def _estimate_shading(train_tiles: np.ndarray, sigma_frac: float = 0.125):
-    """Retrospective shading estimate from a stack of same-channel tiles.
-
-    A self-contained stand-in for BaSiC's low-rank + smooth decomposition:
-    the flatfield is the smoothed pixelwise median across tiles, normalized
-    to unit mean — the multiplicative illumination profile. Separating an
-    additive darkfield robustly needs many content-varying tiles, so the
-    fallback estimates the multiplicative term only (darkfield 0), the same
-    default BaSiC users get with ``get_darkfield=False``.
-    """
-    import scipy.ndimage
-
-    sigma = max(train_tiles.shape[-1], train_tiles.shape[-2]) * sigma_frac
-    med = np.median(train_tiles, axis=0).astype(float)
-    flat = scipy.ndimage.gaussian_filter(med, sigma)
-    mean = flat.mean()
-    flat = flat / mean if mean > 0 else np.ones_like(flat)
-    flat = np.clip(flat, 0.05, None)
-    return flat, np.zeros_like(flat)
-
-
 @component("basic_correct")
 def basic_correct(xp):
     """Retrospective illumination correction (reference preprocess.py:91-115).
 
     Uses BaSiC when the optional ``basicpy`` package is installed; otherwise
-    a self-contained estimator: per channel, the flatfield/darkfield are fit
-    on the t=0 tiles (matching the reference's fit choice) and applied as
+    the framework's own JAX implementation of the same model
+    (:func:`magnify_tpu.ops.basic.fit_basic`: rank-1 baseline x smooth
+    flatfield + smooth darkfield, DCT-sparsity smoothness, IRLS
+    robustness — not a median stand-in, so structured darkfield is
+    recovered too). Per channel, the fields are fit on the t=0 tiles
+    (matching the reference's fit choice) and applied as
     ``(tile - darkfield) / flatfield`` to all tiles of that channel. Lazy
     tiles stay lazy.
     """
@@ -226,6 +209,7 @@ def basic_correct(xp):
         basicpy = None
 
     from magnify_tpu.core.lazy import ChunkedArray
+    from magnify_tpu.ops.basic import fit_basic
 
     tile_var = xp["tile"]
     dtype = tile_var.dtype
@@ -241,7 +225,8 @@ def basic_correct(xp):
             models.append((np.asarray(model.flatfield),
                            np.asarray(model.darkfield)))
         else:
-            models.append(_estimate_shading(train))
+            models.append(fit_basic(train, get_darkfield=True,
+                                    smoothness_flatfield=1.0))
 
     def correct(block, slices):
         out = np.empty_like(block, dtype=float)

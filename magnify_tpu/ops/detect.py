@@ -227,8 +227,18 @@ class _CapMemo(dict):
         super().__setitem__(key, value)
         if changed and self._path is not None:
             try:
+                import ast
                 import json
 
+                # Merge entries written by concurrent processes since our
+                # load (keeping our own values on conflict) so the rewrite
+                # is not last-writer-wins over the whole dict.
+                try:
+                    with open(self._path) as fh:
+                        for k, v in json.load(fh).items():
+                            super().setdefault(ast.literal_eval(k), int(v))
+                except Exception:
+                    pass
                 os.makedirs(os.path.dirname(self._path), exist_ok=True)
                 tmp = self._path + f".tmp{os.getpid()}"
                 with open(tmp, "w") as fh:

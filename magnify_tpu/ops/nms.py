@@ -41,6 +41,31 @@ def _use_pairwise(n: int) -> bool:
     return n <= PAIRWISE_NMS_LIMIT and jax.default_backend() == "tpu"
 
 
+def parallel_greedy_nms(circles, valid, *, min_dist: int, height: int,
+                        width: int, max_radius: int):
+    """Exact greedy suppression computed in parallel rounds.
+
+    Produces the same accepted set as :func:`claimed_raster_nms` (circles
+    sorted best first, conflict = exclusion rings sharing a pixel) but runs
+    in O(conflict-chain depth) parallel rounds instead of one sequential
+    scan step per circle. Small batches use the pairwise conflict-matrix
+    rounds (:func:`_pairwise_greedy_nms`); larger ones the raster rounds.
+
+    This thin host wrapper resolves the formulation (MAGNIFY_TPU_NMS /
+    backend heuristic) OUTSIDE the jit boundary and passes it as a static
+    argument, so changing the env var after a shape has been traced picks
+    the new mode instead of silently reusing the baked one. (Calls from
+    inside an enclosing jitted program still bake the mode into that
+    caller's cache — inherent to tracing.)
+    """
+    if min_dist <= 0:
+        return valid
+    return _parallel_greedy_nms(
+        circles, valid, min_dist=min_dist, height=height, width=width,
+        max_radius=max_radius, pairwise=_use_pairwise(circles.shape[0]),
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _conflict_extents(min_dist: int) -> np.ndarray:
     """EXT[a] = max |dcol| at which two radius-``min_dist`` exclusion rings
@@ -62,8 +87,17 @@ def _conflict_extents(min_dist: int) -> np.ndarray:
     for a in range(2 * d + 1):
         xs = np.flatnonzero(lut[off + a])
         if len(xs):
-            assert xs[0] + xs[-1] == 2 * off, f"asymmetric row {a}"
-            assert np.all(np.diff(xs) == 1), f"non-convex conflict row {a}"
+            # The extent compression is only valid when each |drow| row of
+            # the conflict support is a symmetric contiguous interval. Real
+            # Bresenham rings satisfy this; raise (not assert, which
+            # vanishes under -O) so a violating future ring shape fails
+            # loudly instead of producing a wrong conflict matrix.
+            if xs[0] + xs[-1] != 2 * off:
+                raise ValueError(
+                    f"asymmetric NMS conflict row {a} (min_dist={d})")
+            if not np.all(np.diff(xs) == 1):
+                raise ValueError(
+                    f"non-convex NMS conflict row {a} (min_dist={d})")
             ext[a] = xs[-1] - off
     return ext
 
@@ -112,30 +146,21 @@ def _pairwise_greedy_nms(circles, valid, *, min_dist: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("min_dist", "height", "width", "max_radius")
+    jax.jit, static_argnames=("min_dist", "height", "width", "max_radius",
+                              "pairwise")
 )
-def parallel_greedy_nms(circles, valid, *, min_dist: int, height: int,
-                        width: int, max_radius: int):
-    """Exact greedy suppression computed in parallel rounds.
-
-    Produces the same accepted set as :func:`claimed_raster_nms` (circles
-    sorted best first, conflict = exclusion rings sharing a pixel) but runs
-    in O(conflict-chain depth) parallel rounds instead of one sequential
-    scan step per circle. Small batches use the pairwise conflict-matrix
-    rounds (:func:`_pairwise_greedy_nms`); larger ones the raster rounds
-    below, where each round:
+def _parallel_greedy_nms(circles, valid, *, min_dist: int, height: int,
+                         width: int, max_radius: int, pairwise: bool):
+    """Jitted NMS body; ``pairwise`` picks the formulation. Raster rounds:
 
     * scatter-min every live circle's priority onto its ring pixels,
     * accept circles whose ring sees no better live priority (their greedy
       fate cannot depend on undecided circles),
     * reject live circles whose ring touches an accepted ring.
     """
-    if min_dist <= 0:
-        return valid
-
-    n = circles.shape[0]
-    if _use_pairwise(n):
+    if pairwise:
         return _pairwise_greedy_nms(circles, valid, min_dist=min_dist)
+    n = circles.shape[0]
     ring = jnp.asarray(utils.circle_points(min_dist, four_connected=True))
     shift = max_radius + min_dist + 1
     rh = height + 2 * shift

@@ -21,15 +21,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["hysteresis", "pallas_supported"]
 
-# The loop keeps cur/weak plus a few shift temps live as int32 vectors
-# (Mosaic's dynamic_rotate has no 8-bit path); a raised vmem_limit_bytes
-# covers ~8 resident 4MB buffers for a 1024^2 plane on v5e.
+# Whole-plane kernel ceiling: the loop keeps cur/weak plus a few shift
+# temps live as int32 vectors (Mosaic's dynamic_rotate has no 8-bit path);
+# a raised vmem_limit_bytes covers ~8 resident 4MB buffers for a 1024^2
+# plane on v5e. Above this the tiled kernel takes over.
 _MAX_VMEM_ELEMENTS = 1024 * 1024
+
+# Tiled kernel: VMEM bytes budgeted per scratch block (cur + weak each).
+_TILE_BUDGET_BYTES = 2 * 1024 * 1024
+_MIN_TILE_ROWS = 8
+
+
+def _tile_rows_for_width(wp: int) -> int:
+    """Rows per VMEM block for a padded width ``wp`` (multiple of 8)."""
+    th = _TILE_BUDGET_BYTES // (wp * 4) - 2
+    return max(_MIN_TILE_ROWS, min(256, (th // 8) * 8))
 
 
 def pallas_supported(shape) -> bool:
     h, w = shape
-    return h * w <= _MAX_VMEM_ELEMENTS and h >= 8 and w >= 128
+    if h < 8 or w < 128:
+        return False
+    if h * w <= _MAX_VMEM_ELEMENTS:
+        return True
+    # Tiled path: needs at least the minimum block rows to fit the budget.
+    wp = -(-w // 128) * 128
+    return _TILE_BUDGET_BYTES // (wp * 4) - 2 >= _MIN_TILE_ROWS
 
 
 def _shift_zero(x, dr: int, dc: int):

@@ -1,9 +1,14 @@
 """Image and ROI viewers (matplotlib counterpart of reference plot/image.py).
 
-``imshow`` renders the stitched image with foreground-label overlays and ROI
-rectangles (the napari layer stack of reference plot/image.py:52-154);
-``roishow`` tiles per-tag ROI galleries (plot/image.py:14-49). Both return
-the matplotlib figure so headless callers can save it.
+``imshow`` renders the stitched image with foreground/background label
+overlays and ROI rectangles, and — like the napari viewer of reference
+plot/image.py:52-154, which splits channels into layers and exposes extra
+dims as sliders — makes every (channel, time) plane browsable: interactive
+backends get matplotlib sliders, and headless callers drive the same
+rendering through ``fig.magnify_viewer.set_plane(channel=..., time=...)``.
+``roishow`` tiles per-tag ROI galleries with fg AND bg label overlays
+(reference plot/image.py:28-41 renders both label layers per ROI). Both
+return the matplotlib figure so headless callers can save it.
 """
 
 from __future__ import annotations
@@ -43,60 +48,169 @@ def _multiscale(img: np.ndarray, limit: int = 512) -> np.ndarray:
     return img
 
 
+def _isel(da, **indexers):
+    for dim, i in indexers.items():
+        if dim in da.dims:
+            da = da.isel(**{dim: i})
+    return da
+
+
+class ImageViewer:
+    """Stateful renderer behind :func:`imshow`.
+
+    Holds the dataset and the selected (channel, time) plane; ``set_plane``
+    re-renders base image, fg (green) / bg (magenta) label overlays, ROI
+    rectangles, and tag annotations — the same layer stack the reference
+    builds in napari (plot/image.py:73-150), re-rendered per plane instead
+    of kept as always-loaded layers.
+    """
+
+    def __init__(self, xp, ax):
+        self.xp = xp
+        self.ax = ax
+        self.n_channel = xp.sizes.get("channel", 1)
+        self.n_time = xp.sizes.get("time", 1)
+        self.channel = 0
+        self.time = 0
+
+    # -- data for the current plane -------------------------------------
+
+    def _plane(self):
+        disp = _isel(self.xp.image, channel=self.channel, time=self.time)
+        full_shape = disp.shape
+        plane = _multiscale(disp.to_numpy())
+        scale = full_shape[-1] / plane.shape[-1]
+        return plane, scale, full_shape
+
+    def _overlays(self, full_shape, scale):
+        """(fg_labels, bg_labels) downsampled to display resolution, or
+        (None, None) when the dataset has no roi layer."""
+        xp = self.xp
+        if "roi" not in xp:
+            return None, None
+        fg = _isel(xp.fg, time=self.time).to_numpy()
+        bg = _isel(xp.bg, time=self.time).to_numpy() if "bg" in xp.coords \
+            else None
+        xs, ys = self._centers()
+        roi_len = xp.sizes["roi_y"]
+        h, w = full_shape[-2], full_shape[-1]
+        bboxes = np.array([
+            [utils.bounding_box(xs[i], ys[i], roi_len, w, h)]
+            for i in range(xp.sizes["mark"])
+        ])
+        fg_full = roi_to_image_labels(fg[:, None], bboxes, (h, w))[0]
+        step = max(1, int(round(scale)))
+        fg_ds = fg_full[::step, ::step]
+        if bg is None:
+            return fg_ds, None
+        bg_full = roi_to_image_labels(bg[:, None], bboxes, (h, w))[0]
+        return fg_ds, bg_full[::step, ::step]
+
+    def _centers(self):
+        xs = _isel(self.xp.x, time=self.time)
+        ys = _isel(self.xp.y, time=self.time)
+        return (np.round(xs.to_numpy()).astype(int),
+                np.round(ys.to_numpy()).astype(int))
+
+    # -- rendering -------------------------------------------------------
+
+    def render(self):
+        from matplotlib import patches
+
+        ax = self.ax
+        ax.clear()
+        plane, scale, full_shape = self._plane()
+        ax.imshow(plane, cmap="gray")
+        xp = self.xp
+        if "roi" in xp:
+            fg_ds, bg_ds = self._overlays(full_shape, scale)
+            for labels, cmap in ((bg_ds, "spring"), (fg_ds, "summer")):
+                if labels is not None and labels.any():
+                    ax.imshow(
+                        np.ma.masked_where(labels == 0, labels),
+                        cmap=cmap, alpha=0.5, interpolation="nearest",
+                    )
+            xs, ys = self._centers()
+            tags = (xp.tag.values if "tag" in xp.coords
+                    else np.array([""] * xp.sizes["mark"]))
+            roi_len = xp.sizes["roi_y"]
+            h, w = full_shape[-2], full_shape[-1]
+            for i in range(xp.sizes["mark"]):
+                top, bottom, left, right = utils.bounding_box(
+                    xs[i], ys[i], roi_len, w, h
+                )
+                rect = patches.Rectangle(
+                    (left / scale, top / scale), (right - left) / scale,
+                    (bottom - top) / scale, fill=False, edgecolor="white",
+                    linewidth=0.5,
+                )
+                ax.add_patch(rect)
+                if tags.ndim and i < len(tags) and tags[i]:
+                    ax.annotate(str(tags[i]), ((left + right) / 2 / scale,
+                                               top / scale - 2),
+                                color="yellow", fontsize=5, ha="center")
+        title = []
+        if self.n_channel > 1:
+            title.append(f"channel {self.channel}")
+        if self.n_time > 1:
+            title.append(f"time {self.time}")
+        if title:
+            ax.set_title(", ".join(title), fontsize=8)
+        ax.figure.canvas.draw_idle()
+
+    def set_plane(self, channel: int | None = None, time: int | None = None):
+        """Select and render another (channel, time) plane — the headless
+        twin of the browsing sliders."""
+        if channel is not None:
+            if not 0 <= channel < self.n_channel:
+                raise IndexError(
+                    f"channel {channel} out of range ({self.n_channel})")
+            self.channel = int(channel)
+        if time is not None:
+            if not 0 <= time < self.n_time:
+                raise IndexError(f"time {time} out of range ({self.n_time})")
+            self.time = int(time)
+        self.render()
+        return self
+
+
 def imshow(xp, show: bool = True):
-    """Show the stitched image with fg overlays and ROI boxes."""
+    """Show the stitched image with fg/bg overlays, ROI boxes and
+    (channel, time) browsing. Returns the figure; ``fig.magnify_viewer``
+    exposes :meth:`ImageViewer.set_plane` for programmatic browsing."""
     import matplotlib.pyplot as plt
-    from matplotlib import patches
+    from matplotlib.widgets import Slider
 
     if "mark_row" in xp.dims and "mark_col" in xp.dims and "mark" not in xp.dims:
         xp = xp.stack(mark=("mark_row", "mark_col"))
-    img = xp.image
-    # Reduce to a single displayable plane: first channel/time.
-    disp = img
-    for dim in ("channel", "time"):
-        if dim in disp.dims:
-            disp = disp.isel(**{dim: 0})
-    plane = _multiscale(disp.to_numpy())
-    scale = disp.shape[-1] / plane.shape[-1]
 
-    fig, ax = plt.subplots()
-    ax.imshow(plane, cmap="gray")
+    n_channel = xp.sizes.get("channel", 1)
+    n_time = xp.sizes.get("time", 1)
+    n_sliders = (n_channel > 1) + (n_time > 1)
 
-    if "roi" in xp:
-        fg = xp.fg
-        for dim in ("time",):
-            if dim in fg.dims:
-                fg = fg.isel(**{dim: 0})
-        xs = xp.x
-        ys = xp.y
-        if "time" in xs.dims:
-            xs = xs.isel(time=0)
-            ys = ys.isel(time=0)
-        xs = np.round(xs.to_numpy()).astype(int)
-        ys = np.round(ys.to_numpy()).astype(int)
-        tags = (xp.tag.values if "tag" in xp.coords
-                else np.array([""] * xp.sizes["mark"]))
-        roi_len = xp.sizes["roi_y"]
-        h, w = img.sizes["im_y"], img.sizes["im_x"]
-        for i in range(xp.sizes["mark"]):
-            top, bottom, left, right = utils.bounding_box(
-                xs[i], ys[i], roi_len, w, h
-            )
-            rect = patches.Rectangle(
-                (left / scale, top / scale), (right - left) / scale,
-                (bottom - top) / scale, fill=False, edgecolor="white",
-                linewidth=0.5,
-            )
-            ax.add_patch(rect)
-            mask = fg.isel(mark=i).to_numpy()
-            ys_m, xs_m = np.nonzero(mask)
-            if len(ys_m):
-                ax.scatter((left + xs_m) / scale, (top + ys_m) / scale,
-                           s=0.05, c="lime", alpha=0.3)
-            if tags[i]:
-                ax.annotate(str(tags[i]), ((left + right) / 2 / scale,
-                                           top / scale - 2),
-                            color="yellow", fontsize=5, ha="center")
+    fig = plt.figure(figsize=(6, 6 + 0.4 * n_sliders))
+    bottom = 0.02 + 0.07 * n_sliders
+    ax = fig.add_axes([0.05, bottom + 0.03, 0.9, 0.93 - bottom])
+    viewer = ImageViewer(xp, ax)
+    fig.magnify_viewer = viewer
+
+    sliders = []
+    slot = 0
+    for dim, n in (("channel", n_channel), ("time", n_time)):
+        if n <= 1:
+            continue
+        sax = fig.add_axes([0.25, 0.02 + 0.06 * slot, 0.55, 0.03])
+        slider = Slider(sax, dim, 0, n - 1, valinit=0, valstep=1)
+
+        def on_change(val, dim=dim):
+            viewer.set_plane(**{dim: int(val)})
+
+        slider.on_changed(on_change)
+        sliders.append(slider)
+        slot += 1
+    fig._magnify_sliders = sliders  # keep refs alive for the figure's life
+
+    viewer.render()
     if show:
         import matplotlib
 
@@ -106,7 +220,8 @@ def imshow(xp, show: bool = True):
 
 
 def roishow(xp, show: bool = True, max_cols: int = 12):
-    """Grid of per-mark ROIs grouped by tag with fg/bg outlines."""
+    """Grid of per-mark ROIs grouped by tag with fg AND bg overlays
+    (reference plot/image.py:28-41 adds both label layers per ROI)."""
     import matplotlib.pyplot as plt
 
     tags = (xp.tag.values if "tag" in xp.coords
@@ -117,11 +232,9 @@ def roishow(xp, show: bool = True, max_cols: int = 12):
     n_cols = min(int(max(counts)), max_cols)
     fig, axes = plt.subplots(n_rows, n_cols, squeeze=False,
                              figsize=(1.2 * n_cols, 1.2 * n_rows))
-    roi = xp.roi
-    for dim in ("channel", "time"):
-        if dim in roi.dims:
-            roi = roi.isel(**{dim: 0})
-    fg = xp.fg.isel(time=0) if "time" in xp.fg.dims else xp.fg
+    roi = _isel(xp.roi, channel=0, time=0)
+    fg = _isel(xp.fg, time=0)
+    bg = _isel(xp.bg, time=0) if "bg" in xp.coords else None
     for r, t in enumerate(uniq):
         idxs = np.nonzero(tags == t)[0][:n_cols]
         for c in range(n_cols):
@@ -130,6 +243,11 @@ def roishow(xp, show: bool = True, max_cols: int = 12):
             if c < len(idxs):
                 i = int(idxs[c])
                 ax.imshow(roi.isel(mark=i).to_numpy(), cmap="gray")
+                if bg is not None:
+                    bgm = bg.isel(mark=i).to_numpy()
+                    if bgm.any():
+                        ax.contour(bgm, levels=[0.5], colors="magenta",
+                                   linewidths=0.5)
                 ax.contour(fg.isel(mark=i).to_numpy(), levels=[0.5],
                            colors="lime", linewidths=0.5)
                 if c == 0:

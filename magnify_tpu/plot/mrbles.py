@@ -10,9 +10,56 @@ excluded by default (or drawn red), and precomputed ``means``/``covars``
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
-__all__ = ["mrbles_clusters"]
+__all__ = ["categorical_colors", "mrbles_clusters"]
+
+
+def _srgb_to_lab(rgb: np.ndarray) -> np.ndarray:
+    """sRGB (N, 3) in [0, 1] -> CIELAB (N, 3), D65 white point."""
+    c = np.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
+    m = np.array([[0.4124564, 0.3575761, 0.1804375],
+                  [0.2126729, 0.7151522, 0.0721750],
+                  [0.0193339, 0.1191920, 0.9503041]])
+    xyz = c @ m.T / np.array([0.95047, 1.0, 1.08883])
+    f = np.where(xyz > (6 / 29) ** 3, np.cbrt(xyz),
+                 xyz / (3 * (6 / 29) ** 2) + 4 / 29)
+    lab = np.empty_like(xyz)
+    lab[:, 0] = 116 * f[:, 1] - 16
+    lab[:, 1] = 500 * (f[:, 0] - f[:, 1])
+    lab[:, 2] = 200 * (f[:, 1] - f[:, 2])
+    return lab
+
+
+@functools.lru_cache(maxsize=4)
+def categorical_colors(n: int = 274) -> np.ndarray:
+    """Deterministic maximally-distinct categorical palette, (n, 3) in
+    [0, 1].
+
+    Replaces the reference's hand-curated 274-entry categorical colormap
+    (reference plot/mrbles.py:5-275) with a generated equivalent of the
+    same size: Glasbey-style greedy farthest-point selection over an RGB
+    lattice, measured in CIELAB, so every pair of entries stays
+    perceptually separated — real MRBLEs panels run 24-48+ codes, far past
+    matplotlib's 20-color cycles.
+    """
+    grid = np.linspace(0.0, 1.0, 17)
+    cand = np.stack(np.meshgrid(grid, grid, grid,
+                                indexing="ij"), axis=-1).reshape(-1, 3)
+    lab = _srgb_to_lab(cand)
+    # Drop colors too close to the white figure background or near-black
+    # (unreadable as 4pt scatter dots).
+    ok = (lab[:, 0] > 18) & (lab[:, 0] < 92)
+    cand, lab = cand[ok], lab[ok]
+    chosen = [int(np.argmax(np.abs(lab[:, 1]) + np.abs(lab[:, 2])))]
+    mind = np.linalg.norm(lab - lab[chosen[0]], axis=1)
+    for _ in range(n - 1):
+        nxt = int(np.argmax(mind))
+        chosen.append(nxt)
+        mind = np.minimum(mind, np.linalg.norm(lab - lab[nxt], axis=1))
+    return cand[np.array(chosen)]
 
 
 def _ellipse_path(mean, cov, n_sigma):
@@ -27,14 +74,23 @@ def _ellipse_path(mean, cov, n_sigma):
 def _resolve_ln(xp, name, default_idx, n_cols):
     """Column index of a lanthanide: by name when the ``ln`` coordinate
     carries labels, else the positional default (reference ln order puts
-    the reference lanthanide first, so dy/sm default to columns 1/2)."""
+    the reference lanthanide first, so dy/sm default to columns 1/2).
+    Raises a clear ValueError when the resolved index falls outside the
+    ``ln_ratio`` columns (unknown lanthanide on a small panel)."""
+    idx = None
     if "ln" in xp.coords:
         labels = [str(v) for v in np.asarray(xp["ln"].values).tolist()]
         if str(name) in labels:
-            return labels.index(str(name))
-    if isinstance(name, int):
-        return name
-    return default_idx
+            idx = labels.index(str(name))
+    if idx is None:
+        idx = name if isinstance(name, int) else default_idx
+    if not 0 <= idx < n_cols:
+        known = (list(np.asarray(xp["ln"].values)) if "ln" in xp.coords
+                 else list(range(n_cols)))
+        raise ValueError(
+            f"unknown lanthanide {name!r}: resolved column {idx} is outside "
+            f"the {n_cols}-column ln_ratio panel (known: {known})")
+    return idx
 
 
 def mrbles_clusters(xp, x="dy", y="sm", z=None, means=None, covars=None,
@@ -60,13 +116,13 @@ def mrbles_clusters(xp, x="dy", y="sm", z=None, means=None, covars=None,
         ax = fig.add_subplot()
     else:
         ax = fig.add_subplot(projection="3d")
-    cmap = plt.get_cmap("tab20")
 
     is_outlier = tags == "outlier"
     plot_tags = np.unique(tags[~is_outlier] if exclude_outliers else tags)
+    palette = categorical_colors(max(274, len(plot_tags)))
     for t_idx, tag in enumerate(plot_tags):
         members = ratios[tags == tag]
-        color = "red" if tag == "outlier" else cmap(t_idx % 20)
+        color = "red" if tag == "outlier" else tuple(palette[t_idx])
         cols = (members[:, i], members[:, j]) if k is None else (
             members[:, i], members[:, j], members[:, k])
         ax.scatter(*cols, s=4, color=color, label=str(tag),

@@ -157,6 +157,7 @@ class InteractiveUI:
     def _render(ax, layers) -> None:
         if layers is None:
             return
+        base_drawn = False
         for layer in layers:
             data = layer[0] if isinstance(layer, tuple) else layer
             meta = (layer[1] if isinstance(layer, tuple) and len(layer) > 1
@@ -167,8 +168,15 @@ class InteractiveUI:
                 sizes = np.asarray(meta.get("size", 10))
                 ax.scatter(data[:, 1], data[:, 0], s=sizes,
                            facecolors="none", edgecolors="r")
-            elif data.ndim == 2:
+            elif data.ndim == 2 and not base_drawn:
                 ax.imshow(data, cmap="gray")
+                base_drawn = True
+            elif data.ndim == 2:
+                # Secondary image layers overlay the base (the reference's
+                # additive-blended napari layers, e.g. the live Canny edge
+                # map, utils.py:137-140): nonzero pixels render yellow.
+                ax.imshow(np.ma.masked_where(data == 0, data),
+                          cmap="autumn", alpha=0.8, interpolation="nearest")
 
 
 def _slider_range(value):
@@ -191,16 +199,33 @@ def interactive_find_circles(image, gui, *, low_edge_quantile,
                              seed=0):
     """Interactive wrapper over the fused detector: exposes the same two
     tuning stages as the reference (edge thresholds, circle filters;
-    utils.py:122-220) and returns the final (circles, scores)."""
+    utils.py:122-220) and returns the final (circles, scores).
+
+    The edge stage renders the LIVE Canny edge map for the current
+    quantiles as an additive overlay, exactly like the reference's "Edges"
+    napari layer (utils.py:132-140): every slider change re-dispatches the
+    jitted edge pipeline (quantiles are traced values, so no recompile) and
+    the user tunes thresholds against the actual edge response.
+    """
+    import jax
+    import jax.numpy as jnp
+
     from magnify_tpu.ops.detect import find_circles as _find
+    from magnify_tpu.ops.edge import edge_pipeline
 
     state = {}
+    img_dev = jnp.asarray(np.ascontiguousarray(image))
+    edges_jit = jax.jit(lambda im, lo, hi: edge_pipeline(im, lo, hi)[0])
 
     def tune_edges(low_edge_quantile: float = low_edge_quantile,
                    high_edge_quantile: float = high_edge_quantile):
         state["low"] = low_edge_quantile
         state["high"] = high_edge_quantile
-        return [(np.asarray(image), {"name": "Image"})]
+        edges = np.asarray(edges_jit(img_dev, float(low_edge_quantile),
+                                     float(high_edge_quantile)))
+        return [(np.asarray(image), {"name": "Image"}),
+                (edges.astype(np.uint8),
+                 {"name": "Edges", "blending": "additive"})]
 
     gui.run_widget(tune_edges, auto_call=True)
 

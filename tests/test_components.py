@@ -131,6 +131,65 @@ def test_drop_variants():
     assert "tile" in keep
 
 
+def test_fit_basic_recovers_structured_fields():
+    """The JAX BaSiC port (rank-1 x smooth flatfield + smooth darkfield,
+    DCT sparsity, IRLS) recovers structured vignetting AND a structured
+    darkfield — the case a median-based shading estimator cannot separate
+    (reference preprocess.py:91-115 delegates this to basicpy).
+
+    The darkfield is compared up to the model's inherent gauge freedom
+    (b_i, S, D) ~ (b_i - c, S, D + c*S): the correction (I - D)/S is
+    gauge-invariant, so the convention does not affect results.
+    """
+    from magnify_tpu.ops.basic import basic_transform, fit_basic
+
+    rng = np.random.default_rng(0)
+    h = w = 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    s_true = 1.0 - 0.225 * (((yy - h / 2) / (h / 2)) ** 2
+                            + ((xx - w / 2) / (w / 2)) ** 2)
+    s_true /= s_true.mean()
+    d_true = (15.0 + 10.0 * xx / w
+              + 12.0 * np.exp(-(((yy - 20) ** 2 + (xx - 70) ** 2) / 300)))
+
+    n = 24
+    tiles = np.empty((n, h, w), np.float32)
+    for i in range(n):
+        content = np.full((h, w), rng.uniform(80, 140))
+        for _ in range(6):  # sparse bright "beads" = image content
+            cy, cx = rng.integers(8, h - 8, 2)
+            content[cy - 3:cy + 3, cx - 3:cx + 3] += rng.uniform(200, 400)
+        tiles[i] = content * s_true + d_true
+
+    flat, dark = fit_basic(tiles)
+    s_err = np.abs(flat - s_true)
+    assert np.quantile(s_err, 0.99) < 0.03
+    assert s_err.mean() < 0.01
+    # Darkfield: structured shape recovered up to the c*S gauge.
+    resid = dark - d_true
+    c = (resid * flat).sum() / (flat * flat).sum()
+    gauge_err = np.abs(resid - c * flat)
+    assert gauge_err.mean() < 1.0  # d_true spans ~20 counts
+    assert np.quantile(gauge_err, 0.99) < 5.0
+
+    # Correction flattens the field; a median/smooth estimator cannot,
+    # because median-of-tiles = median(b)*S + D has the wrong shape once
+    # D is structured.
+    corrected = basic_transform(tiles, flat, dark)
+
+    def unevenness(t):
+        mid = np.median(t[:, h // 2, :], axis=0)
+        return np.abs(mid / np.median(t[:, h // 2, w // 2]) - 1).max()
+
+    import scipy.ndimage
+
+    med_flat = scipy.ndimage.gaussian_filter(np.median(tiles, axis=0), 12)
+    med_flat /= med_flat.mean()
+    median_corrected = tiles / med_flat
+    assert unevenness(corrected) < 0.05
+    assert unevenness(median_corrected) > 2 * unevenness(corrected)
+
+
 def test_basic_correct_fallback_estimator():
     from magnify_tpu.components.preprocess import basic_correct
 

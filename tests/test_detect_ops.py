@@ -181,7 +181,9 @@ def test_parallel_nms_matches_scan_nms(mode, monkeypatch):
         a = claimed_raster_nms(jnp.asarray(circles), jnp.asarray(valid),
                                min_dist=7, height=200, width=200,
                                max_radius=12)
-        b = parallel_greedy_nms.__wrapped__(
+        # The host wrapper re-resolves MAGNIFY_TPU_NMS on every call, so the
+        # monkeypatched mode takes effect without bypassing the jit cache.
+        b = parallel_greedy_nms(
             jnp.asarray(circles), jnp.asarray(valid), min_dist=7, height=200,
             width=200, max_radius=12)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -398,7 +400,7 @@ def test_nms_oracle_property_fuzz(mode, monkeypatch):
         ], axis=1).astype(np.int32)
         valid = rng.random(n) < 0.85
         md = int(rng.integers(1, 10))
-        a = np.asarray(parallel_greedy_nms.__wrapped__(
+        a = np.asarray(parallel_greedy_nms(
             jnp.asarray(circles), jnp.asarray(valid), min_dist=md,
             height=96, width=128, max_radius=8))
         b = np.asarray(claimed_raster_nms(circles, valid, min_dist=md,

@@ -55,6 +55,7 @@ def test_sharded_edges_match_single_device(devices):
         assert agreement == 1.0, f"plane {b}: {agreement}"
 
 
+@pytest.mark.heavy_mesh
 def test_sharded_detect_step_runs(devices):
     mesh = make_mesh(batch=2, space=4)
     img = draw_beads((64, 128), [[32, 64]], diameters=12).astype(np.float32)
@@ -89,6 +90,7 @@ def test_stream_planes_over_dataset():
     np.testing.assert_array_equal(seen[(1, 2)], data[1, 2])
 
 
+@pytest.mark.heavy_mesh
 def test_sharded_best_circle_matches_truth(devices):
     mesh = make_mesh(batch=2, space=4)
     img = draw_beads((64, 128), [[30, 70]], diameters=12).astype(np.float32)
@@ -135,6 +137,7 @@ def test_device_prefetcher_releases_producer_on_abandonment():
     assert threading.active_count() <= before
 
 
+@pytest.mark.heavy_mesh
 def test_sharded_find_circles_matches_single_chip_on_noise(devices):
     """The full sharded dense detector (row-sharded score maps, all_gather
     merge, replicated NMS) must reproduce the single-chip find_circles
@@ -217,6 +220,7 @@ def test_find_circles_stack_on_mesh_matches_single(devices):
         assert len(rc) >= 2  # both planted beads found (noise may add more)
 
 
+@pytest.mark.heavy_mesh
 @pytest.mark.parametrize("batch,space", [(1, 8), (8, 1), (4, 2)])
 def test_sharded_detector_mesh_geometries(devices, batch, space):
     """Detection parity holds across mesh factorizations, including pure
@@ -250,6 +254,7 @@ def test_sharded_detector_rejects_oversharded_rows(devices):
                                    max_radius=10, min_dist=6, cap=128)
 
 
+@pytest.mark.heavy_mesh
 def test_mrbles_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
     """The full mrbles pipeline (multi-channel detection + spectral decode)
     under use_mesh matches the single-device run."""
@@ -289,6 +294,7 @@ def test_mrbles_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
     assert sorted(np.unique(ref.tag.values)) == ["code_a", "code_b"]
 
 
+@pytest.mark.heavy_mesh
 def test_chip_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
     """The chip pipeline under use_mesh (center search sharded over the
     mesh; per-chamber refinement local) matches the single-device run."""

@@ -148,6 +148,133 @@ def test_interactive_gui_loop_builds_widgets(monkeypatch):
     assert not plt.get_fignums()  # last=True closed the figure
 
 
+def test_categorical_colors_distinct():
+    """The generated categorical palette covers the reference colormap's
+    274 entries (reference plot/mrbles.py:5-275) with pairwise-distinct
+    colors and is deterministic."""
+    from magnify_tpu.plot.mrbles import _srgb_to_lab, categorical_colors
+
+    pal = categorical_colors(274)
+    assert pal.shape == (274, 3)
+    assert len(np.unique((pal * 255).astype(int), axis=0)) == 274
+    lab = _srgb_to_lab(pal)
+    d = np.linalg.norm(lab[:, None] - lab[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    # Every pair stays perceptually separated (ΔE*ab well above JND ~2.3).
+    assert d.min() > 5.0
+    np.testing.assert_array_equal(pal, categorical_colors(274))
+
+
+def test_mrbles_clusters_many_codes_unique_colors():
+    """48-code panels get 48 distinct scatter colors (the tab20 cycle
+    collided beyond 20)."""
+    from magnify_tpu.core import Dataset
+
+    rng = np.random.default_rng(3)
+    n_codes = 48
+    ratios = np.column_stack([
+        np.ones(n_codes * 3),
+        np.repeat(rng.uniform(0, 3, n_codes), 3),
+        np.repeat(rng.uniform(0, 3, n_codes), 3),
+    ])
+    tags = np.repeat([f"code{i:02d}" for i in range(n_codes)], 3)
+    ds = Dataset({"ln_ratio": (("mark", "ln"), ratios)},
+                 coords={"tag": (("mark",), tags)})
+    fig = mp.mrbles_clusters(ds, show=False)
+    colors = [tuple(np.ravel(c.get_facecolor())[:3])
+              for c in fig.axes[0].collections[:n_codes]]
+    assert len(set(colors)) == n_codes
+
+
+def test_resolve_ln_unknown_raises():
+    """An unknown lanthanide name must raise a clear error instead of
+    falling through to a positional default (advisor finding r2)."""
+    from magnify_tpu.core import Dataset
+
+    ratios = np.ones((6, 3))
+    ds = Dataset({"ln_ratio": (("mark", "ln"), ratios)},
+                 coords={"tag": (("mark",), np.array(["a"] * 6)),
+                         "ln": (("ln",), np.array(["eu", "dy", "sm"]))})
+    with pytest.raises(ValueError, match="unknown lanthanide"):
+        mp.mrbles_clusters(ds, z="tm", show=False)
+
+
+def test_interactive_edge_stage_live_edges():
+    """The edge-tuning stage renders the live Canny edge map (reference
+    utils.py:132-140) and re-thresholding changes it."""
+    from magnify_tpu.ops.detect import find_circles
+    from magnify_tpu.plot.vis import InteractiveUI
+    from tests.synth import draw_beads
+
+    rng = np.random.default_rng(5)
+    img = draw_beads((256, 256), [[80, 80], [180, 180]], diameters=20)
+    img = (img + rng.normal(0, 4, img.shape)).astype(np.float32)
+    ui = InteractiveUI()
+    find_circles(img, 0.1, 0.9, 20, 2000, 8, 12, 0.3, 8, gui=ui)
+
+    edge_stage = ui.sessions[0]
+    layers = edge_stage.result
+    assert layers[1][1]["name"] == "Edges"
+    edges_before = np.asarray(layers[1][0])
+    assert edges_before.shape == img.shape
+    assert edges_before.any()
+
+    # Raising the high quantile prunes weak edges: the live map changes.
+    layers = edge_stage.set_param("high_edge_quantile", 0.999)
+    edges_after = np.asarray(layers[1][0])
+    assert edges_after.sum() < edges_before.sum()
+
+
+def test_imshow_multidim_browsing():
+    """(channel, time) planes are browsable: the viewer exposes set_plane
+    (the headless twin of the reference's napari dim sliders,
+    plot/image.py:64-154) and re-renders the selected plane."""
+    from tests.synth import draw_beads
+
+    from magnify_tpu.core import DataArray
+
+    planes = np.stack([
+        np.stack([draw_beads((256, 256), [[80, 80]], values=v + t)
+                  for t in range(3)])
+        for v in (1000, 2000)
+    ])
+    data = DataArray(planes, dims=("channel", "time", "y", "x"),
+                     coords={"channel": ["a", "b"]})
+    xp = mg.beads(data=data, min_bead_diameter=16, max_bead_diameter=24,
+                  overlap=0, num_iter=5000, search_channel="a",
+                  drop_tiles=True)
+    fig = mp.imshow(xp, show=False)
+    viewer = fig.magnify_viewer
+    assert viewer.n_channel == 2 and viewer.n_time == 3
+    assert viewer.channel == 0 and viewer.time == 0
+    viewer.set_plane(channel=1, time=2)
+    assert (viewer.channel, viewer.time) == (1, 2)
+    assert "channel 1" in viewer.ax.get_title()
+    assert "time 2" in viewer.ax.get_title()
+    with pytest.raises(IndexError):
+        viewer.set_plane(channel=5)
+    # Interactive path builds one slider per browsable dim.
+    assert len(fig._magnify_sliders) == 2
+
+
+def test_imshow_overlays_fg_bg(bead_result):
+    """imshow paints fg AND bg label overlays (the reference's two label
+    layers) plus the base plane."""
+    fig = mp.imshow(bead_result, show=False)
+    ax = fig.magnify_viewer.ax
+    assert len(ax.images) >= 3  # base + bg overlay + fg overlay
+
+
+def test_roishow_bg_contours(bead_result):
+    """roishow draws fg and bg outlines per ROI (reference
+    plot/image.py:28-41 shows both label layers)."""
+    fig = mp.roishow(bead_result, show=False)
+    filled = [ax for ax in fig.axes if ax.images]
+    assert filled
+    # Each ROI panel renders >= 2 contour sets (fg + bg).
+    assert all(len(ax.collections) >= 2 for ax in filled)
+
+
 def test_mrbles_clusters_reference_surface():
     """Reference parameter surface (plot/mrbles.py:277): lanthanide
     selection by name, z for 3-D, explicit means/covars, and
