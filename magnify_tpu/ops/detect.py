@@ -661,29 +661,41 @@ def find_circles_stack(
 
     mesh = active_mesh()
     if mesh is not None and mesh.size > 1:
-        from magnify_tpu.parallel.mesh import sharded_find_circles_batch
+        from magnify_tpu.parallel.mesh import sharded_find_circles_batch_packed
 
         memo_key = ("stack_mesh", images.shape[-2], images.shape[-1],
                     int(min_radius), int(max_radius),
                     tuple(sorted(mesh.shape.items())))
         cap = max(nms_cap, _cap_memo.get(memo_key, nms_cap))
+        pull_cap = 511
+        # Minimum-traffic mesh path, mirroring the single-chip stack path
+        # below: host-normalize to uint8 (1 B/px up the link) and pull ONE
+        # small packed block per retry round instead of full (B, cap)
+        # circle/score/accepted arrays.
+        planes_u8 = jax.device_put(normalize_planes_u8(images))
         while True:
-            circles, scores, accepted, n_keep = sharded_find_circles_batch(
-                images, mesh, float(low_edge_quantile),
+            packed_d, full_d = sharded_find_circles_batch_packed(
+                planes_u8, mesh, float(low_edge_quantile),
                 float(high_edge_quantile), float(min_roundness),
                 min_radius=int(min_radius), max_radius=int(max_radius),
-                min_dist=int(min_dist), cap=cap,
+                min_dist=int(min_dist), cap=cap, pull_cap=pull_cap,
             )
-            worst = int(np.max(np.asarray(n_keep)))
+            packed = np.asarray(packed_d)  # the single pull
+            worst = int(packed[:, 0, 1].max())
             if worst <= cap:
                 _cap_memo[memo_key] = cap
                 break
             cap = _grow_cap(worst, cap)
-        circles = np.asarray(circles)
-        scores = np.asarray(scores)
-        accepted = np.asarray(accepted)
-        return [(circles[b][accepted[b]], scores[b][accepted[b]])
-                for b in range(circles.shape[0])]
+        results = []
+        for b in range(packed.shape[0]):
+            n_acc = int(packed[b, 0, 0])
+            rows = packed[b, 1:1 + min(n_acc, pull_cap)]
+            if n_acc > pull_cap:
+                rows = np.concatenate(
+                    [rows, np.asarray(full_d[b, pull_cap:n_acc])]
+                )
+            results.append((rows[:, :3].astype(np.int32), rows[:, 3].copy()))
+        return results
 
     results = []
     # Host-normalize to uint8 (exact): halves/quarters the bytes crossing

@@ -160,9 +160,9 @@ def canny(dx, dy, low_thresh, high_thresh):
 
     if os.environ.get("MAGNIFY_TPU_PALLAS", "1") != "0" \
             and jax.default_backend() == "tpu":
-        from magnify_tpu.ops.pallas_kernels import hysteresis, pallas_supported
+        from magnify_tpu.ops.pallas_kernels import hysteresis, pallas_preferred
 
-        if pallas_supported(strong.shape):
+        if pallas_preferred(strong.shape):
             return hysteresis(strong, weak)
 
     def cond(state):

@@ -28,6 +28,9 @@ __all__ = ["hysteresis", "pallas_supported"]
 _MAX_VMEM_ELEMENTS = 1024 * 1024
 
 # Tiled kernel: VMEM bytes budgeted per scratch block (cur + weak each).
+# The doubling-reach body keeps ~2 live block temps per direction pass, so
+# 2MB blocks keep the kernel's scoped VMEM well inside the 100MB limit
+# (4MB blocks were measured to OOM at 110MB on v5e).
 _TILE_BUDGET_BYTES = 2 * 1024 * 1024
 _MIN_TILE_ROWS = 8
 
@@ -47,6 +50,27 @@ def pallas_supported(shape) -> bool:
     # Tiled path: needs at least the minimum block rows to fit the budget.
     wp = -(-w // 128) * 128
     return _TILE_BUDGET_BYTES // (wp * 4) - 2 >= _MIN_TILE_ROWS
+
+
+def pallas_preferred(shape) -> bool:
+    """Whether the Pallas kernel should be the default for this plane.
+
+    Planes that fit VMEM: yes — the whole-plane kernel wins clearly
+    (round-2 measurements). Larger planes: the tiled kernel is exact and
+    VMEM-frugal but measured slightly SLOWER than XLA's fused dilate
+    fixpoint on axon v5e (49-56ms vs 36ms at 4096^2 on a long-chain
+    torture mask; the per-iteration HBM traffic XLA pays is not the
+    bottleneck at these sizes, while the tiled sweeps pay per-block DMA
+    latency). Opt in with MAGNIFY_TPU_PALLAS=tiled.
+    """
+    import os
+
+    h, w = shape
+    if not pallas_supported(shape):
+        return False
+    if h * w <= _MAX_VMEM_ELEMENTS:
+        return True
+    return os.environ.get("MAGNIFY_TPU_PALLAS") == "tiled"
 
 
 def _shift_zero(x, dr: int, dc: int):
@@ -108,13 +132,181 @@ def _hysteresis_call(strong, weak, interpret: bool):
     )(strong.astype(jnp.int32), weak.astype(jnp.int32))
 
 
-def hysteresis(strong, weak):
+# Guard rows above/below each block window: 8 keeps every DMA offset and
+# slice size aligned to the (8, 128) int32 VMEM tiling Mosaic requires.
+_GUARD = 8
+
+def _tiled_hysteresis_kernel(cur_in, weak_in, out, curv, weakv, dirty,
+                             progressed, sems, *, tile_rows: int,
+                             n_blocks: int):
+    """Serpentine tiled hysteresis over an HBM-resident plane.
+
+    ``out`` aliases ``cur_in`` (the padded state, ``_GUARD`` zero rows on
+    each side). The single-core grid is replaced by in-kernel loops: each
+    block of ``tile_rows`` rows (plus guard-row halos) is DMA'd into VMEM,
+    grown to a LOCAL fixpoint (halo rows act as fixed seeds), and written
+    back. Alternating down/up sweeps propagate chains across blocks; a
+    per-block dirty worklist (SMEM) skips blocks whose neighborhood hasn't
+    changed since they last converged, so late sweeps only touch the
+    frontier. Terminates when no block is dirty — the same least fixpoint
+    as the whole-plane dilation (growth is monotone, so stale halo state
+    only delays, never corrupts).
+    """
+    th = tile_rows
+    g = _GUARD
+    rows = jax.lax.broadcasted_iota(jnp.int32, curv.shape, 0)
+    interior = (rows >= g) & (rows < g + th)
+
+    def process(idx):
+        """Runs under pl.when(is_dirty); communicates via the dirty array
+        (unconditional SMEM arithmetic — data-dependent control flow here
+        multiplies Mosaic compile time)."""
+        cp = pltpu.make_async_copy(out.at[pl.ds(idx * th, th + 2 * g)], curv,
+                                   sems.at[0])
+        cp.start()
+        wp = pltpu.make_async_copy(weak_in.at[pl.ds(idx * th, th + 2 * g)],
+                                   weakv, sems.at[1])
+        wp.start()
+        cp.wait()
+        wp.wait()
+        blk0 = curv[:]
+        wk = weakv[:]
+
+        # Plain 8-neighbor dilation to local fixpoint. (A run-doubling
+        # reach body — seeds jumping 2^k cells along all-weak paths — was
+        # prototyped and is oracle-exact, but its larger unrolled body
+        # multiplies Mosaic compile time past practicality on v5e; the
+        # dilation body compiles in seconds and the worklist already skips
+        # converged blocks.)
+        def lcond(state):
+            return state[1]
+
+        def lbody(state):
+            cur, _ = state
+            acc = cur
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if dr == 0 and dc == 0:
+                        continue
+                    acc = jnp.maximum(acc, _shift_zero(cur, dr, dc))
+            grown = jnp.where(wk > 0, acc, 0)
+            grown = jnp.maximum(grown, cur)
+            # Halo rows belong to neighbor blocks: fixed seeds here.
+            grown = jnp.where(interior, grown, blk0)
+            return grown, jnp.any(grown != cur)
+
+        final, _ = jax.lax.while_loop(lcond, lbody,
+                                      (blk0, jnp.asarray(True)))
+        changed = jnp.any(final != blk0).astype(jnp.int32)
+        curv[:] = final
+        # Unconditional write-back: rewriting an unchanged block is cheaper
+        # than a predicated DMA region.
+        st = pltpu.make_async_copy(curv.at[pl.ds(g, th)],
+                                   out.at[pl.ds(idx * th + g, th)],
+                                   sems.at[0])
+        st.start()
+        st.wait()
+        # Growth may now cross into the neighbors: re-mark them (clamped
+        # indices make the edge blocks self-mark once; one extra no-change
+        # fixpoint, still correct).
+        if n_blocks > 1:
+            up = jnp.maximum(idx - 1, 0)
+            dn = jnp.minimum(idx + 1, n_blocks - 1)
+            dirty[up] = jnp.maximum(dirty[up], changed)
+            dirty[dn] = jnp.maximum(dirty[dn], changed)
+        progressed[0] = progressed[0] + changed
+
+    def sweep(reverse: bool):
+        def body(i, _):
+            idx = (n_blocks - 1 - i) if reverse else i
+            is_dirty = dirty[idx] > 0
+            # Clear before processing: process() re-marks on change.
+            dirty[idx] = 0
+
+            @pl.when(is_dirty)
+            def _():
+                process(idx)
+
+            return 0
+
+        return jax.lax.fori_loop(0, n_blocks, body, 0)
+
+    def ocond(ch):
+        return ch > 0
+
+    def obody(_ch):
+        progressed[0] = 0
+        sweep(False)
+        sweep(True)
+        return progressed[0]
+
+    # Every block starts dirty.
+    def init(i, _):
+        dirty[i] = 1
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, init, 0)
+    jax.lax.while_loop(ocond, obody, jnp.int32(1))
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def _hysteresis_tiled_call(strong, weak, tile_rows: int, interpret: bool):
+    if tile_rows % _GUARD:
+        raise ValueError(f"tile_rows must be a multiple of {_GUARD}")
+    h, w = strong.shape
+    g = _GUARD
+    wp = -(-w // 128) * 128
+    n_blocks = -(-h // tile_rows)
+    hp = n_blocks * tile_rows
+    # _GUARD zero rows top and bottom make every block's (th + 2g)-row DMA
+    # window uniform and 8-aligned; guard/pad pixels have weak == 0 so they
+    # never grow.
+    s = jnp.zeros((hp + 2 * g, wp), jnp.int32)
+    s = s.at[g:g + h, :w].set(strong.astype(jnp.int32))
+    wk = jnp.zeros((hp + 2 * g, wp), jnp.int32)
+    wk = wk.at[g:g + h, :w].set(weak.astype(jnp.int32))
+    out = pl.pallas_call(
+        functools.partial(_tiled_hysteresis_kernel, tile_rows=tile_rows,
+                          n_blocks=n_blocks),
+        out_shape=jax.ShapeDtypeStruct((hp + 2 * g, wp), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows + 2 * g, wp), jnp.int32),
+            pltpu.VMEM((tile_rows + 2 * g, wp), jnp.int32),
+            pltpu.SMEM((n_blocks,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(s, wk)
+    return out[g:g + h, :w]
+
+
+def hysteresis(strong, weak, tile_rows: int | None = None):
     """Grow strong seeds through weak pixels (8-connectivity) to fixpoint.
 
     Drop-in replacement for the XLA while_loop in
-    :func:`magnify_tpu.ops.edge.canny`; both masks stay in VMEM for the whole
-    iteration. Falls back to interpreter mode off-TPU so tests cover the same
-    kernel.
+    :func:`magnify_tpu.ops.edge.canny`. Planes that fit VMEM run the
+    whole-plane kernel (both masks resident for the entire loop); larger
+    planes run the serpentine tiled kernel, which keeps per-iteration
+    traffic in VMEM and touches HBM once per block per sweep. Falls back
+    to interpreter mode off-TPU so tests cover the same kernels.
+    ``tile_rows`` overrides the block height (tests use tiny blocks to
+    exercise multi-block sweeps on small planes).
     """
     interpret = jax.default_backend() != "tpu"
-    return _hysteresis_call(strong, weak, interpret) > 0
+    h, w = strong.shape
+    if tile_rows is None and h * w <= _MAX_VMEM_ELEMENTS:
+        return _hysteresis_call(strong, weak, interpret) > 0
+    if tile_rows is None:
+        tile_rows = _tile_rows_for_width(-(-w // 128) * 128)
+    return _hysteresis_tiled_call(strong, weak, int(tile_rows),
+                                  interpret) > 0

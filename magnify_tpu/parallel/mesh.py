@@ -31,6 +31,7 @@ __all__ = [
     "sharded_edge_pipeline",
     "sharded_find_circles",
     "sharded_find_circles_batch",
+    "sharded_find_circles_batch_packed",
     "use_mesh",
 ]
 
@@ -120,7 +121,8 @@ def _exchange_halo(local, halo: int, axis_name: str, boundary: str = "zero"):
     return jnp.concatenate([from_prev, local, from_next], axis=0)
 
 
-def _sharded_edges_one_plane(img, low_q, high_q, valid_h: int):
+def _sharded_edges_one_plane(img, low_q, high_q, valid_h: int,
+                             normalized: bool = False):
     """Edge pipeline for one row-sharded plane (runs inside shard_map).
 
     Bit-identical to the single-chip :func:`magnify_tpu.ops.edge.edge_pipeline`
@@ -129,6 +131,11 @@ def _sharded_edges_one_plane(img, low_q, high_q, valid_h: int):
     thresholds come from the exact collective histogram-narrowing quantile,
     and rows past ``valid_h`` (mesh padding) are masked out of every global
     statistic and of the edge map.
+
+    ``normalized=True`` skips the collective min/max normalization: the
+    caller already holds uint8-valued data (host-normalized with the exact
+    twin :func:`magnify_tpu.ops.detect.normalize_planes_u8`, so only 1
+    byte/pixel crossed the host->device link).
     """
     local = img.shape[0]
     shard = jax.lax.axis_index("space")
@@ -136,12 +143,15 @@ def _sharded_edges_one_plane(img, low_q, high_q, valid_h: int):
     rowmask = rows_g < valid_h
     live = jnp.broadcast_to(rowmask[:, None], img.shape)
 
-    # Normalization needs the global min/max over valid pixels.
-    lo = jax.lax.pmin(jnp.min(jnp.where(live, img, jnp.inf)), "space")
-    peak = jax.lax.pmax(jnp.max(jnp.where(live, img - lo, -jnp.inf)),
-                        "space")
-    shifted = img - lo
-    u8 = jnp.trunc(jnp.where(peak > 0, 255.0 * shifted / peak, shifted))
+    if normalized:
+        u8 = img
+    else:
+        # Normalization needs the global min/max over valid pixels.
+        lo = jax.lax.pmin(jnp.min(jnp.where(live, img, jnp.inf)), "space")
+        peak = jax.lax.pmax(jnp.max(jnp.where(live, img - lo, -jnp.inf)),
+                            "space")
+        shifted = img - lo
+        u8 = jnp.trunc(jnp.where(peak > 0, 255.0 * shifted / peak, shifted))
 
     # Blur with 2 real halo rows, then Scharr on 1 real halo row of the
     # *blurred* values — reflecting each stage's own output at the global
@@ -194,13 +204,15 @@ def _sharded_edges_one_plane(img, low_q, high_q, valid_h: int):
 
 
 def sharded_edge_pipeline(images, mesh: Mesh, low_q: float, high_q: float,
-                          valid_h: int | None = None):
+                          valid_h: int | None = None,
+                          normalized: bool = False):
     """Edge detection for a batch of planes over a (batch, space) mesh.
 
     images: (B, H, W) with B divisible by the batch axis and H by the space
     axis (arbitrary sizes: pad the batch/rows and pass the true height as
     ``valid_h`` — :func:`sharded_find_circles_batch` does this). Returns
     (edges bool (B, H, W), grad_angles (B, H, W)) with the same sharding.
+    ``normalized`` marks host-prenormalized uint8-valued planes.
     """
     h = images.shape[1]
     valid = int(valid_h) if valid_h is not None else h
@@ -212,7 +224,8 @@ def sharded_edge_pipeline(images, mesh: Mesh, low_q: float, high_q: float,
     )
     def run(imgs, lo, hi):
         def one(img):
-            return _sharded_edges_one_plane(img, lo[0], hi[0], valid)
+            return _sharded_edges_one_plane(img, lo[0], hi[0], valid,
+                                            normalized)
 
         return jax.vmap(one)(imgs)
 
@@ -403,7 +416,8 @@ def _sharded_dense_plane(edges, grad_angles, min_roundness, *, valid_h,
 def sharded_find_circles_batch(images, mesh: Mesh, low_q: float,
                                high_q: float, min_roundness: float, *,
                                min_radius: int, max_radius: int,
-                               min_dist: int, cap: int):
+                               min_dist: int, cap: int,
+                               normalized: bool = False):
     """Full dense detection for a plane batch over a (batch, space) mesh.
 
     Accepts arbitrary (B, H, W): the batch is padded to the batch axis and
@@ -413,6 +427,11 @@ def sharded_find_circles_batch(images, mesh: Mesh, low_q: float,
     n_keep (B,)) — each plane's score-sorted NMS-filtered survivors,
     replicated along ``space`` and equal to the single-chip
     ops.detect._stage_dense_full output.
+
+    With ``normalized=True`` the input is host-prenormalized uint8 planes
+    (:func:`magnify_tpu.ops.detect.normalize_planes_u8`): the raw bytes
+    ship over the link (1 B/px, 4x less than float32) and the cast to
+    float32 happens on device.
     """
     from magnify_tpu.ops.nms import parallel_greedy_nms
 
@@ -438,7 +457,8 @@ def sharded_find_circles_batch(images, mesh: Mesh, low_q: float,
         )
     pad_b = (-b) % n_batch
 
-    imgs = jnp.asarray(images, jnp.float32)
+    # Ship the caller's dtype (uint8 when normalized) and cast on device.
+    imgs = jnp.asarray(images).astype(jnp.float32)
     if pad_h:
         imgs = jnp.concatenate([imgs, imgs[:, -2:-2 - pad_h:-1, :]], axis=1)
     if pad_b:
@@ -448,7 +468,8 @@ def sharded_find_circles_batch(images, mesh: Mesh, low_q: float,
         )
 
     edges, grad_angles = sharded_edge_pipeline(imgs, mesh, low_q, high_q,
-                                               valid_h=h)
+                                               valid_h=h,
+                                               normalized=normalized)
 
     spec = P("batch", "space", None)
 
@@ -484,6 +505,53 @@ def sharded_find_circles_batch(images, mesh: Mesh, low_q: float,
     return circles[:b], scores[:b], accepted[:b], n_keep[:b]
 
 
+@functools.partial(jax.jit, static_argnames=("pull_cap",))
+def _pack_accepted_batch(circles, scores, accepted, n_keep, *, pull_cap):
+    """Compact each plane's accepted circles to the front and pack counts +
+    (row, col, radius, score) rows into ONE (B, pull_cap + 1, 4) float32
+    block — the mesh twin of ops.detect._stage_dense_packed's packing, so
+    the host makes a single small pull instead of pulling
+    circles/scores/accepted/n_keep separately (each pull costs a full link
+    round trip)."""
+    def one(c, s, acc, nk):
+        total = c.shape[0]
+        rank = jnp.cumsum(acc) - 1
+        n_acc = acc.sum()
+        dest = jnp.where(acc, rank, total)
+        rows = jnp.concatenate([c.astype(jnp.float32), s[:, None]], axis=1)
+        compacted = jnp.zeros((total, 4), jnp.float32).at[dest].set(
+            rows, mode="drop")
+        packed = jnp.zeros((pull_cap + 1, 4), jnp.float32)
+        packed = packed.at[0, 0].set(n_acc).at[0, 1].set(nk)
+        take = min(pull_cap, total)
+        packed = packed.at[1:1 + take].set(compacted[:take])
+        return packed, compacted
+
+    return jax.vmap(one)(circles, scores, accepted, n_keep)
+
+
+def sharded_find_circles_batch_packed(
+        images_u8, mesh: Mesh, low_q: float, high_q: float,
+        min_roundness: float, *, min_radius: int, max_radius: int,
+        min_dist: int, cap: int, pull_cap: int = 511):
+    """Minimum-traffic mesh detection for a host-normalized uint8 stack.
+
+    The mesh twin of the single-chip packed path
+    (ops.detect._stage_dense_packed): 1 B/px up the link, detection sharded
+    over (batch, space), and ONE small packed pull back. Returns (packed
+    (B, pull_cap + 1, 4), full (B, cap, 4)) device arrays; packed[b, 0] =
+    (n_accepted, n_keep, 0, 0), rows follow in score order.
+    """
+    circles, scores, accepted, n_keep = sharded_find_circles_batch(
+        images_u8, mesh, low_q, high_q, min_roundness,
+        min_radius=min_radius, max_radius=max_radius, min_dist=min_dist,
+        cap=cap, normalized=True,
+    )
+    return _pack_accepted_batch(circles, scores, accepted,
+                                n_keep.astype(jnp.float32),
+                                pull_cap=pull_cap)
+
+
 def sharded_find_circles(
     image,
     mesh: Mesh,
@@ -506,17 +574,26 @@ def sharded_find_circles(
     memo_key = ("mesh_frame", h, w, int(min_radius), int(max_radius),
                 tuple(sorted(mesh.shape.items())))
     cap = ops_detect._cap_memo.get(memo_key, 4096)
-    imgs = jnp.asarray(image)[None] if image.ndim == 2 else jnp.asarray(image)
+    pull_cap = 511
+    imgs = np.asarray(image)[None] if image.ndim == 2 else np.asarray(image)
+    # Minimum traffic: 1 B/px up (exact host normalize twin), ONE packed
+    # pull back — mirrors the single-chip packed frame path.
+    planes_u8 = jax.device_put(ops_detect.normalize_planes_u8(imgs))
     while True:
-        circles, scores, accepted, n_keep = sharded_find_circles_batch(
-            imgs, mesh, float(low_edge_quantile), float(high_edge_quantile),
-            float(min_roundness), min_radius=int(min_radius),
-            max_radius=int(max_radius), min_dist=int(min_dist), cap=cap,
+        packed_d, full_d = sharded_find_circles_batch_packed(
+            planes_u8, mesh, float(low_edge_quantile),
+            float(high_edge_quantile), float(min_roundness),
+            min_radius=int(min_radius), max_radius=int(max_radius),
+            min_dist=int(min_dist), cap=cap, pull_cap=pull_cap,
         )
-        worst = int(np.max(np.asarray(n_keep)))
+        packed = np.asarray(packed_d)  # the single pull
+        worst = int(packed[:, 0, 1].max())
         if worst <= cap:
             ops_detect._cap_memo[memo_key] = cap
             break
         cap = ops_detect._grow_cap(worst, cap)
-    acc = np.asarray(accepted[0])
-    return np.asarray(circles[0])[acc], np.asarray(scores[0])[acc]
+    n_acc = int(packed[0, 0, 0])
+    rows = packed[0, 1:1 + min(n_acc, pull_cap)]
+    if n_acc > pull_cap:
+        rows = np.concatenate([rows, np.asarray(full_d[0, pull_cap:n_acc])])
+    return rows[:, :3].astype(np.int32), rows[:, 3].copy()

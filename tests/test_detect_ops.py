@@ -325,6 +325,49 @@ def test_pallas_hysteresis_matches_xla_loop():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("tile_rows", [8, 16, 48])
+def test_pallas_tiled_hysteresis_matches_xla_loop(tile_rows):
+    """The serpentine tiled kernel (the > VMEM path) reaches the same
+    least fixpoint as the whole-plane dilation across block sizes,
+    including blocks that don't divide the plane and chains that cross
+    block boundaries repeatedly."""
+    from magnify_tpu.ops.edge import dilate8
+    from magnify_tpu.ops.pallas_kernels import hysteresis
+
+    def xla_fixpoint(s, w):
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            cur, _ = state
+            grown = dilate8(cur) & w | cur
+            return grown, jnp.any(grown != cur)
+
+        return jax.lax.while_loop(cond, body, (s, jnp.asarray(True)))[0]
+
+    rng = np.random.default_rng(12)
+    strong = jnp.asarray(rng.random((100, 150)) > 0.99)
+    weak = strong | jnp.asarray(rng.random((100, 150)) > 0.65)
+    a = np.asarray(jax.jit(xla_fixpoint)(strong, weak))
+    b = np.asarray(hysteresis(strong, weak, tile_rows=tile_rows))
+    np.testing.assert_array_equal(a, b)
+
+    # A serpentine chain spanning many blocks: down-and-up propagation.
+    img = np.zeros((96, 150), bool)
+    img[5, 10:140] = True      # top H run
+    img[5:90, 140] = True      # long V run down
+    img[90, 20:141] = True     # bottom H run back
+    img[20:91, 20] = True      # V run back up
+    strong2 = np.zeros_like(img)
+    strong2[5, 10] = True
+    a2 = np.asarray(jax.jit(xla_fixpoint)(jnp.asarray(strong2),
+                                          jnp.asarray(img)))
+    b2 = np.asarray(hysteresis(jnp.asarray(strong2), jnp.asarray(img),
+                               tile_rows=tile_rows))
+    np.testing.assert_array_equal(a2, b2)
+    assert a2.sum() == img.sum()  # the whole chain lights up
+
+
 def test_grow_cap_errors_at_ceiling():
     """A degenerate detection (more survivors than the compaction ceiling)
     must raise instead of re-dispatching the same program forever."""
