@@ -232,6 +232,145 @@ def measure_mrbles(n_runs: int = 3) -> dict:
     return out
 
 
+REALISTIC_LNS = ["eu", "dy", "sm", "tm"]
+REALISTIC_CHANNELS = ["435", "474", "536", "620", "700"]
+REALISTIC_SPECTRA = np.array([
+    [1.0, 0.2, 0.1, 0.05, 0.02],
+    [0.1, 1.0, 0.3, 0.0, 0.05],
+    [0.0, 0.1, 0.9, 0.4, 0.1],
+    [0.05, 0.0, 0.2, 0.9, 0.3],
+])
+# 24-code lattice (4 x 3 x 2 ratio levels) — realistic MRBLEs panel scale.
+REALISTIC_CODES = {
+    f"code_{d}{s}{t}": (1.5 * d, 2.0 * s, 2.5 * t)
+    for d in range(4) for s in range(3) for t in range(2)
+}
+
+
+def _realistic_spectra_csv():
+    import io
+
+    rows = ["name," + ",".join(REALISTIC_CHANNELS)]
+    rows += [f"{n}," + ",".join(map(str, s))
+             for n, s in zip(REALISTIC_LNS, REALISTIC_SPECTRA)]
+    return io.StringIO("\n".join(rows))
+
+
+def _realistic_codes_csv():
+    import io
+
+    rows = ["name,eu,dy,sm,tm"]
+    rows += [f"{n},1.0,{d},{s},{t}"
+             for n, (d, s, t) in REALISTIC_CODES.items()]
+    return io.StringIO("\n".join(rows))
+
+
+def measure_mrbles_realistic() -> dict:
+    """Realistic-panel decode scale (VERDICT r2 #4): 24 codes over a
+    4-lanthanide, 5-channel panel.
+
+    Two datapoints: (a) full mg.mrbles e2e at the benchmark frame size
+    with 192 beads over all 24 codes; (b) decode-stage-only at 8,192 marks
+    with 32x32 ROIs — above the 1<<25 device-routing threshold, so the
+    masked reductions / lattice fit / GMM actually run on the accelerator —
+    with per-stage wall times from components.identify.last_decode_timings.
+    """
+    import io
+
+    from magnify_tpu.components import identify as identify_mod
+    from magnify_tpu.components.identify import identify_mrbles
+    from magnify_tpu.core import DataArray, Dataset
+    from magnify_tpu.utils import filled_circle_points
+
+    rng = np.random.default_rng(7)
+    out = {}
+
+    # (a) Full pipeline: 192 beads / 24 codes on a noisy 5-channel frame.
+    planes = np.zeros((len(REALISTIC_CHANNELS),) + SHAPE, np.float32)
+    disk = filled_circle_points(10)
+    centers = []
+    truth = []
+    for name, code in REALISTIC_CODES.items():
+        placed = 0
+        while placed < 8:
+            pos = rng.integers(40, SHAPE[0] - 40, 2)
+            if any(abs(pos[0] - c[0]) < 34 and abs(pos[1] - c[1]) < 34
+                   for c in centers):
+                continue
+            centers.append(pos)
+            truth.append(name)
+            eu = rng.uniform(80, 120)
+            vols = eu * np.concatenate([[1.0], np.asarray(code)])
+            intensity = vols @ REALISTIC_SPECTRA
+            pts = disk + pos
+            for ci in range(len(REALISTIC_CHANNELS)):
+                planes[ci, pts[:, 0], pts[:, 1]] = intensity[ci]
+            placed += 1
+    planes = np.maximum(
+        planes + rng.normal(10.0, 2.5, planes.shape).astype(np.float32), 0.0)
+    data = DataArray(planes, dims=("channel", "y", "x"),
+                     coords={"channel": REALISTIC_CHANNELS})
+
+    def run():
+        import magnify_tpu as mg
+
+        return mg.mrbles(
+            data=data, spectra=_realistic_spectra_csv(),
+            codes=_realistic_codes_csv(), overlap=0, min_bead_diameter=16,
+            max_bead_diameter=24, num_iter=NUM_ITER, min_roundness=0.3,
+            search_channel="435",
+        )
+
+    xp = run()  # warmup
+    t0 = time.perf_counter()
+    xp = run()
+    sec = time.perf_counter() - t0
+    tags = xp.tag.values
+    decoded_codes = np.unique(tags[tags != "outlier"])
+    out["mrbles24_mpix_per_s"] = round(planes.size / 1e6 / sec, 3)
+    out["mrbles24_seconds"] = round(sec, 3)
+    out["mrbles24_found"] = int(xp.roi.sizes["mark"])
+    out["mrbles24_true"] = len(truth)
+    out["mrbles24_codes_decoded"] = int(len(decoded_codes))
+    out["mrbles24_codes_total"] = len(REALISTIC_CODES)
+
+    # (b) Decode-only at device scale: 8,192 marks x 5 ch x 32x32 ROIs
+    # (work = 41.9M > the 1<<25 routing threshold -> accelerator path).
+    n, L = 8192, 32
+    roi = np.zeros((n, len(REALISTIC_CHANNELS), 1, L, L), np.float32)
+    fg = np.zeros((n, 1, L, L), bool)
+    bg = np.zeros((n, 1, L, L), bool)
+    fg[:, :, 12:20, 12:20] = True
+    bg[:, :, 0:2, :] = True
+    code_list = list(REALISTIC_CODES.values())
+    codes_arr = np.asarray(code_list)[
+        rng.integers(0, len(code_list), n)]
+    eu = rng.uniform(80, 120, n)
+    vols = eu[:, None] * np.concatenate(
+        [np.ones((n, 1)), codes_arr + rng.normal(0, 0.04, codes_arr.shape)],
+        axis=1)
+    inten = vols @ REALISTIC_SPECTRA
+    roi[:, :, 0, 12:20, 12:20] = inten[:, :, None, None]
+    ds = Dataset(
+        {"roi": (("mark", "channel", "time", "roi_y", "roi_x"), roi)},
+        coords={"channel": REALISTIC_CHANNELS,
+                "fg": (("mark", "time", "roi_y", "roi_x"), fg),
+                "bg": (("mark", "time", "roi_y", "roi_x"), bg)})
+    identify_mrbles(ds, spectra=_realistic_spectra_csv(),
+                    codes=_realistic_codes_csv())  # warmup/compile
+    t0 = time.perf_counter()
+    res = identify_mrbles(ds, spectra=_realistic_spectra_csv(),
+                          codes=_realistic_codes_csv())
+    sec = time.perf_counter() - t0
+    tags = res.tag.values
+    out["decode8k_seconds"] = round(sec, 3)
+    out["decode8k_marks_per_s"] = round(n / sec, 1)
+    out["decode8k_outlier_frac"] = round(float((tags == "outlier").mean()),
+                                         4)
+    out["decode8k_stage_s"] = dict(identify_mod.last_decode_timings)
+    return out
+
+
 def measure_chip() -> dict:
     """Chip-pipeline throughput (BASELINE.json config 4)."""
     import magnify_tpu as mg
@@ -319,6 +458,7 @@ def main():
     for name, fn in [("stream", lambda: measure_stream(data)),
                      ("device", lambda: measure_device_throughput(data)),
                      ("mrbles", measure_mrbles),
+                     ("mrbles24", measure_mrbles_realistic),
                      ("chip", measure_chip), ("stitch", measure_stitch)]:
         try:  # the headline metric must still print if an extra fails
             result["detail"].update(fn())

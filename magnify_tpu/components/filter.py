@@ -63,13 +63,59 @@ def filter_expression(assay, search_channel=None, min_contrast=None):
     return assay
 
 
+# Clockwise 8-neighborhood for Moore boundary tracing, (drow, dcol).
+_MOORE = ((-1, 0), (-1, 1), (0, 1), (1, 1),
+          (1, 0), (1, -1), (0, -1), (-1, -1))
+
+
+def _trace_outer_border(mask: np.ndarray, start: tuple) -> float:
+    """Closed length of the 8-connected outer border cycle from ``start``
+    (the component's topmost-leftmost pixel): Moore-neighbor tracing with
+    state-repeat termination; steps weigh 1 (axial) / sqrt(2) (diagonal),
+    exactly ``cv.arcLength(contour, True)`` on the traced border."""
+    r0, c0 = start
+    h, w = mask.shape
+
+    def nb(pix, k):
+        return (pix[0] + _MOORE[k][0], pix[1] + _MOORE[k][1])
+
+    def fg(pix):
+        return 0 <= pix[0] < h and 0 <= pix[1] < w and mask[pix]
+
+    cur = (r0, c0)
+    back = 6  # came from the W neighbor (background: start is row-major first)
+    pts = []
+    seen = {}
+    while (cur, back) not in seen:
+        seen[(cur, back)] = len(pts)
+        pts.append(cur)
+        for j in range(1, 9):
+            k = (back + j) % 8
+            if fg(nb(cur, k)):
+                cur, back = nb(cur, k), (k + 4 + 1) % 8
+                break
+        else:
+            return 0.0  # isolated pixel: cv contour of length 0
+    # The walk is eventually periodic in (pixel, backtrack) state space;
+    # exactly one period (from the repeated state's first occurrence to the
+    # end) is the closed border cycle.
+    cycle = pts[seen[(cur, back)]:]
+    total = 0.0
+    for a, b in zip(cycle, cycle[1:] + cycle[:1]):
+        total += 1.0 if (a[0] == b[0] or a[1] == b[1]) else np.sqrt(2.0)
+    return total
+
+
 def _contour_perimeters(fg: np.ndarray) -> np.ndarray:
     """Per-mark external contour length of the fg masks.
 
     Uses OpenCV contour tracing (exact parity with reference
-    filter.py:53-56) when available; otherwise an 8-neighborhood
-    boundary-cycle estimate that counts thin-structure pixels twice (a
-    closed contour traverses both sides of a 1-px feature).
+    filter.py:53-56) when available; otherwise a Moore-neighbor outer
+    border trace per connected component — the same 8-connected border
+    cycle OpenCV's border following walks, with the same axial/diagonal
+    step weights, so the fallback matches ``cv.arcLength`` on the masks
+    this component sees (tested against cv2 in
+    tests/test_filter.py::test_contour_perimeter_fallback_matches_cv).
     """
     n = fg.shape[0]
     out = np.zeros(n)
@@ -84,17 +130,18 @@ def _contour_perimeters(fg: np.ndarray) -> np.ndarray:
         return out
     except ImportError:
         pass
+    import scipy.ndimage
+
+    eight = np.ones((3, 3), int)
     for i in range(n):
         mask = fg[i] > 0
-        padded = np.pad(mask, 1)
-        inside4 = (padded[:-2, 1:-1] & padded[2:, 1:-1]
-                   & padded[1:-1, :-2] & padded[1:-1, 2:])
-        boundary = mask & ~inside4
-        # Pixels on a thin ridge (no interior on either side in one axis)
-        # are traversed twice by a closed contour.
-        thin = boundary & ~(padded[:-2, 1:-1] & padded[2:, 1:-1]) \
-            & ~(padded[1:-1, :-2] & padded[1:-1, 2:])
-        out[i] = boundary.sum() + thin.sum()
+        labels, n_comp = scipy.ndimage.label(mask, structure=eight)
+        total = 0.0
+        for comp in range(1, n_comp + 1):
+            rows, cols = np.nonzero(labels == comp)
+            j = np.lexsort((cols, rows))[0]  # topmost, then leftmost
+            total += _trace_outer_border(labels == comp, (rows[j], cols[j]))
+        out[i] = total
     return out
 
 

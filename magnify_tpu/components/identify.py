@@ -192,6 +192,12 @@ def _small_problem_device(assay):
     return contextlib.nullcontext()
 
 
+# Wall-clock of the last decode's stages (intensities/lstsq, kNN trim,
+# lattice fit, GMM-EM), for diagnostics and the bench report. Overwritten
+# by every identify_mrbles call.
+last_decode_timings: dict[str, float] = {}
+
+
 @component("identify_mrbles")
 def identify_mrbles(assay, spectra, codes, reference="eu"):
     """Spectral decoding of MRBLEs beads (reference identify.py:50-234)."""
@@ -200,6 +206,17 @@ def identify_mrbles(assay, spectra, codes, reference="eu"):
 
 
 def _identify_mrbles_impl(assay, spectra, codes, reference):
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _stamp(stage):
+        nonlocal _t0
+        now = _time.perf_counter()
+        last_decode_timings[stage] = round(now - _t0, 4)
+        _t0 = now
+
+    last_decode_timings.clear()
     spectra_df = pd.read_csv(spectra)
     ref_matches = spectra_df[spectra_df["name"] == reference].index
     if len(ref_matches) == 0:
@@ -232,6 +249,7 @@ def _identify_mrbles_impl(assay, spectra, codes, reference):
                                     bg.to_numpy())
     volumes = np.linalg.lstsq(sp.T, intensities.T, rcond=None)[0].T
     ratios = volumes / volumes[:, 0:1]
+    _stamp("intensities_lstsq")
     assay = assay.assign_coords(ln=(("ln",), np.asarray(lns)))
     assay["ln_vol"] = (("mark", "ln"), volumes)
     assay["ln_ratio"] = (("mark", "ln"), ratios)
@@ -246,6 +264,7 @@ def _identify_mrbles_impl(assay, spectra, codes, reference):
         .flatten()
     )
     X_r = X[dist <= np.percentile(dist, 95)]
+    _stamp("knn_trim")
 
     # Step 3: per-dim affine lattice fit, then nearest-code assignment.
     code_ratios = codes_df[lns[1:]].to_numpy()
@@ -263,6 +282,7 @@ def _identify_mrbles_impl(assay, spectra, codes, reference):
         )
         A[i], p[i] = float(a_i), float(p_i)
 
+    _stamp("lattice_fit")
     lattice = A * code_ratios + p
     tag_idxs = np.argmin(
         np.linalg.norm(X_r[:, None] - lattice[None], axis=-1), axis=1
@@ -290,6 +310,8 @@ def _identify_mrbles_impl(assay, spectra, codes, reference):
         jnp.asarray(covs, jnp.float32),
         jnp.asarray(proportions, jnp.float32), float(span),
     )
+    probs = np.asarray(probs)  # sync before stamping the EM stage
+    _stamp("gmm_em")
     tag_names = np.append(tag_names, "outlier")
     if not bool(ok):
         # Matches the reference's divergence handling (identify.py:196-199,

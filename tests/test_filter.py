@@ -104,3 +104,57 @@ def test_quantify_component():
     vals = out.intensity.values[:, 0, 0]
     assert vals[0] == pytest.approx(40.0, abs=1.0)
     assert vals[1] == pytest.approx(140.0, abs=1.0)
+
+
+def test_contour_perimeter_fallback_matches_cv():
+    """The no-cv2 Moore-trace fallback walks the same outer border cycle
+    as cv.findContours + arcLength (advisor r2: the old pixel-count
+    estimate diverged on concave masks)."""
+    import cv2 as cv
+
+    from magnify_tpu.components import filter as filter_mod
+    from magnify_tpu.utils import annulus
+
+    rng = np.random.default_rng(11)
+    masks = []
+    # Disks, annuli (concave hole), random blobs, thin lines, multi-blob.
+    masks.append(circle((24, 24), (12, 12), 8))
+    masks.append(annulus((24, 24), (12, 12), 10, 5))
+    line = np.zeros((24, 24), bool)
+    line[5, 3:20] = True
+    masks.append(line)
+    two = np.zeros((24, 24), bool)
+    two[2:6, 2:6] = True
+    two[15:22, 10:20] = True
+    masks.append(two)
+    concave = np.zeros((24, 24), bool)
+    concave[4:20, 4:20] = True
+    concave[4:14, 10:14] = False  # notch
+    masks.append(concave)
+    for _ in range(10):
+        blob = rng.random((24, 24)) > 0.75
+        masks.append(blob)
+    fg = np.stack([np.asarray(m, bool) for m in masks])
+
+    expected = np.array([
+        sum(cv.arcLength(c, True) for c in cv.findContours(
+            (m > 0).astype(np.uint8) * 255, cv.RETR_EXTERNAL,
+            cv.CHAIN_APPROX_SIMPLE)[0])
+        for m in fg
+    ])
+
+    # Force the fallback by hiding cv2 from the module.
+    import builtins
+    real_import = builtins.__import__
+
+    def no_cv2(name, *args, **kwargs):
+        if name == "cv2":
+            raise ImportError("hidden for test")
+        return real_import(name, *args, **kwargs)
+
+    builtins.__import__ = no_cv2
+    try:
+        got = filter_mod._contour_perimeters(fg)
+    finally:
+        builtins.__import__ = real_import
+    np.testing.assert_allclose(got, expected, atol=1e-6)

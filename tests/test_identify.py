@@ -128,6 +128,85 @@ def test_identify_mrbles_decodes_synthetic_codes():
     assert accuracy > 0.9, f"accuracy {accuracy}"
 
 
+# Realistic panel scale: 4 lanthanides (3 decode dims), 24-code lattice —
+# the reference workload scale (identify.py:50-234 is built for tens of
+# codes; real MRBLEs panels run 24-48).
+LNS4 = ["eu", "dy", "sm", "tm"]
+SPECTRA4 = np.array([
+    [1.0, 0.2, 0.1, 0.05, 0.02],   # eu
+    [0.1, 1.0, 0.3, 0.0, 0.05],    # dy
+    [0.0, 0.1, 0.9, 0.4, 0.1],     # sm
+    [0.05, 0.0, 0.2, 0.9, 0.3],    # tm
+])
+CHANNELS5 = ["c435", "c474", "c536", "c620", "c700"]
+CODES24 = {
+    f"code_{d}{s}{t}": (1.5 * d, 2.0 * s, 2.5 * t)
+    for d in range(4) for s in range(3) for t in range(2)
+}
+
+
+def spectra4_csv():
+    rows = ["name," + ",".join(CHANNELS5)]
+    for name, spec in zip(LNS4, SPECTRA4):
+        rows.append(name + "," + ",".join(str(v) for v in spec))
+    return io.StringIO("\n".join(rows))
+
+
+def codes24_csv():
+    rows = ["name,eu,dy,sm,tm"]
+    for name, (dy, sm, tm) in CODES24.items():
+        rows.append(f"{name},1.0,{dy},{sm},{tm}")
+    return io.StringIO("\n".join(rows))
+
+
+def synthetic_bead_assay_24(n_per_code=10, seed=3):
+    """240 beads over the 24-code, 3-decode-dim lattice with realistic
+    ratio noise."""
+    rng = np.random.default_rng(seed)
+    n = n_per_code * len(CODES24)
+    L = 9
+    roi = np.zeros((n, len(CHANNELS5), 1, L, L), np.float32)
+    fg = np.zeros((n, 1, L, L), bool)
+    bg = np.zeros((n, 1, L, L), bool)
+    fg[:, :, 3:6, 3:6] = True
+    bg[:, :, 0, :] = True
+    truth = []
+    i = 0
+    for name, code in CODES24.items():
+        for _ in range(n_per_code):
+            eu_vol = rng.uniform(80, 120)
+            ratio_noise = rng.normal(0, 0.04, 3)
+            vols = eu_vol * np.concatenate([[1.0], code + ratio_noise])
+            intensities = vols @ SPECTRA4
+            roi[i, :, 0, 3:6, 3:6] = intensities[:, None, None]
+            truth.append(name)
+            i += 1
+    ds = Dataset(
+        {"roi": (("mark", "channel", "time", "roi_y", "roi_x"), roi)},
+        coords={
+            "channel": CHANNELS5,
+            "fg": (("mark", "time", "roi_y", "roi_x"), fg),
+            "bg": (("mark", "time", "roi_y", "roi_x"), bg),
+        },
+    )
+    return ds, np.array(truth)
+
+
+def test_identify_mrbles_24_codes_4_lanthanides():
+    """Decode correctness at realistic panel scale: the per-dim lattice
+    fit must align 4/3/2-level axes and the 24-component GMM must assign
+    codes accurately."""
+    ds, truth = synthetic_bead_assay_24()
+    out = identify_mrbles(ds, spectra=spectra4_csv(), codes=codes24_csv(),
+                          reference="eu")
+    assert list(out.ln.values) == LNS4
+    tags = out.tag.values
+    decoded = np.unique(tags[tags != "outlier"])
+    assert len(decoded) == 24, f"only {len(decoded)} codes decoded"
+    accuracy = (tags == truth).mean()
+    assert accuracy > 0.95, f"accuracy {accuracy}"
+
+
 def test_identify_mrbles_missing_reference():
     ds, _ = synthetic_bead_assay(n_per_code=4)
     with pytest.raises(ValueError, match="Reference lanthanide"):
