@@ -157,6 +157,17 @@ def flatfield_correct(xp, flatfield=1.0, darkfield=0.0):
         return np.clip(block.astype(work_dtype) - darkfield, 0, None)
 
     if isinstance(data, ChunkedArray):
+        if np.isscalar(flatfield) and flatfield == 1.0:
+            # Unit flatfield: the rescale factor is exactly 1 (max_pre and
+            # max_post are maxima of the SAME array), so the eager global-
+            # max passes would read the whole lazy stack for nothing.
+            # Defer the darkfield clip as a single chunk map — zero eager
+            # reads; out-of-core stacks stay on disk.
+            out = data.map_chunks(
+                lambda b: corrected(b).astype(dtype), dtype=dtype,
+            )
+            xp["tile"] = Variable(tile_var.dims, out, tile_var.attrs)
+            return xp
         # Pass 1: the two global maxima that set the rescale factor.
         max_pre = -np.inf
         max_post = -np.inf

@@ -60,6 +60,7 @@ class Stitcher:
                 shape=(nc, nt, nr * ch, ncol * cw),
                 dtype=data.dtype,
                 chunks=((1,) * nc, (1,) * nt, (ch,) * nr, (cw,) * ncol),
+                depth=data.depth,  # pure index remap: no compute added
             )
         else:
             cropped = np.asarray(data)[..., y_lo:y_hi, x_lo:x_hi]

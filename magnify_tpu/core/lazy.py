@@ -68,11 +68,18 @@ class ChunkedArray:
     is derived from it.
     """
 
-    def __init__(self, loader: Callable, shape, dtype, chunks):
+    def __init__(self, loader: Callable, shape, dtype, chunks, depth=0):
         self.shape = tuple(int(s) for s in shape)
         self.dtype = np.dtype(dtype)
         self.chunks = normalize_chunks(chunks, self.shape)
         self._loader = loader
+        # Deferred-compute depth: 0 = reads straight from the source
+        # (TIFF page, store chunk, generator); each map_chunks layer adds
+        # 1. Pure index remaps (transpose/expand_dims/stitch) keep it.
+        # Dataset.cache uses it to decide whether a spill actually pays
+        # (re-reading a depth<=1 array from its source is cheaper than
+        # writing + re-reading a full on-disk copy).
+        self.depth = int(depth)
         self._offsets = tuple(
             np.concatenate([[0], np.cumsum(c)]).astype(np.int64) for c in self.chunks
         )
@@ -239,7 +246,8 @@ class ChunkedArray:
         else:
             def loader(idx):
                 return fn(parent._block(idx))
-        return ChunkedArray(loader, self.shape, dtype or self.dtype, self.chunks)
+        return ChunkedArray(loader, self.shape, dtype or self.dtype, self.chunks,
+                            depth=self.depth + 1)
 
     def astype(self, dtype) -> "ChunkedArray":
         return self.map_chunks(lambda b: b.astype(dtype), dtype=dtype)
@@ -257,7 +265,8 @@ class ChunkedArray:
 
         shape = tuple(self.shape[d] for d in axes)
         chunks = tuple(self.chunks[d] for d in axes)
-        return ChunkedArray(loader, shape, self.dtype, chunks)
+        return ChunkedArray(loader, shape, self.dtype, chunks,
+                            depth=self.depth)
 
     def expand_dims(self, axis=0) -> "ChunkedArray":
         parent = self
@@ -268,7 +277,8 @@ class ChunkedArray:
 
         shape = self.shape[:axis] + (1,) + self.shape[axis:]
         chunks = self.chunks[:axis] + ((1,),) + self.chunks[axis:]
-        return ChunkedArray(loader, shape, self.dtype, chunks)
+        return ChunkedArray(loader, shape, self.dtype, chunks,
+                            depth=self.depth)
 
 
 def from_block_function(fn, shape, dtype, chunks) -> ChunkedArray:
@@ -298,12 +308,50 @@ def alloc_output(name: str, shape, dtype) -> np.ndarray:
     )
 
 
+# A spill truncates deferred work, but for a shallow lazy array (a pure
+# remap over its source, depth <= 1) the "work" being truncated is cheaper
+# than writing and re-reading a full on-disk copy — and on >RAM stacks the
+# extra copy doubles IO and floods the page cache. Spill only when the
+# deferred chain is deep enough to pay, or the array is small enough that
+# the copy is free anyway.
+SPILL_DEPTH = 2
+
+
+def worth_spilling(arr) -> bool:
+    """Whether ``Dataset.cache`` should materialize this array."""
+    if not isinstance(arr, ChunkedArray):
+        return True  # ndarray: spilling is a no-op or trivial
+    return arr.depth >= SPILL_DEPTH or arr.nbytes <= RESIDENT_BYTES_LIMIT
+
+
+def _evict_pages(mm: np.memmap) -> None:
+    """Flush and drop a memmap's resident pages (best effort).
+
+    Bounds peak RSS during large spills: dirty page-cache pages of the
+    mapped file otherwise accumulate to the full array size before the
+    kernel writes them back.
+    """
+    try:
+        import mmap as _mmap
+
+        mm.flush()
+        mm._mmap.madvise(_mmap.MADV_DONTNEED)
+    except (AttributeError, ValueError, OSError):
+        pass
+
+
+# Evict spill pages after this many dirty bytes.
+_EVICT_INTERVAL_BYTES = 256 * 1024 * 1024
+
+
 def spill_to_store(arr, name="array", directory=None) -> np.memmap:
     """Materialize a lazy array into an on-disk memmap and return it.
 
     The zarr-spill equivalent of the reference's ``.mg.cache``
     (/root/reference/src/magnify/accessor.py:18-35): bounds the deferred-op
-    graph while keeping the data OS-paged rather than resident.
+    graph while keeping the data OS-paged rather than resident. Written
+    pages are periodically flushed and evicted so peak RSS stays bounded
+    by the eviction interval, not the array size.
     """
     if isinstance(arr, np.memmap):
         return arr
@@ -319,6 +367,17 @@ def spill_to_store(arr, name="array", directory=None) -> np.memmap:
         return mm
     mm = np.lib.format.open_memmap(path, mode="w+", dtype=arr.dtype,
                                    shape=arr.shape)
-    arr._fill(mm)
+    written = 0
+    for idx in np.ndindex(*arr.numblocks):
+        sl = tuple(
+            slice(arr._offsets[d][i], arr._offsets[d][i + 1])
+            for d, i in enumerate(idx)
+        )
+        block = arr._block(idx)
+        mm[sl] = block
+        written += block.nbytes
+        if written >= _EVICT_INTERVAL_BYTES:
+            _evict_pages(mm)
+            written = 0
     mm.flush()
     return mm

@@ -925,14 +925,22 @@ class Dataset:
         temporary on-disk store and re-read lazily from there, truncating the
         deferred-op graph.
         """
-        from magnify_tpu.core.lazy import ChunkedArray, spill_to_store
+        from magnify_tpu.core.lazy import (
+            ChunkedArray,
+            spill_to_store,
+            worth_spilling,
+        )
 
         names = ([variables] if isinstance(variables, str)
                  else list(variables) if variables is not None
                  else list(self._vars))
         for name in names:
             var = self._vars[name]
-            if isinstance(var.data, ChunkedArray):
+            # Shallow lazy arrays over a large source stay lazy: re-reading
+            # them from the source beats writing + re-reading a full copy
+            # (measured: the unconditional spill doubled IO and flooded the
+            # page cache on a 10.7 GB out-of-core run).
+            if isinstance(var.data, ChunkedArray) and worth_spilling(var.data):
                 self._vars[name] = Variable(var.dims, spill_to_store(var.data, name),
                                             var.attrs)
         return self

@@ -1,0 +1,85 @@
+"""Out-of-core scale proof: a >5 GB lazily-backed stack end to end.
+
+Substantiates the terabyte-scale replacement claim (reference README.md:2)
+at a scale the test suite doesn't touch: a 4 channel x 40 time x 4096^2
+float32 stack (10.7 GB logical) streams through find_beads + quantify with
+peak RSS bounded by a few resident planes + the ROI memmap — never the
+stack. Planes are generated on the fly by the lazy loader (one shared base
+plane scaled per (channel, time), so host-side generation is one vectorized
+multiply per plane, not a fixture on disk).
+
+Run on the TPU host:  python scripts/measure_out_of_core.py
+Prints one JSON line; numbers are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import magnify_tpu as mg  # noqa: E402
+from magnify_tpu.core import DataArray  # noqa: E402
+from magnify_tpu.core.lazy import ChunkedArray  # noqa: E402
+from magnify_tpu.utils import filled_circle_points  # noqa: E402
+
+C, T, H, W = 4, 40, 4096, 4096  # f32: 10.74 GB logical
+NUM_ITER = 5_000_000
+
+
+def main():
+    rng = np.random.default_rng(0)
+    base = rng.normal(100, 5, (H, W)).astype(np.float32)
+    positions = [(r * 97 + 60, c * 83 + 50)
+                 for r in range((H - 120) // 97) for c in range((W - 100) // 83)]
+    disk = filled_circle_points(10)
+    for pos in positions:
+        pts = disk + np.asarray(pos)
+        base[pts[:, 0], pts[:, 1]] = 1000.0
+
+    loads = []
+
+    def load_block(idx):
+        ci, t = idx[0], idx[1]
+        loads.append((ci, t))
+        return (base * np.float32(1.0 + 0.01 * t + 0.05 * ci))[None, None]
+
+    tiles = ChunkedArray(load_block, shape=(C, T, H, W), dtype=np.float32,
+                         chunks=(1, 1, H, W))
+    data = DataArray(tiles, dims=("channel", "time", "y", "x"))
+
+    t0 = time.perf_counter()
+    xp = mg.beads(data=data, overlap=0, min_bead_diameter=16,
+                  max_bead_diameter=24, num_iter=NUM_ITER, min_roundness=0.3)
+    t_find = time.perf_counter() - t0
+    xp = mg.quantify(xp, batch_timesteps=8)
+    dt = time.perf_counter() - t0
+
+    logical_gb = C * T * H * W * 4 / 1e9
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    inten = xp.intensity.transpose("mark", "channel", "time").values
+    result = {
+        "logical_gb": round(logical_gb, 2),
+        "peak_rss_gb": round(rss_gb, 2),
+        "seconds": round(dt, 1),
+        "find_seconds": round(t_find, 1),
+        "mpix_per_s": round(C * T * H * W / 1e6 / dt, 2),
+        "marks": int(xp.roi.sizes["mark"]),
+        "true_beads": len(positions),
+        "planes_streamed": len(loads),
+        "quantified_shape": list(inten.shape),
+        "rss_bounded": bool(rss_gb < 0.45 * logical_gb),
+    }
+    print(json.dumps(result))
+    assert result["rss_bounded"], (
+        f"peak RSS {rss_gb:.1f} GB is not bounded vs {logical_gb:.1f} GB")
+
+
+if __name__ == "__main__":
+    main()
