@@ -137,6 +137,68 @@ def _stage_score(edges, grad_angles, cands, valid, min_roundness, *,
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("grid_length", "num_iter", "min_radius", "max_radius",
+                     "unique_cap", "nms_cap", "min_dist", "pull_cap",
+                     "use_conv", "normalized"),
+)
+def _stage_ransac_packed(image, low_q, high_q, min_roundness, key, *,
+                         grid_length, num_iter, min_radius, max_radius,
+                         unique_cap, nms_cap, min_dist, pull_cap, use_conv,
+                         normalized=False):
+    """Reference-faithful RANSAC detection as ONE dispatch + ONE pull.
+
+    The staged ransac path (candidates -> score -> NMS) pays a host sync
+    per stage to size the next stage's buffers; this fused variant uses
+    memoized caps instead (grow-retry like the dense path) so the whole
+    sampling pipeline — edges, Monte-Carlo circumcircle proposals
+    (utils.py:295-344 semantics), unique-triple dedupe, scoring, sort,
+    NMS — runs as a single program with a packed (pull_cap + 1, 4) result:
+    row 0 carries (n_accepted, n_keep, n_unique, 0).
+    """
+    image = image.astype(jnp.float32)
+    h, w = image.shape
+    edges, _dx, _dy, grad_angles = edge_pipeline(image, low_q, high_q,
+                                                 normalized=normalized)
+    cands, any_edges = candidate_circles(edges, grid_length=grid_length,
+                                         num_iter=num_iter, key=key)
+    valid = jnp.full((num_iter,), True) & any_edges
+    uniq, uvalid, n_unique = dedupe_circles(
+        cands, valid, height=h, width=w, min_radius=min_radius,
+        max_radius=max_radius, cap=unique_cap,
+    )
+    scores = _score_uniques(grad_angles, edges, uniq, uvalid,
+                            min_radius=min_radius, max_radius=max_radius,
+                            use_conv=use_conv)
+    keep = scores >= min_roundness
+    n_keep = keep.sum()
+    scores = jnp.where(keep, scores, -jnp.inf)
+    order = jnp.argsort(-scores)
+    circles = uniq[order][:nms_cap]
+    s = scores[order][:nms_cap]
+    if min_dist > 0:
+        accepted = parallel_greedy_nms(circles, jnp.isfinite(s),
+                                       min_dist=min_dist, height=h, width=w,
+                                       max_radius=max_radius)
+    else:
+        accepted = jnp.isfinite(s)
+
+    total = circles.shape[0]
+    rank = jnp.cumsum(accepted) - 1
+    n_acc = accepted.sum()
+    dest = jnp.where(accepted, rank, total)
+    rows = jnp.concatenate([circles.astype(jnp.float32), s[:, None]], axis=1)
+    compacted = jnp.zeros((total, 4), jnp.float32).at[dest].set(rows,
+                                                                mode="drop")
+    packed = jnp.zeros((pull_cap + 1, 4), jnp.float32)
+    packed = (packed.at[0, 0].set(n_acc).at[0, 1].set(n_keep)
+              .at[0, 2].set(n_unique))
+    take = min(pull_cap, total)
+    packed = packed.at[1:1 + take].set(compacted[:take])
+    return packed, compacted
+
+
+@functools.partial(
     jax.jit, static_argnames=("nms_cap", "min_dist", "height", "width",
                               "max_radius"),
 )
@@ -484,36 +546,32 @@ def find_circles(
         return rows[:, :3].astype(np.int32), rows[:, 3].copy()
 
     else:
+        # RANSAC mode gets the same first-class treatment as dense: one
+        # dispatch (sampling through NMS fused, caps memoized with
+        # grow-retry) and one packed pull, instead of per-stage host syncs.
         key = jax.random.PRNGKey(seed)
-        edges, grad_angles, cands, valid, n_unique = _stage_candidates(
-            image, float(low_edge_quantile), float(high_edge_quantile), key,
-            grid_length=int(grid_length), num_iter=int(num_iter),
-            min_radius=int(min_radius), max_radius=int(max_radius),
-        )
-        ucap = _pow2_at_least(int(n_unique), 1024, int(num_iter))
-
-        circles, scores, n_keep = _stage_score(
-            edges, grad_angles, cands, valid, float(min_roundness),
-            min_radius=int(min_radius), max_radius=int(max_radius),
-            unique_cap=ucap, use_conv=_use_conv_scorer(),
-        )
-        n_keep = int(n_keep)
-    ncap = min(_pow2_at_least(n_keep, 256, 1 << 24), int(circles.shape[0]))
-
-    if min_dist > 0:
-        circles, scores, accepted = _stage_nms(
-            circles, scores, nms_cap=ncap, min_dist=int(min_dist),
-            height=h, width=w, max_radius=int(max_radius),
-        )
-        accepted = np.asarray(accepted)
-    else:
-        circles = np.asarray(circles)[: int(n_keep)]
-        scores = np.asarray(scores)[: int(n_keep)]
-        return np.asarray(circles), np.asarray(scores)
-
-    circles = np.asarray(circles)[accepted]
-    scores = np.asarray(scores)[accepted]
-    return circles, scores
+        memo_key = ("ransac", h, w, int(min_radius), int(max_radius))
+        ucap = _cap_memo.get(memo_key, 4096)
+        pull_cap = 511
+        while True:
+            packed_d, full_d = _stage_ransac_packed(
+                image, float(low_edge_quantile), float(high_edge_quantile),
+                float(min_roundness), key, grid_length=int(grid_length),
+                num_iter=int(num_iter), min_radius=int(min_radius),
+                max_radius=int(max_radius), unique_cap=ucap, nms_cap=ucap,
+                min_dist=int(min_dist), pull_cap=pull_cap,
+                use_conv=_use_conv_scorer(),
+            )
+            packed = np.asarray(packed_d)  # the single transfer + sync
+            n_acc, n_unique = int(packed[0, 0]), int(packed[0, 2])
+            if n_unique <= ucap:
+                _cap_memo[memo_key] = ucap
+                break
+            ucap = _grow_cap(n_unique, ucap)
+        rows = packed[1:1 + min(n_acc, pull_cap)]
+        if n_acc > pull_cap:
+            rows = np.concatenate([rows, np.asarray(full_d[pull_cap:n_acc])])
+        return rows[:, :3].astype(np.int32), rows[:, 3].copy()
 
 
 @functools.partial(

@@ -15,10 +15,12 @@ from magnify_tpu.parallel.mesh import (
     sharded_detect_step,
     sharded_find_circles,
     sharded_find_circles_batch,
+    sharded_find_circles_batch_packed,
     use_mesh,
 )
 from magnify_tpu.parallel.streaming import DevicePrefetcher, stream_planes
 
 __all__ = ["DevicePrefetcher", "active_mesh", "make_mesh",
            "sharded_detect_step", "sharded_find_circles",
-           "sharded_find_circles_batch", "stream_planes", "use_mesh"]
+           "sharded_find_circles_batch", "sharded_find_circles_batch_packed",
+           "stream_planes", "use_mesh"]
