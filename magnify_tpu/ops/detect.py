@@ -95,6 +95,39 @@ def _pad_for_scoring(grad_angles, edges, max_radius):
     return ga, eg, pad
 
 
+def ranked_survivor_sources(keep, cap: int):
+    """First ``cap`` flat indices of True entries in ``keep`` (row-major),
+    plus the total survivor count.
+
+    Exactly ``searchsorted(cumsum(keep.ravel()), 1..cap)`` — but evaluated
+    hierarchically: per-row cumsums, a small scan over row totals, a row
+    binary search, then a per-selected-row column binary search. A single
+    multi-M-element 1-D cumsum plus gathers from it measures ~1.4x slower
+    on v5e than this two-level form (the row-major layout keeps every pass
+    lane-friendly).
+
+    ``keep``: bool, any shape with last dim = row width. Returns
+    (src (cap,) int32 flat indices into keep.ravel(), n_keep int32).
+    Entries past n_keep hold clipped garbage — callers mask by rank.
+    """
+    wp = keep.shape[-1]
+    k2 = keep.reshape(-1, wp).astype(jnp.int32)
+    row_c = jnp.cumsum(k2, axis=1)
+    row_tot = row_c[:, -1]
+    row_end = jnp.cumsum(row_tot)
+    n_keep = row_end[-1]
+    tgt = jnp.arange(1, cap + 1, dtype=row_end.dtype)
+    row = jnp.clip(jnp.searchsorted(row_end, tgt, side="left"),
+                   0, k2.shape[0] - 1)
+    row_off = row_end[row] - row_tot[row]
+    tloc = tgt - row_off
+    rows = row_c[row]
+    col = jax.vmap(lambda rc, t: jnp.searchsorted(rc, t, side="left"))(
+        rows, tloc)
+    col = jnp.clip(col, 0, wp - 1)
+    return (row * wp + col).astype(jnp.int32), n_keep
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("grid_length", "num_iter", "min_radius", "max_radius"),
@@ -425,23 +458,21 @@ def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
 
     # Survivor compaction without a full top_k or scatter: the roundness
     # threshold already leaves n_keep (<= cap, else the caller regrows cap
-    # and retries) survivors, so rank them by a cumsum, binary-search the
-    # monotone rank array for each output slot (cap * log n gathers — tiny),
-    # and sort just the <= cap selected rows by (-score, index). The
-    # (-score, index) key is exactly lax.top_k's order, and it is the same
-    # lexicographic key the mesh-sharded merge uses, so single-chip and
-    # sharded results stay bit-identical. ~10x cheaper than top_k over the
-    # full multi-radius score volume on TPU.
-    flat_scores = jnp.where(keep, maps, -jnp.inf).reshape(-1)
-    n_keep = keep.sum()
-    csum = jnp.cumsum(keep.reshape(-1).astype(jnp.int32))
-    targets = jnp.arange(1, cap + 1, dtype=csum.dtype)
-    src = jnp.searchsorted(csum, targets, side="left")
+    # and retries) survivors, so rank them with the hierarchical binary
+    # search (ranked_survivor_sources) and sort just the <= cap selected
+    # rows by (-score, index). The (-score, index) key is exactly
+    # lax.top_k's order, and it is the same lexicographic key the
+    # mesh-sharded merge uses, so single-chip and sharded results stay
+    # bit-identical. ~10x cheaper than top_k over the full multi-radius
+    # score volume on TPU. Scores gather straight from the maps: selected
+    # positions are survivors by construction, and ranks past n_keep are
+    # masked, so the keep-masked flat copy never materializes.
+    src, n_keep = ranked_survivor_sources(keep, cap)
+    targets = jnp.arange(1, cap + 1, dtype=n_keep.dtype)
     in_range = targets <= n_keep
-    src = jnp.clip(src, 0, flat_scores.shape[0] - 1)
-    sel_scores = jnp.where(in_range, flat_scores[src], -jnp.inf)
+    sel_scores = jnp.where(in_range, maps.reshape(-1)[src], -jnp.inf)
     neg, cand_lin = jax.lax.sort(
-        (-sel_scores, src.astype(jnp.int32)), num_keys=2
+        (-sel_scores, src), num_keys=2
     )
     cand_scores = -neg
 

@@ -209,7 +209,7 @@ def _depth_to_space(x, s):
 
 
 def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
-               s2d: int = 4):
+               s2d: int | None = None):
     """Roundness score for every (center, radius) as one MXU convolution.
 
     ``grad_angles``/``edges`` must be padded by 2*max_radius (the caller's
@@ -217,8 +217,12 @@ def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
     by [radius - min_radius, row + pad, col + pad]. Replaces the per-circle
     perimeter gathers of ``score_circles`` with dense convolutions — cost is
     independent of the candidate count and runs on the systolic array, with
-    an s2d channel fold keeping the MXU wide.
+    an s2d channel fold keeping the MXU wide. Default fold: 8 on TPU
+    (12*64 -> 5*64 channels fills the 128x128 MXU; measured ~15% faster
+    than s2d=4 at 1024^2 on v5e), 4 elsewhere.
     """
+    if s2d is None:
+        s2d = 8 if jax.default_backend() == "tpu" else 4
     e = edges.astype(jnp.float32)
     # Two transcendental passes (cos/sin of 2a) + a complex-product
     # recurrence generate all cos/sin(2ka) channels: cos(2(k+1)a) =

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -19,12 +20,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from magnify_tpu.ops import edge as edge_ops
-from magnify_tpu.ops.detect import (
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+from magnify_tpu.ops import edge as edge_ops  # noqa: E402
+from magnify_tpu.ops.detect import (  # noqa: E402
     _stage_dense_packed,
     normalize_planes_u8,
 )
-from magnify_tpu.ops.score import score_maps
+from magnify_tpu.ops.score import score_maps  # noqa: E402
 
 H = W = 1024
 MIN_R, MAX_R = 8, 12

@@ -322,3 +322,39 @@ def test_chip_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
     np.testing.assert_allclose(got.y.values, ref.y.values, atol=0.51)
     assert (got.fg.values == ref.fg.values).mean() > 0.99
     assert (got.roi.values == ref.roi.values).mean() > 0.99
+
+
+def test_packed_mesh_detection_matches_unpacked(devices):
+    """The minimum-traffic packed route (uint8 upload + one packed pull)
+    returns exactly the unpacked mesh detection's accepted circles."""
+    from magnify_tpu.ops.detect import normalize_planes_u8
+    from magnify_tpu.parallel.mesh import (
+        sharded_find_circles_batch,
+        sharded_find_circles_batch_packed,
+    )
+
+    mesh = make_mesh(batch=2, space=4)
+    rng = np.random.default_rng(9)
+    planes = np.stack([
+        draw_beads((64, 128), [[20, 30], [40, 90]], diameters=12)
+        + rng.normal(0, 3, (64, 128)),
+        draw_beads((64, 128), [[32, 64]], diameters=14)
+        + rng.normal(0, 3, (64, 128)),
+    ]).astype(np.float32)
+    kw = dict(min_radius=4, max_radius=8, min_dist=4, cap=256)
+
+    circles, scores, accepted, n_keep = sharded_find_circles_batch(
+        planes, mesh, 0.1, 0.9, 0.2, **kw)
+    packed, full = sharded_find_circles_batch_packed(
+        normalize_planes_u8(planes), mesh, 0.1, 0.9, 0.2, pull_cap=31, **kw)
+    packed = np.asarray(packed)
+
+    for b in range(planes.shape[0]):
+        acc = np.asarray(accepted[b])
+        want_c = np.asarray(circles[b])[acc]
+        want_s = np.asarray(scores[b])[acc]
+        n_acc = int(packed[b, 0, 0])
+        assert n_acc == len(want_c)
+        rows = packed[b, 1:1 + n_acc]
+        np.testing.assert_array_equal(rows[:, :3].astype(np.int32), want_c)
+        np.testing.assert_allclose(rows[:, 3], want_s, rtol=1e-6)
