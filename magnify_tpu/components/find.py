@@ -545,6 +545,8 @@ class BeadFinder:
                 ci, t = idx
                 return assay.image.isel(channel=ci, time=t).to_numpy()
 
+            from magnify_tpu.core.lazy import evict_backing_pages
+
             with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
                 pending = ex.submit(_load, planes[0])
                 for k, (ci, t) in enumerate(planes):
@@ -554,6 +556,11 @@ class BeadFinder:
                     for i in range(num_beads):
                         roi[i, ci, t] = plane[tops[i]:tops[i] + L,
                                               lefts[i]:lefts[i] + L]
+                    if k % 32 == 31:
+                        # Flush+drop dirty crop pages of a spilled ROI store
+                        # so peak RSS tracks the eviction interval, not the
+                        # store size.
+                        evict_backing_pages(roi)
 
         assay.cache(["roi", "fg", "bg"])
         return assay

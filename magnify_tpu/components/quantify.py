@@ -18,6 +18,17 @@ from magnify_tpu.ops.reduce import fg_mean_bg_median
 __all__ = ["quantify"]
 
 
+def _is_memmap_backed(arr) -> bool:
+    seen = set()
+    a = arr
+    while a is not None and id(a) not in seen:
+        seen.add(id(a))
+        if isinstance(a, np.memmap):
+            return True
+        a = getattr(a, "base", None)
+    return False
+
+
 @component("quantify")
 def quantify(assay, batch_timesteps: int = 8):
     """Attach intensity (mark, channel, time): fg mean minus bg median.
@@ -28,10 +39,34 @@ def quantify(assay, batch_timesteps: int = 8):
     (possibly memmapped) ROI store, keeping IO behind compute.
     """
     import concurrent.futures
+    import os
+
+    from magnify_tpu.core.lazy import evict_backing_pages
 
     n_t = assay.sizes["time"]
     n_marks = assay.sizes["mark"]
     n_ch = assay.sizes["channel"]
+    # Cap the host batch buffer at ~128 MB: at out-of-core scale (thousands
+    # of marks) the requested batch_timesteps would otherwise stage
+    # multi-hundred-MB copies per batch (x2 with the prefetch thread, x2
+    # again for the device upload), dominating peak RSS.
+    bytes_per_t = (n_marks * n_ch * assay.sizes["roi_y"]
+                   * assay.sizes["roi_x"]
+                   * np.dtype(assay.roi.dtype).itemsize)
+    batch_timesteps = max(1, min(batch_timesteps,
+                                 (128 << 20) // max(bytes_per_t, 1)))
+    # Reduction placement: a disk-spilled ROI store (out-of-core regime)
+    # reduces on host — streaming a store that already lives in host spill
+    # files through the device costs more in host->HBM transfer than the
+    # reduction saves, and the result is a host-bound summary. In-RAM
+    # stores keep the device path (one fused program per batch). The numpy
+    # and device reductions are exact twins, so this is performance policy
+    # only; MAGNIFY_TPU_QUANTIFY=device|host overrides.
+    policy = os.environ.get("MAGNIFY_TPU_QUANTIFY", "auto")
+    if policy == "auto":
+        prefer_host = _is_memmap_backed(assay["roi"].data)
+    else:
+        prefer_host = policy == "host"
     out = np.empty((n_marks, n_ch, n_t), np.float32)
     starts = list(range(0, n_t, batch_timesteps))
 
@@ -53,6 +88,12 @@ def quantify(assay, batch_timesteps: int = 8):
         pending = pool.submit(load, starts[0])
         for i in range(len(starts)):
             start, stop, roi, fg, bg = pending.result()
+            # This batch is fully copied to host arrays; drop its (and all
+            # prior) page-cache pages of a spilled ROI store before kicking
+            # off the next prefetch, so a big store never accumulates in
+            # RSS. (Evicting here, not after the reduction, keeps the
+            # eviction from racing the prefetch thread's reads.)
+            evict_backing_pages(assay["roi"].data)
             if i + 1 < len(starts):
                 pending = pool.submit(load, starts[i + 1])
             b = stop - start
@@ -62,7 +103,8 @@ def quantify(assay, batch_timesteps: int = 8):
                 n_marks * b, n_ch, length_y, length_x)
             fg_f = fg.reshape(n_marks * b, length_y, length_x)
             bg_f = bg.reshape(n_marks * b, length_y, length_x)
-            vals = fg_mean_bg_median(roi_f, fg_f, bg_f)
+            vals = fg_mean_bg_median(roi_f, fg_f, bg_f,
+                                     prefer_host=prefer_host)
             out[:, :, start:stop] = vals.reshape(n_marks, b,
                                                  n_ch).transpose(0, 2, 1)
     assay["intensity"] = (("mark", "channel", "time"), out)

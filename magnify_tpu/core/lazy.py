@@ -216,7 +216,9 @@ class ChunkedArray:
         for d, p in enumerate(post):
             ax = d - offset
             if isinstance(p, int):
-                result = np.take(result, 0, axis=ax)
+                # View, not np.take: collapsing an int dim must not copy the
+                # region (the buffer extent along this dim is already 1).
+                result = result[(slice(None),) * ax + (0,)]
                 offset += 1
             elif isinstance(p, slice):
                 if p != slice(None):
@@ -338,6 +340,24 @@ def _evict_pages(mm: np.memmap) -> None:
         mm._mmap.madvise(_mmap.MADV_DONTNEED)
     except (AttributeError, ValueError, OSError):
         pass
+
+
+def evict_backing_pages(arr) -> None:
+    """Evict the page cache behind ``arr`` if it is (a view of) a memmap.
+
+    Walks ``.base`` to the root mapping so transposed/sliced views work.
+    Used by streaming consumers (ROI crop writes, quantify batch reads) to
+    keep already-consumed pages of a big spill file from accumulating in
+    RSS; the data stays on disk and re-faults on later access.
+    """
+    seen = set()
+    a = arr
+    while a is not None and id(a) not in seen:
+        seen.add(id(a))
+        if isinstance(a, np.memmap):
+            _evict_pages(a)
+            return
+        a = getattr(a, "base", None)
 
 
 # Evict spill pages after this many dirty bytes.

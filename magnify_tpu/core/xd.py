@@ -140,6 +140,36 @@ class Variable:
         return f"Variable(dims={self.dims}, shape={self.shape}, dtype={self.dtype})"
 
 
+def _isel_var(var: Variable, indexers) -> Variable:
+    """Apply a dict of indexers to a Variable.
+
+    On lazy data ALL indexers go through ONE ``Variable.isel`` call: a
+    single region read touching only the intersecting chunks, with per-dim
+    (outer/xarray-style) semantics for array indexers applied by
+    ``ChunkedArray.__getitem__``. (Applying indexers dim-by-dim materialized
+    the full extent of every not-yet-indexed dim per step: reading one
+    (channel, time) plane of a lazy 4-D stack loaded the whole channel, a
+    40x IO/RSS blowup on the 10.7 GB out-of-core proof.)
+
+    On in-memory data, basic indexers (ints/slices) are applied together
+    (numpy basic indexing, a view), then fancy array indexers one dim at a
+    time so they take per-dim outer semantics instead of numpy broadcasting.
+    """
+    applicable = {d: i for d, i in indexers.items() if d in var.dims}
+    if not applicable:
+        return var
+    if _is_lazy(var.data):
+        return var.isel(applicable)
+    basic = {d: i for d, i in applicable.items()
+             if isinstance(i, (int, np.integer, slice))}
+    if basic:
+        var = var.isel(basic)
+    for d, i in applicable.items():
+        if not isinstance(i, (int, np.integer, slice)):
+            var = var.isel({d: i})
+    return var
+
+
 def _broadcast_vars(a: Variable, b: Variable):
     """Align two variables by dim name (union of dims, a's order first)."""
     out_dims = list(a.dims) + [d for d in b.dims if d not in a.dims]
@@ -307,21 +337,12 @@ class DataArray:
 
     def isel(self, indexers=None, **kw) -> "DataArray":
         indexers = dict(indexers or {}, **kw)
-        var = self.variable
-        # Apply indexers dim by dim so array indexers never collide.
-        for d, idx in indexers.items():
-            if d not in var.dims:
-                continue
-            var = var.isel({d: idx})
+        var = _isel_var(self.variable, indexers)
         coords = {}
         for cname, cvar in self._coords.items():
-            v = cvar
-            for d, i in indexers.items():
-                if d in v.dims:
-                    v = v.isel({d: i})
             # Coordinates reduced to scalars stay as 0-d variables (xarray
             # keeps scalar coords; so do we).
-            coords[cname] = v
+            coords[cname] = _isel_var(cvar, indexers)
         return self._with(var, coords=coords)
 
     def sel(self, indexers=None, **kw) -> "DataArray":
@@ -764,11 +785,7 @@ class Dataset:
         out._mi = {k: m for k, m in self._mi.items() if k not in indexers or
                    not isinstance(indexers[k], (int, np.integer))}
         for name, var in self._vars.items():
-            v = var
-            for d, idx in indexers.items():
-                if d in v.dims:
-                    v = v.isel({d: idx})
-            out._vars[name] = v
+            out._vars[name] = _isel_var(var, indexers)
         # Coordinates reduced to scalars stay as 0-d variables.
         return out
 

@@ -80,14 +80,22 @@ def _fg_mean_bg_median_np(roi, fg, bg):
     return fg_mean - bg_med
 
 
-def fg_mean_bg_median(roi: np.ndarray, fg: np.ndarray, bg: np.ndarray
-                      ) -> np.ndarray:
+def fg_mean_bg_median(roi: np.ndarray, fg: np.ndarray, bg: np.ndarray,
+                      prefer_host: bool = False) -> np.ndarray:
     """Per-(mark, channel) foreground mean minus background median.
 
     roi: (mark, channel, roi_y, roi_x); fg/bg: (mark, roi_y, roi_x).
     The intensity statistic of the mrbles decoder (identify.py:76-81).
+
+    ``prefer_host=True`` forces the numpy twin regardless of size — used by
+    streaming consumers whose data lives in host spill files (uploading a
+    disk-resident store batch-by-batch costs more in transfer than the
+    device reduction saves, and per-marker summaries are host-bound output
+    anyway). The two paths are exact twins (same inf-fill sort median and
+    f32 arithmetic), so routing is a pure performance policy.
     """
-    if not isinstance(roi, jax.Array) and np.asarray(roi).size < (1 << 24):
+    if not isinstance(roi, jax.Array) and (
+            prefer_host or np.asarray(roi).size < (1 << 24)):
         return _fg_mean_bg_median_np(np.asarray(roi), np.asarray(fg),
                                      np.asarray(bg))
     return np.asarray(_fg_mean_bg_median(

@@ -18,6 +18,7 @@ import json
 import os
 import resource
 import sys
+import threading
 import time
 
 import numpy as np
@@ -32,8 +33,34 @@ from magnify_tpu.utils import filled_circle_points  # noqa: E402
 C, T, H, W = 4, 40, 4096, 4096  # f32: 10.74 GB logical
 NUM_ITER = 5_000_000
 
+_stage = ["init"]
+
+
+def _rss_tracer(path, interval=2.0):
+    """Sample VmRSS/RssAnon/RssFile (+ current stage) to a JSONL trace.
+
+    Enabled with MAGNIFY_TPU_RSS_TRACE=<path>; lets a failed peak-RSS
+    assertion be attributed to a stage and to anon-heap vs page-cache."""
+    t0 = time.perf_counter()
+    with open(path, "w") as f:
+        while True:
+            rec = {"t": round(time.perf_counter() - t0, 1),
+                   "stage": _stage[0]}
+            with open("/proc/self/status") as s:
+                for line in s:
+                    if line.startswith(("VmRSS", "RssAnon", "RssFile")):
+                        key, val = line.split(":")
+                        rec[key] = int(val.split()[0]) // 1024  # MB
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            time.sleep(interval)
+
 
 def main():
+    trace = os.environ.get("MAGNIFY_TPU_RSS_TRACE")
+    if trace:
+        threading.Thread(target=_rss_tracer, args=(trace,),
+                         daemon=True).start()
     rng = np.random.default_rng(0)
     base = rng.normal(100, 5, (H, W)).astype(np.float32)
     positions = [(r * 97 + 60, c * 83 + 50)
@@ -55,11 +82,14 @@ def main():
     data = DataArray(tiles, dims=("channel", "time", "y", "x"))
 
     t0 = time.perf_counter()
+    _stage[0] = "find"
     xp = mg.beads(data=data, overlap=0, min_bead_diameter=16,
                   max_bead_diameter=24, num_iter=NUM_ITER, min_roundness=0.3)
     t_find = time.perf_counter() - t0
+    _stage[0] = "quantify"
     xp = mg.quantify(xp, batch_timesteps=8)
     dt = time.perf_counter() - t0
+    _stage[0] = "done"
 
     logical_gb = C * T * H * W * 4 / 1e9
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
@@ -74,7 +104,10 @@ def main():
         "true_beads": len(positions),
         "planes_streamed": len(loads),
         "quantified_shape": list(inten.shape),
-        "rss_bounded": bool(rss_gb < 0.45 * logical_gb),
+        # Scale-independent bound: the streaming working set (a few planes
+        # + batch buffers + evicted-interval spill pages) must not track
+        # the logical size. Measured peak on this 10.7 GB run: 1.92 GB.
+        "rss_bounded": bool(rss_gb < 3.0),
     }
     print(json.dumps(result))
     assert result["rss_bounded"], (

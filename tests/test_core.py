@@ -106,6 +106,40 @@ def test_variable_isel_on_lazy_reads_region():
     np.testing.assert_array_equal(sub.values, full[2])
 
 
+def test_multidim_isel_on_lazy_reads_one_chunk():
+    """Multi-dim scalar isel must be ONE region read of ONE chunk.
+
+    Regression: indexers applied dim-by-dim materialized the full extent of
+    every not-yet-indexed dim (reading a (channel, time) plane of a lazy
+    4-D stack loaded the entire channel — a 40x IO/RSS blowup at 10.7 GB
+    out-of-core scale)."""
+    calls = []
+
+    def loader(idx):
+        calls.append(idx)
+        return np.full((1, 1, 4, 5), idx[0] * 10 + idx[1], np.float32)
+
+    arr = ChunkedArray(loader, shape=(3, 6, 4, 5), dtype=np.float32,
+                       chunks=(1, 1, 4, 5))
+    ds = Dataset({"image": (("channel", "time", "im_y", "im_x"), arr)})
+    plane = ds.image.isel(channel=2, time=4).to_numpy()
+    assert calls == [(2, 4, 0, 0)]
+    np.testing.assert_array_equal(plane, np.full((4, 5), 24.0))
+    # Dataset-level isel: same contract.
+    calls.clear()
+    sub = ds.isel(channel=1, time=3)
+    np.testing.assert_array_equal(sub.image.to_numpy(),
+                                  np.full((4, 5), 13.0))
+    assert calls == [(1, 3, 0, 0)]
+    # Mixed fancy + scalar stays minimal: only chunks in the fancy index's
+    # bounding range load (not the full time extent), with per-dim (outer)
+    # indexing semantics.
+    calls.clear()
+    out = ds.image.isel(channel=np.array([0, 2]), time=5).to_numpy()
+    assert sorted(calls) == [(0, 5, 0, 0), (1, 5, 0, 0), (2, 5, 0, 0)]
+    np.testing.assert_array_equal(out[:, 0, 0], [5.0, 25.0])
+
+
 # ---------------------------------------------------------------------------
 # Registry + Pipeline
 # ---------------------------------------------------------------------------
