@@ -420,6 +420,26 @@ def measure_stitch() -> dict:
             "stitched_shape": list(xp.image.shape)}
 
 
+def measure_rtt(n: int = 10) -> dict:
+    """Relay round-trip probe: median dispatch+pull latency on a trivial
+    program. The e2e Mpix/s numbers on 1-frame workloads are RTT-dominated
+    through the dev relay, and relay latency varies ~3x between sessions —
+    this datapoint lets a reader normalize before calling a regression."""
+    import jax.numpy as jnp
+
+    import jax
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    x = np.arange(64, dtype=np.float32)
+    np.asarray(f(x))  # compile
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        samples.append(time.perf_counter() - t0)
+    return {"rtt_ms": round(float(np.median(samples)) * 1000, 1)}
+
+
 def main():
     data, n_true = make_workload()
 
@@ -455,7 +475,8 @@ def main():
             "beads_per_s": round(found / sec_frame, 1),
         },
     }
-    for name, fn in [("stream", lambda: measure_stream(data)),
+    for name, fn in [("rtt", measure_rtt),
+                     ("stream", lambda: measure_stream(data)),
                      ("device", lambda: measure_device_throughput(data)),
                      ("mrbles", measure_mrbles),
                      ("mrbles24", measure_mrbles_realistic),

@@ -257,3 +257,43 @@ def test_out_of_core_beads_quantify(monkeypatch, tmp_path):
     # stack brightens 10% per step.
     assert (inten > 100).all()
     assert (np.diff(inten, axis=-1) > 0).all()
+
+
+def test_quantify_host_device_policy_parity(monkeypatch):
+    """The host and device quantify reductions are exact twins, and the
+    auto policy routes memmap-backed ROI stores to the host twin."""
+    from magnify_tpu.components import quantify as q_mod
+    from magnify_tpu.core import Dataset
+    from magnify_tpu.core.lazy import alloc_output
+
+    rng = np.random.default_rng(3)
+    n, n_ch, n_t, L = 7, 2, 5, 12
+    roi = rng.normal(100, 20, (n, n_ch, n_t, L, L)).astype(np.float32)
+    fg = rng.random((n, n_t, L, L)) > 0.6
+    bg = rng.random((n, n_t, L, L)) > 0.6
+
+    def build(roi_arr):
+        return Dataset(
+            {"roi": (("mark", "channel", "time", "roi_y", "roi_x"),
+                     roi_arr)},
+            coords={"fg": (("mark", "time", "roi_y", "roi_x"), fg),
+                    "bg": (("mark", "time", "roi_y", "roi_x"), bg)})
+
+    outs = {}
+    for policy in ["host", "device"]:
+        monkeypatch.setenv("MAGNIFY_TPU_QUANTIFY", policy)
+        outs[policy] = q_mod.quantify(
+            build(roi.copy()), batch_timesteps=2).intensity.values
+    np.testing.assert_allclose(outs["host"], outs["device"],
+                               rtol=1e-6, atol=1e-4)
+
+    # auto: a memmap-backed (spilled) store routes to host — which must
+    # still agree (and not blow up on the view-walk to the root mapping).
+    monkeypatch.setenv("MAGNIFY_TPU_QUANTIFY", "auto")
+    monkeypatch.setattr("magnify_tpu.core.lazy.RESIDENT_BYTES_LIMIT", 1)
+    mm = alloc_output("roi_policy_test", roi.shape, roi.dtype)
+    mm[:] = roi
+    assert isinstance(mm, np.memmap)
+    assert q_mod._is_memmap_backed(mm.transpose(0, 2, 1, 3, 4))
+    out_auto = q_mod.quantify(build(mm), batch_timesteps=3).intensity.values
+    np.testing.assert_allclose(out_auto, outs["host"], rtol=1e-6, atol=1e-4)

@@ -25,7 +25,11 @@ def test_entry_compiles_and_runs(graft):
     assert np.asarray(circles).shape[1] == 3
 
 
+@pytest.mark.heavy_mesh
 def test_dryrun_multichip(graft):
+    # heavy_mesh: ~150 s of 8-virtual-device shard_map work, and the build
+    # driver independently executes dryrun_multichip every round — the
+    # default suite would only duplicate that coverage.
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     graft.dryrun_multichip(8)

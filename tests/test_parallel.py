@@ -195,6 +195,7 @@ def test_beads_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
     np.testing.assert_array_equal(got.roi.values, ref.roi.values)
 
 
+@pytest.mark.heavy_mesh
 def test_find_circles_stack_on_mesh_matches_single(devices):
     """find_circles_stack under use_mesh shards the whole stack and matches
     the single-device results exactly."""
@@ -324,6 +325,7 @@ def test_chip_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
     assert (got.roi.values == ref.roi.values).mean() > 0.99
 
 
+@pytest.mark.heavy_mesh
 def test_packed_mesh_detection_matches_unpacked(devices):
     """The minimum-traffic packed route (uint8 upload + one packed pull)
     returns exactly the unpacked mesh detection's accepted circles."""
