@@ -30,7 +30,9 @@ from magnify_tpu.core import DataArray  # noqa: E402
 from magnify_tpu.core.lazy import ChunkedArray  # noqa: E402
 from magnify_tpu.utils import filled_circle_points  # noqa: E402
 
-C, T, H, W = 4, 40, 4096, 4096  # f32: 10.74 GB logical
+C = int(os.environ.get("OOC_C", 4))
+T = int(os.environ.get("OOC_T", 40))
+H, W = 4096, 4096  # f32 default: 4 x 40 -> 10.74 GB logical
 NUM_ITER = 5_000_000
 
 _stage = ["init"]
