@@ -19,9 +19,15 @@ conservative stand-in for the "CPU reference" (see BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# bench.py imports the shared MRBLEs panel fixture from tests/synth.py;
+# make that work from any cwd, not just the repo root.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Measured by scripts/measure_cpu_anchor.py on this host (JAX CPU backend,
 # same workloads, steady state). Anchors are re-measured whenever shared
@@ -232,37 +238,22 @@ def measure_mrbles(n_runs: int = 3) -> dict:
     return out
 
 
-REALISTIC_LNS = ["eu", "dy", "sm", "tm"]
+# Realistic 24-code / 4-lanthanide panel — SHARED with
+# tests/test_identify.py (tests/synth.py) so the benchmark stays
+# correlated with the decode-accuracy test; only channel names differ.
+from tests.synth import (PANEL_CODES as REALISTIC_CODES,  # noqa: E402
+                         PANEL_SPECTRA as REALISTIC_SPECTRA,
+                         panel_codes_csv, panel_spectra_csv)
+
 REALISTIC_CHANNELS = ["435", "474", "536", "620", "700"]
-REALISTIC_SPECTRA = np.array([
-    [1.0, 0.2, 0.1, 0.05, 0.02],
-    [0.1, 1.0, 0.3, 0.0, 0.05],
-    [0.0, 0.1, 0.9, 0.4, 0.1],
-    [0.05, 0.0, 0.2, 0.9, 0.3],
-])
-# 24-code lattice (4 x 3 x 2 ratio levels) — realistic MRBLEs panel scale.
-REALISTIC_CODES = {
-    f"code_{d}{s}{t}": (1.5 * d, 2.0 * s, 2.5 * t)
-    for d in range(4) for s in range(3) for t in range(2)
-}
 
 
 def _realistic_spectra_csv():
-    import io
-
-    rows = ["name," + ",".join(REALISTIC_CHANNELS)]
-    rows += [f"{n}," + ",".join(map(str, s))
-             for n, s in zip(REALISTIC_LNS, REALISTIC_SPECTRA)]
-    return io.StringIO("\n".join(rows))
+    return panel_spectra_csv(REALISTIC_CHANNELS)
 
 
 def _realistic_codes_csv():
-    import io
-
-    rows = ["name,eu,dy,sm,tm"]
-    rows += [f"{n},1.0,{d},{s},{t}"
-             for n, (d, s, t) in REALISTIC_CODES.items()]
-    return io.StringIO("\n".join(rows))
+    return panel_codes_csv()
 
 
 def measure_mrbles_realistic() -> dict:

@@ -136,8 +136,20 @@ def _contour_perimeters(fg: np.ndarray) -> np.ndarray:
     for i in range(n):
         mask = fg[i] > 0
         labels, n_comp = scipy.ndimage.label(mask, structure=eight)
+        # RETR_EXTERNAL keeps only outermost contours: a component nested
+        # inside another component's hole is omitted entirely. A component
+        # is outermost iff it is 8-adjacent to background 4-connected to
+        # the image border (background is the 4-connected dual of the
+        # 8-connected foreground); pad so the border region always exists.
+        outer_bg = np.zeros_like(mask)
+        if mask.any():
+            bg_lab, _ = scipy.ndimage.label(np.pad(~mask, 1,
+                                                   constant_values=True))
+            outer_bg = (bg_lab == bg_lab[0, 0])[1:-1, 1:-1]
+        near_outer = scipy.ndimage.binary_dilation(outer_bg, structure=eight)
+        external = set(np.unique(labels[near_outer & mask])) - {0}
         total = 0.0
-        for comp in range(1, n_comp + 1):
+        for comp in external:
             rows, cols = np.nonzero(labels == comp)
             j = np.lexsort((cols, rows))[0]  # topmost, then leftmost
             total += _trace_outer_border(labels == comp, (rows[j], cols[j]))

@@ -119,7 +119,7 @@ def _fit_basic_working(stack, smooth_flat, smooth_dark, *,
             d = jnp.zeros_like(s)
         return s, d
 
-    def outer(carry, _):
+    def outer(carry, do_reweight):
         s, d, b, wgt = carry
         s, d = solve_fields(b, wgt)
         # Proximal smoothing: soft-threshold the fields' DCT coefficients
@@ -135,15 +135,24 @@ def _fit_basic_working(stack, smooth_flat, smooth_dark, *,
         den = (wgt * (s * s)[None]).sum(axis=(1, 2))
         b = jnp.maximum(num / jnp.maximum(den, 1e-6), 1e-3)
         # IRLS reweighting (basicpy epsilon=0.1): pixels the rank-1 model
-        # explains poorly (image content) lose influence.
+        # explains poorly (image content) lose influence. Only on the
+        # reweight_iters scheduled rounds; the other iterations refine
+        # (solve + prox + baseline) under the current weights.
         resid = stack - b[:, None, None] * s[None] - d[None]
         scale = jnp.maximum(jnp.abs(resid).mean(), 1e-6)
-        wgt = 1.0 / (jnp.abs(resid) / scale + 0.1)
-        wgt = wgt / wgt.mean()
+        new_wgt = 1.0 / (jnp.abs(resid) / scale + 0.1)
+        wgt = jnp.where(do_reweight, new_wgt / new_wgt.mean(), wgt)
         return (s, d, b, wgt), None
 
+    # max_iters is the TOTAL solver iteration count (basicpy's knob);
+    # reweight_iters rounds of them (evenly spaced, starting at iteration
+    # 0) refresh the IRLS weights.
+    total = max(int(max_iters), 1)
+    n_rw = max(min(int(reweight_iters), total), 1)
+    rw_at = np.zeros(total, bool)
+    rw_at[np.round(np.linspace(0, total - 1, n_rw)).astype(int)] = True
     (s, d, b, _), _ = jax.lax.scan(
-        outer, (s0, d0, b0, w0), None, length=max(reweight_iters, max_iters // 8))
+        outer, (s0, d0, b0, w0), jnp.asarray(rw_at))
 
     # basicpy convention: flatfield normalized to unit mean; the scale
     # folds into the baselines.
@@ -161,6 +170,10 @@ def fit_basic(images: np.ndarray, get_darkfield: bool = True,
     .fit`` as used by the reference (preprocess.py:98-100): ``images`` is
     (n_tiles, h, w); returns (flatfield (h, w) float32 with mean 1,
     darkfield (h, w) float32) at full tile resolution.
+
+    ``max_iters`` is the total solver iteration count; ``reweight_iters``
+    of those rounds (evenly spaced) refresh the IRLS robustness weights —
+    the same split of meanings as basicpy's knobs.
     """
     images = np.asarray(images, np.float32)
     n, h, w = images.shape

@@ -231,20 +231,6 @@ def _stage_ransac_packed(image, low_q, high_q, min_roundness, key, *,
     return packed, compacted
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nms_cap", "min_dist", "height", "width",
-                              "max_radius"),
-)
-def _stage_nms(circles, scores, *, nms_cap, min_dist, height, width,
-               max_radius):
-    c = circles[:nms_cap]
-    s = scores[:nms_cap]
-    accepted = parallel_greedy_nms(c, jnp.isfinite(s), min_dist=min_dist,
-                                   height=height, width=width,
-                                   max_radius=max_radius)
-    return c, s, accepted
-
-
 def checkify_enabled() -> bool:
     """Opt-in runtime guards (SURVEY §5 race/failure detection): with
     MAGNIFY_TPU_CHECKIFY=1, the detection program runs under
@@ -326,12 +312,17 @@ class _CapMemo(dict):
                 import json
 
                 # Merge entries written by concurrent processes since our
-                # load (keeping our own values on conflict) so the rewrite
-                # is not last-writer-wins over the whole dict.
+                # load so the rewrite is not last-writer-wins over the
+                # whole dict. On conflict keep the LARGER value: caps (and
+                # pull caps) only ever grow, so max() preserves whichever
+                # process learned more — setdefault would discard a
+                # concurrent process's growth and re-pay its grow-retry.
                 try:
                     with open(self._path) as fh:
                         for k, v in json.load(fh).items():
-                            super().setdefault(ast.literal_eval(k), int(v))
+                            kk = ast.literal_eval(k)
+                            super().__setitem__(
+                                kk, max(int(v), self.get(kk, 0)))
                 except Exception:
                     pass
                 os.makedirs(os.path.dirname(self._path), exist_ok=True)
@@ -524,10 +515,11 @@ def find_circles(
             min_dist=min_dist, seed=seed,
         )
 
-    if not isinstance(image, jax.Array):
-        # Ship the raw dtype (often uint16: half the bytes) and cast on
-        # device inside the jitted stages.
-        image = jnp.asarray(np.ascontiguousarray(image))
+    # Defer the host->device upload until we know which path runs: the mesh
+    # path wants the HOST array (it normalizes to uint8 before shipping), so
+    # uploading first would cost a raw upload plus a full-plane pull-back.
+    host_image = None if isinstance(image, jax.Array) \
+        else np.ascontiguousarray(image)
     h, w = image.shape
 
     if resolve_detector(detector) == "dense":
@@ -538,11 +530,16 @@ def find_circles(
             # Multi-chip: shard the dense detection over the active mesh
             # (row-sharded score maps, all_gather merge, replicated NMS).
             return sharded_find_circles(
-                np.asarray(image), mesh, low_edge_quantile,
+                np.asarray(image) if host_image is None else host_image,
+                mesh, low_edge_quantile,
                 high_edge_quantile, min_radius=int(min_radius),
                 max_radius=int(max_radius), min_roundness=float(min_roundness),
                 min_dist=int(min_dist),
             )
+        if host_image is not None:
+            # Ship the raw dtype (often uint16: half the bytes) and cast on
+            # device inside the jitted stages.
+            image = jnp.asarray(host_image)
         memo_key = ("frame", h, w, int(min_radius), int(max_radius))
         cap = _cap_memo.get(memo_key, 4096)
         pull_cap = 511
@@ -580,6 +577,8 @@ def find_circles(
         # RANSAC mode gets the same first-class treatment as dense: one
         # dispatch (sampling through NMS fused, caps memoized with
         # grow-retry) and one packed pull, instead of per-stage host syncs.
+        if host_image is not None:
+            image = jnp.asarray(host_image)
         key = jax.random.PRNGKey(seed)
         memo_key = ("ransac", h, w, int(min_radius), int(max_radius))
         ucap = _cap_memo.get(memo_key, 4096)

@@ -82,22 +82,18 @@ class ImageViewer:
         scale = full_shape[-1] / plane.shape[-1]
         return plane, scale, full_shape
 
-    def _overlays(self, full_shape, scale):
+    def _overlays(self, full_shape, scale, bboxes):
         """(fg_labels, bg_labels) downsampled to display resolution, or
-        (None, None) when the dataset has no roi layer."""
+        (None, None) when the dataset has no roi layer. ``bboxes`` are the
+        per-mark boxes the caller already computed (avoids paying the
+        centers + bounding-box pass twice per rendered plane)."""
         xp = self.xp
         if "roi" not in xp:
             return None, None
         fg = _isel(xp.fg, time=self.time).to_numpy()
         bg = _isel(xp.bg, time=self.time).to_numpy() if "bg" in xp.coords \
             else None
-        xs, ys = self._centers()
-        roi_len = xp.sizes["roi_y"]
         h, w = full_shape[-2], full_shape[-1]
-        bboxes = np.array([
-            [utils.bounding_box(xs[i], ys[i], roi_len, w, h)]
-            for i in range(xp.sizes["mark"])
-        ])
         fg_full = roi_to_image_labels(fg[:, None], bboxes, (h, w))[0]
         step = max(1, int(round(scale)))
         fg_ds = fg_full[::step, ::step]
@@ -123,22 +119,24 @@ class ImageViewer:
         ax.imshow(plane, cmap="gray")
         xp = self.xp
         if "roi" in xp:
-            fg_ds, bg_ds = self._overlays(full_shape, scale)
+            xs, ys = self._centers()
+            roi_len = xp.sizes["roi_y"]
+            h, w = full_shape[-2], full_shape[-1]
+            bboxes = np.array([
+                [utils.bounding_box(xs[i], ys[i], roi_len, w, h)]
+                for i in range(xp.sizes["mark"])
+            ])
+            fg_ds, bg_ds = self._overlays(full_shape, scale, bboxes)
             for labels, cmap in ((bg_ds, "spring"), (fg_ds, "summer")):
                 if labels is not None and labels.any():
                     ax.imshow(
                         np.ma.masked_where(labels == 0, labels),
                         cmap=cmap, alpha=0.5, interpolation="nearest",
                     )
-            xs, ys = self._centers()
             tags = (xp.tag.values if "tag" in xp.coords
                     else np.array([""] * xp.sizes["mark"]))
-            roi_len = xp.sizes["roi_y"]
-            h, w = full_shape[-2], full_shape[-1]
             for i in range(xp.sizes["mark"]):
-                top, bottom, left, right = utils.bounding_box(
-                    xs[i], ys[i], roi_len, w, h
-                )
+                top, bottom, left, right = bboxes[i, 0]
                 rect = patches.Rectangle(
                     (left / scale, top / scale), (right - left) / scale,
                     (bottom - top) / scale, fill=False, edgecolor="white",

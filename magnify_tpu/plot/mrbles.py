@@ -82,6 +82,13 @@ def _resolve_ln(xp, name, default_idx, n_cols):
         labels = [str(v) for v in np.asarray(xp["ln"].values).tolist()]
         if str(name) in labels:
             idx = labels.index(str(name))
+        elif not isinstance(name, int):
+            # A labeled panel must not silently plot the positional default
+            # for a NAME it does not carry — that mislabels another
+            # lanthanide's ratios as the requested one.
+            raise ValueError(
+                f"unknown lanthanide {name!r}: not in this panel's ln "
+                f"labels {labels}")
     if idx is None:
         idx = name if isinstance(name, int) else default_idx
     if not 0 <= idx < n_cols:

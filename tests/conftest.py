@@ -17,12 +17,14 @@ it) — compiled programs persist, detection cap state does not.
 
 import os
 
-_TEST_CACHE = os.path.join(os.path.dirname(__file__), os.pardir, ".cache",
-                           "test_xla")
-os.environ.setdefault("MAGNIFY_TPU_CACHE_DIR", os.path.abspath(_TEST_CACHE))
+_TEST_CACHE = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), os.pardir, ".cache", "test_xla"))
+# Unconditionally (not setdefault): a developer with MAGNIFY_TPU_CACHE_DIR
+# exported must not have their real cache polluted with CPU test programs —
+# or their learned cap memo deleted by the reset below.
+os.environ["MAGNIFY_TPU_CACHE_DIR"] = _TEST_CACHE
 try:
-    os.remove(os.path.join(os.environ["MAGNIFY_TPU_CACHE_DIR"],
-                           "cap_memo.json"))
+    os.remove(os.path.join(_TEST_CACHE, "cap_memo.json"))
 except OSError:
     pass
 

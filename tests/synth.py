@@ -50,3 +50,40 @@ def draw_chip(grid, button_diameter=20, row_dist=100, col_dist=100,
 
 def chip_image(grid, **kwargs) -> DataArray:
     return DataArray(draw_chip(grid, **kwargs), dims=("y", "x"))
+
+
+# Realistic MRBLEs panel: 4 lanthanides over a 24-code (4 x 3 x 2 ratio
+# level) lattice — the reference workload scale (identify.py:50-234 is
+# built for tens of codes; real panels run 24-48). Shared by
+# tests/test_identify.py and bench.py so the benchmark stays correlated
+# with the decode-accuracy test.
+PANEL_LNS = ["eu", "dy", "sm", "tm"]
+PANEL_SPECTRA = np.array([
+    [1.0, 0.2, 0.1, 0.05, 0.02],   # eu
+    [0.1, 1.0, 0.3, 0.0, 0.05],    # dy
+    [0.0, 0.1, 0.9, 0.4, 0.1],     # sm
+    [0.05, 0.0, 0.2, 0.9, 0.3],    # tm
+])
+PANEL_CODES = {
+    f"code_{d}{s}{t}": (1.5 * d, 2.0 * s, 2.5 * t)
+    for d in range(4) for s in range(3) for t in range(2)
+}
+
+
+def panel_spectra_csv(channels):
+    """Spectra CSV (one row per lanthanide) over the given channel names."""
+    import io
+
+    rows = ["name," + ",".join(channels)]
+    rows += [n + "," + ",".join(str(v) for v in s)
+             for n, s in zip(PANEL_LNS, PANEL_SPECTRA)]
+    return io.StringIO("\n".join(rows))
+
+
+def panel_codes_csv():
+    """Code-book CSV: reference lanthanide ratio pinned at 1.0."""
+    import io
+
+    rows = ["name,eu,dy,sm,tm"]
+    rows += [f"{n},1.0,{d},{s},{t}" for n, (d, s, t) in PANEL_CODES.items()]
+    return io.StringIO("\n".join(rows))

@@ -131,6 +131,17 @@ def test_contour_perimeter_fallback_matches_cv():
     concave[4:20, 4:20] = True
     concave[4:14, 10:14] = False  # notch
     masks.append(concave)
+    # Nested: a blob fully enclosed in another blob's hole —
+    # RETR_EXTERNAL reports only the OUTER component's contour, so the
+    # fallback must skip the enclosed one entirely.
+    nested = np.asarray(annulus((24, 24), (12, 12), 10, 6), bool)
+    nested[10:15, 10:15] = True
+    masks.append(nested)
+    # Doubly nested: ring, hole, inner ring with its own hole + core.
+    deep = np.asarray(annulus((24, 24), (12, 12), 11, 8), bool)
+    deep |= np.asarray(annulus((24, 24), (12, 12), 5, 3), bool)
+    deep[11:14, 11:14] = True
+    masks.append(deep)
     for _ in range(10):
         blob = rng.random((24, 24)) > 0.75
         masks.append(blob)

@@ -130,33 +130,21 @@ def test_identify_mrbles_decodes_synthetic_codes():
 
 # Realistic panel scale: 4 lanthanides (3 decode dims), 24-code lattice —
 # the reference workload scale (identify.py:50-234 is built for tens of
-# codes; real MRBLEs panels run 24-48).
-LNS4 = ["eu", "dy", "sm", "tm"]
-SPECTRA4 = np.array([
-    [1.0, 0.2, 0.1, 0.05, 0.02],   # eu
-    [0.1, 1.0, 0.3, 0.0, 0.05],    # dy
-    [0.0, 0.1, 0.9, 0.4, 0.1],     # sm
-    [0.05, 0.0, 0.2, 0.9, 0.3],    # tm
-])
+# codes; real MRBLEs panels run 24-48). The panel definition is shared
+# with bench.py via tests/synth.py so the benchmark mirrors this test.
+from tests.synth import (PANEL_CODES as CODES24, PANEL_LNS as LNS4,  # noqa: E402
+                         PANEL_SPECTRA as SPECTRA4, panel_codes_csv,
+                         panel_spectra_csv)
+
 CHANNELS5 = ["c435", "c474", "c536", "c620", "c700"]
-CODES24 = {
-    f"code_{d}{s}{t}": (1.5 * d, 2.0 * s, 2.5 * t)
-    for d in range(4) for s in range(3) for t in range(2)
-}
 
 
 def spectra4_csv():
-    rows = ["name," + ",".join(CHANNELS5)]
-    for name, spec in zip(LNS4, SPECTRA4):
-        rows.append(name + "," + ",".join(str(v) for v in spec))
-    return io.StringIO("\n".join(rows))
+    return panel_spectra_csv(CHANNELS5)
 
 
 def codes24_csv():
-    rows = ["name,eu,dy,sm,tm"]
-    for name, (dy, sm, tm) in CODES24.items():
-        rows.append(f"{name},1.0,{dy},{sm},{tm}")
-    return io.StringIO("\n".join(rows))
+    return panel_codes_csv()
 
 
 def synthetic_bead_assay_24(n_per_code=10, seed=3):

@@ -199,6 +199,22 @@ def test_resolve_ln_unknown_raises():
         mp.mrbles_clusters(ds, z="tm", show=False)
 
 
+def test_resolve_ln_unknown_raises_even_when_default_in_range():
+    """On a labeled panel an unknown NAME must raise even when the
+    positional default index would be in range — otherwise another
+    lanthanide's ratios get plotted under the requested label (code
+    review r3)."""
+    from magnify_tpu.core import Dataset
+
+    ratios = np.ones((6, 4))
+    ds = Dataset({"ln_ratio": (("mark", "ln"), ratios)},
+                 coords={"tag": (("mark",), np.array(["a"] * 6)),
+                         "ln": (("ln",),
+                                np.array(["eu", "dy", "sm", "tm"]))})
+    with pytest.raises(ValueError, match="unknown lanthanide"):
+        mp.mrbles_clusters(ds, x="pm", show=False)
+
+
 def test_interactive_edge_stage_live_edges():
     """The edge-tuning stage renders the live Canny edge map (reference
     utils.py:132-140) and re-thresholding changes it."""
