@@ -270,10 +270,10 @@ def _hysteresis_tiled_call(strong, weak, tile_rows: int, interpret: bool):
                           n_blocks=n_blocks),
         out_shape=jax.ShapeDtypeStruct((hp + 2 * g, wp), jnp.int32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((tile_rows + 2 * g, wp), jnp.int32),
             pltpu.VMEM((tile_rows + 2 * g, wp), jnp.int32),
