@@ -217,12 +217,16 @@ def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
     by [radius - min_radius, row + pad, col + pad]. Replaces the per-circle
     perimeter gathers of ``score_circles`` with dense convolutions — cost is
     independent of the candidate count and runs on the systolic array, with
-    an s2d channel fold keeping the MXU wide. Default fold: 8 on TPU
-    (12*64 -> 5*64 channels fills the 128x128 MXU; measured ~15% faster
-    than s2d=4 at 1024^2 on v5e), 4 elsewhere.
+    an s2d channel fold keeping the MXU wide. Default fold on TPU: 16 for
+    large planes (12*256 -> 5*256 channels; measured 4.35 ms vs s2d=8's
+    4.7 ms at 1024^2 on v5e), 8 below 512^2 where the 16-fold's collapsed
+    spatial extent starves the MXU's M dimension; 4 elsewhere.
     """
     if s2d is None:
-        s2d = 8 if jax.default_backend() == "tpu" else 4
+        if jax.default_backend() == "tpu":
+            s2d = 16 if min(grad_angles.shape[-2:]) >= 512 else 8
+        else:
+            s2d = 4
     e = edges.astype(jnp.float32)
     # Two transcendental passes (cos/sin of 2a) + a complex-product
     # recurrence generate all cos/sin(2ka) channels: cos(2(k+1)a) =
@@ -240,15 +244,16 @@ def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
         ck, sk = ck * c1 - sk * s1, sk * c1 + ck * s1
     # bf16 inputs halve MXU time; accumulation stays f32. The feature values
     # are in [-1, 1] and ring sums have ~L terms, so bf16's ~0.4% relative
-    # error is far below the harmonic-truncation bound.
-    feats = jnp.stack(feats)  # (C, Hp, Wp)
+    # error is far below the harmonic-truncation bound. Casting BEFORE the
+    # space-to-depth transpose halves that reshuffle's HBM traffic.
+    feats = jnp.stack(feats).astype(jnp.bfloat16)  # (C, Hp, Wp)
     c, hp, wp = feats.shape
 
     if s2d > 1:
         hpad = (-hp) % s2d
         wpad = (-wp) % s2d
         x = jnp.pad(feats, ((0, 0), (0, hpad), (0, wpad)))
-        x = _space_to_depth(x, s2d)[None].astype(jnp.bfloat16)
+        x = _space_to_depth(x, s2d)[None]
         w2, q0 = _s2d_ring_kernel(min_radius, max_radius, s2d)
         out = jax.lax.conv_general_dilated(
             x, jnp.asarray(w2, jnp.bfloat16), window_strides=(1, 1),
@@ -258,7 +263,7 @@ def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
         maps = _depth_to_space(out[0], s2d)
         return maps[:, :hp, :wp]
 
-    x = feats[None].astype(jnp.bfloat16)
+    x = feats[None]
     kernel = jnp.asarray(_ring_conv_kernel(min_radius, max_radius),
                          jnp.bfloat16)
     out = jax.lax.conv_general_dilated(

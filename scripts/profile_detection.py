@@ -57,9 +57,14 @@ def main():
 
     timings = {}
 
+    # Every sub-program reduces its result to a scalar ON DEVICE: pulling a
+    # full plane through the relay costs ~30-60 ms/MB, which would swamp the
+    # few-ms stage times being measured (the packed full program only pulls
+    # ~8 KB, so per-stage numbers must match that transfer profile).
+
     @jax.jit
     def edges_only(im):
-        return edge_ops.edge_pipeline(im, 0.1, 0.9, normalized=True)[0]
+        return edge_ops.edge_pipeline(im, 0.1, 0.9, normalized=True)[0].sum()
 
     timings["edge_stack_ms"] = round(bench(lambda: edges_only(plane)), 2)
 
@@ -67,7 +72,7 @@ def main():
     def blur_scharr(im):
         blurred = edge_ops.gaussian_blur5_u8(im.astype(jnp.float32))
         dx, dy = edge_ops.scharr(blurred)
-        return dx + dy
+        return (dx + dy).sum()
 
     timings["blur_scharr_ms"] = round(bench(lambda: blur_scharr(plane)), 2)
 
@@ -77,7 +82,7 @@ def main():
         dx, dy = edge_ops.scharr(blurred)
         grad = jnp.sqrt(dx * dx + dy * dy)
         return edge_ops.histogram_quantiles(
-            grad, jnp.asarray([0.1, 0.9], jnp.float32))
+            grad, jnp.asarray([0.1, 0.9], jnp.float32)).sum()
 
     timings["thru_quantiles_ms"] = round(bench(lambda: quantiles(plane)), 2)
 
@@ -90,9 +95,10 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("s",))
     def maps_only(ga, eg, s):
-        return score_maps(ga, eg, min_radius=MIN_R, max_radius=MAX_R, s2d=s)
+        return score_maps(ga, eg, min_radius=MIN_R, max_radius=MAX_R,
+                          s2d=s).sum()
 
-    for s in (1, 4, 8):
+    for s in (1, 4, 8, 16):
         try:
             timings[f"score_maps_s2d{s}_ms"] = round(
                 bench(lambda: maps_only(gap, egp, s)), 2)
