@@ -437,15 +437,7 @@ def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
     edges, _dx, _dy, grad_angles = edge_pipeline(image, low_q, high_q,
                                                  normalized=normalized)
     ga, eg, pad = _pad_for_scoring(grad_angles, edges, max_radius)
-    maps = score_maps(ga, eg, min_radius=min_radius, max_radius=max_radius)
-    n_r, hp, wp = maps.shape
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 1) - pad
-    cols = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 2) - pad
-    rads = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 0) + min_radius
-    ok = (rows + rads >= 0) & (cols + rads >= 0)
-    ok &= (rows - rads < h) & (cols - rads < w)
-    keep = ok & (maps >= min_roundness)
+    hp, wp = ga.shape
 
     # Survivor compaction without a full top_k or scatter: the roundness
     # threshold already leaves n_keep (<= cap, else the caller regrows cap
@@ -458,15 +450,74 @@ def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
     # score volume on TPU. Scores gather straight from the maps: selected
     # positions are survivors by construction, and ranks past n_keep are
     # masked, so the keep-masked flat copy never materializes.
-    src, n_keep = ranked_survivor_sources(keep, cap)
-    targets = jnp.arange(1, cap + 1, dtype=n_keep.dtype)
-    in_range = targets <= n_keep
-    sel_scores = jnp.where(in_range, maps.reshape(-1)[src], -jnp.inf)
-    neg, cand_lin = jax.lax.sort(
-        (-sel_scores, src), num_keys=2
-    )
-    cand_scores = -neg
+    #
+    # When the s2d fold is active, everything below runs in the FOLDED
+    # conv-output layout (score_maps_folded) — the 5-plane depth-to-space
+    # unfold and its slice copies (~1.2 ms of the 1024^2 frame on v5e)
+    # never materialize. The survivor SET is layout-independent whenever
+    # n_keep <= cap (the only accepted outcome: the caller regrows and
+    # retries otherwise), and the sort key below is the UNFOLDED row-major
+    # index either way, so (circles, scores) are bit-identical to the
+    # unfolded path.
+    from magnify_tpu.ops.score import _resolve_s2d, score_maps_folded
 
+    if _resolve_s2d(None, ga.shape) > 1:
+        folded, s = score_maps_folded(ga, eg, min_radius=min_radius,
+                                      max_radius=max_radius)
+        _c, hq, wq = folded.shape
+        ch = jax.lax.broadcasted_iota(jnp.int32, folded.shape, 0)
+        ri = ch // (s * s)
+        y = jax.lax.broadcasted_iota(jnp.int32, folded.shape, 1) * s \
+            + (ch // s) % s
+        x = jax.lax.broadcasted_iota(jnp.int32, folded.shape, 2) * s \
+            + ch % s
+        rows = y - pad
+        cols = x - pad
+        rads = ri + min_radius
+        ok = (y < hp) & (x < wp)  # fold padding rows/cols carry garbage
+        ok &= (rows + rads >= 0) & (cols + rads >= 0)
+        ok &= (rows - rads < h) & (cols - rads < w)
+        keep = ok & (folded >= min_roundness)
+
+        # The folded spatial rows are only wq (= Wp/s) lanes wide —
+        # re-viewing the flat survivor mask as wide power-of-two rows keeps
+        # the rank search's per-row cumsum lane-saturated (measured 1.11 ->
+        # ~0.5 ms at 1024^2). Pure reshape: flat indices are unchanged.
+        n_flat = keep.size
+        rw = 1024
+        while rw > 128 and n_flat % rw:
+            rw //= 2
+        k2 = keep.reshape(-1, rw) if n_flat % rw == 0 else keep
+        src, n_keep = ranked_survivor_sources(k2, cap)
+        targets = jnp.arange(1, cap + 1, dtype=n_keep.dtype)
+        in_range = targets <= n_keep
+        sel_scores = jnp.where(in_range, folded.reshape(-1)[src], -jnp.inf)
+        # Folded flat index -> unfolded row-major index (the sort key the
+        # unfolded path uses, keeping results identical across layouts).
+        fch = src // (hq * wq)
+        frem = src % (hq * wq)
+        fy = (frem // wq) * s + (fch // s) % s
+        fx = (frem % wq) * s + fch % s
+        lin = ((fch // (s * s)) * hp + fy) * wp + fx
+        neg, cand_lin = jax.lax.sort((-sel_scores, lin), num_keys=2)
+    else:
+        maps = score_maps(ga, eg, min_radius=min_radius,
+                          max_radius=max_radius)
+        rows = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 1) - pad
+        cols = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 2) - pad
+        rads = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 0) \
+            + min_radius
+        ok = (rows + rads >= 0) & (cols + rads >= 0)
+        ok &= (rows - rads < h) & (cols - rads < w)
+        keep = ok & (maps >= min_roundness)
+
+        src, n_keep = ranked_survivor_sources(keep, cap)
+        targets = jnp.arange(1, cap + 1, dtype=n_keep.dtype)
+        in_range = targets <= n_keep
+        sel_scores = jnp.where(in_range, maps.reshape(-1)[src], -jnp.inf)
+        neg, cand_lin = jax.lax.sort((-sel_scores, src), num_keys=2)
+
+    cand_scores = -neg
     r_idx = cand_lin // (hp * wp)
     rem = cand_lin % (hp * wp)
     circles = jnp.stack(

@@ -208,25 +208,16 @@ def _depth_to_space(x, s):
     return x.transpose(0, 3, 1, 4, 2).reshape(c, h * s, w * s)
 
 
-def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
-               s2d: int | None = None):
-    """Roundness score for every (center, radius) as one MXU convolution.
+def _resolve_s2d(s2d, shape):
+    if s2d is not None:
+        return s2d
+    if jax.default_backend() == "tpu":
+        return 16 if min(shape[-2:]) >= 512 else 8
+    return 4
 
-    ``grad_angles``/``edges`` must be padded by 2*max_radius (the caller's
-    existing contract). Returns (n_radii, Hp, Wp) float32 score maps indexed
-    by [radius - min_radius, row + pad, col + pad]. Replaces the per-circle
-    perimeter gathers of ``score_circles`` with dense convolutions — cost is
-    independent of the candidate count and runs on the systolic array, with
-    an s2d channel fold keeping the MXU wide. Default fold on TPU: 16 for
-    large planes (12*256 -> 5*256 channels; measured 4.35 ms vs s2d=8's
-    4.7 ms at 1024^2 on v5e), 8 below 512^2 where the 16-fold's collapsed
-    spatial extent starves the MXU's M dimension; 4 elsewhere.
-    """
-    if s2d is None:
-        if jax.default_backend() == "tpu":
-            s2d = 16 if min(grad_angles.shape[-2:]) >= 512 else 8
-        else:
-            s2d = 4
+
+def _alignment_features(grad_angles, edges):
+    """Per-harmonic (edge*cos(2ka), edge*sin(2ka)) channel stack."""
     e = edges.astype(jnp.float32)
     # Two transcendental passes (cos/sin of 2a) + a complex-product
     # recurrence generate all cos/sin(2ka) channels: cos(2(k+1)a) =
@@ -246,24 +237,66 @@ def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
     # are in [-1, 1] and ring sums have ~L terms, so bf16's ~0.4% relative
     # error is far below the harmonic-truncation bound. Casting BEFORE the
     # space-to-depth transpose halves that reshuffle's HBM traffic.
-    feats = jnp.stack(feats).astype(jnp.bfloat16)  # (C, Hp, Wp)
+    return jnp.stack(feats).astype(jnp.bfloat16)  # (C, Hp, Wp)
+
+
+def score_maps_folded(grad_angles, edges, *, min_radius: int,
+                      max_radius: int, s2d: int | None = None):
+    """Score maps in the space-to-depth FOLDED layout — no unfold transpose.
+
+    Returns (folded, s) where ``folded`` has shape (n_radii * s * s, Hq, Wq)
+    and ``folded[(ri*s + u)*s + v, qy, qx]`` is the score of radius
+    ``min_radius + ri`` at padded-plane position ``(qy*s + u, qx*s + v)``
+    (positions past the input extent carry garbage from the fold padding —
+    callers must mask ``qy*s + u < Hp``/``qx*s + v < Wp``). Skipping the
+    depth-to-space unfold keeps ~5 plane-sized transpose/copy passes out of
+    the dense detector, whose thresholding and compaction are
+    layout-agnostic (the survivor set and the (score, unfolded-index) sort
+    keys are identical either way). ``s2d`` must resolve to > 1.
+    """
+    s2d = _resolve_s2d(s2d, grad_angles.shape)
+    if s2d <= 1:
+        raise ValueError("score_maps_folded requires an s2d fold > 1")
+    feats = _alignment_features(grad_angles, edges)
     c, hp, wp = feats.shape
+    hpad = (-hp) % s2d
+    wpad = (-wp) % s2d
+    x = jnp.pad(feats, ((0, 0), (0, hpad), (0, wpad)))
+    x = _space_to_depth(x, s2d)[None]
+    w2, q0 = _s2d_ring_kernel(min_radius, max_radius, s2d)
+    out = jax.lax.conv_general_dilated(
+        x, jnp.asarray(w2, jnp.bfloat16), window_strides=(1, 1),
+        padding="SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )
+    return out[0], s2d
+
+
+def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
+               s2d: int | None = None):
+    """Roundness score for every (center, radius) as one MXU convolution.
+
+    ``grad_angles``/``edges`` must be padded by 2*max_radius (the caller's
+    existing contract). Returns (n_radii, Hp, Wp) float32 score maps indexed
+    by [radius - min_radius, row + pad, col + pad]. Replaces the per-circle
+    perimeter gathers of ``score_circles`` with dense convolutions — cost is
+    independent of the candidate count and runs on the systolic array, with
+    an s2d channel fold keeping the MXU wide. Default fold on TPU: 16 for
+    large planes (12*256 -> 5*256 channels; measured 4.35 ms vs s2d=8's
+    4.7 ms at 1024^2 on v5e), 8 below 512^2 where the 16-fold's collapsed
+    spatial extent starves the MXU's M dimension; 4 elsewhere.
+    """
+    s2d = _resolve_s2d(s2d, grad_angles.shape)
+    hp, wp = grad_angles.shape[-2:]
 
     if s2d > 1:
-        hpad = (-hp) % s2d
-        wpad = (-wp) % s2d
-        x = jnp.pad(feats, ((0, 0), (0, hpad), (0, wpad)))
-        x = _space_to_depth(x, s2d)[None]
-        w2, q0 = _s2d_ring_kernel(min_radius, max_radius, s2d)
-        out = jax.lax.conv_general_dilated(
-            x, jnp.asarray(w2, jnp.bfloat16), window_strides=(1, 1),
-            padding="SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32,
-        )
-        maps = _depth_to_space(out[0], s2d)
+        folded, s2d = score_maps_folded(
+            grad_angles, edges, min_radius=min_radius,
+            max_radius=max_radius, s2d=s2d)
+        maps = _depth_to_space(folded, s2d)
         return maps[:, :hp, :wp]
 
-    x = feats[None]
+    x = _alignment_features(grad_angles, edges)[None]
     kernel = jnp.asarray(_ring_conv_kernel(min_radius, max_radius),
                          jnp.bfloat16)
     out = jax.lax.conv_general_dilated(
