@@ -450,3 +450,52 @@ def test_nms_oracle_property_fuzz(mode, monkeypatch):
                                           height=96, width=128,
                                           max_radius=8))
         np.testing.assert_array_equal(a, b)
+
+
+def test_dense_candidates_folded_layout_matches_unfolded():
+    """The folded-s2d dense path must be bit-identical to compacting the
+    UNFOLDED maps of the same conv: identical survivor set (n_keep <= cap)
+    and the same (-score, unfolded row-major index) order. Guards the
+    layout-fungibility argument in ops/detect.py's folded branch — the
+    oracle below unfolds via score_maps (a pure permutation of the same
+    conv output) and compacts in numpy."""
+    from magnify_tpu.ops.detect import _dense_candidates, _pad_for_scoring
+    from magnify_tpu.ops.edge import edge_pipeline
+    from magnify_tpu.ops.score import score_maps
+
+    rng = np.random.default_rng(3)
+    img = draw_beads((160, 200), [[40, 50], [80, 150], [120, 60]],
+                     diameters=20).astype(np.float32)
+    img = img + rng.normal(0, 4, img.shape).astype(np.float32)
+    h, w = img.shape
+    min_r, max_r, cap, thresh = 8, 12, 512, 0.2
+
+    c_folded, s_folded, n_folded = _dense_candidates(
+        jnp.asarray(img), 0.1, 0.9, thresh, min_radius=min_r,
+        max_radius=max_r, cap=cap)
+    n_folded = int(n_folded)
+    assert 0 < n_folded <= cap
+
+    edges, _dx, _dy, ga = edge_pipeline(jnp.asarray(img), 0.1, 0.9)
+    gap, egp, pad = _pad_for_scoring(ga, edges, max_r)
+    maps = np.asarray(score_maps(gap, egp, min_radius=min_r,
+                                 max_radius=max_r))
+    n_r, hp, wp = maps.shape
+    rads = np.arange(n_r)[:, None, None] + min_r
+    rows = np.arange(hp)[None, :, None] - pad
+    cols = np.arange(wp)[None, None, :] - pad
+    ok = (rows + rads >= 0) & (cols + rads >= 0)
+    ok = ok & (rows - rads < h) & (cols - rads < w)
+    keep = ok & (maps >= thresh)
+    lin = np.flatnonzero(keep.ravel())
+    assert len(lin) == n_folded
+    order = np.lexsort((lin, -maps.ravel()[lin]))
+    lin = lin[order]
+    want_scores = maps.ravel()[lin]
+    want_circles = np.stack(
+        [lin % (hp * wp) // wp - pad, lin % wp - pad,
+         lin // (hp * wp) + min_r], axis=1)
+    np.testing.assert_array_equal(np.asarray(c_folded)[:n_folded],
+                                  want_circles)
+    np.testing.assert_array_equal(np.asarray(s_folded)[:n_folded],
+                                  want_scores)
