@@ -80,11 +80,6 @@ def candidate_circles(edges, grid_length: int, num_iter: int, key):
     )
     counts_flat = jnp.maximum(counts_flat, 1)
 
-    pix_rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    pix_cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    cell_ids = ((pix_rows // grid_length) * n_grid_cols
-                + pix_cols // grid_length).reshape(-1)
-
     # Uniform edge-pixel sampling: the CSR ``order`` array already holds all
     # edge pixels compacted at the front, so one gather replaces a binary
     # search over a cumsum (20x fewer random reads per sample).
@@ -94,7 +89,9 @@ def candidate_circles(edges, grid_length: int, num_iter: int, key):
     p0r = p0_flat // w
     p0c = p0_flat % w
 
-    c0 = cell_ids[p0_flat]
+    # Cell id from the sampled coordinates directly — arithmetic instead of
+    # another num_iter-sized random gather from a cell-id raster.
+    c0 = (p0r // grid_length) * n_grid_cols + p0c // grid_length
     u1 = jax.random.randint(k1, (num_iter,), 0, jnp.iinfo(jnp.int32).max)
     u2 = jax.random.randint(k2, (num_iter,), 0, jnp.iinfo(jnp.int32).max)
     j1 = starts[c0] + u1 % counts_flat[c0]
