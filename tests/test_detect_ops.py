@@ -499,3 +499,33 @@ def test_dense_candidates_folded_layout_matches_unfolded():
                                   want_circles)
     np.testing.assert_array_equal(np.asarray(s_folded)[:n_folded],
                                   want_scores)
+
+
+def test_ransac_cap_grow_retry_paths(monkeypatch):
+    """Force tiny memoized unique/NMS caps so the ransac host loop's two
+    grow-retry branches both execute, and pin that the final result equals
+    a run that started with ample caps."""
+    import magnify_tpu.ops.detect as detect_mod
+    from magnify_tpu.ops.detect import find_circles
+
+    img = draw_beads((256, 256), [[64, 64], [64, 192], [128, 128],
+                                  [192, 64], [192, 192]], diameters=20)
+    kw = dict(low_edge_quantile=0.1, high_edge_quantile=0.9, grid_length=20,
+              num_iter=20000, min_radius=8, max_radius=12,
+              min_roundness=0.3, min_dist=8, detector="ransac")
+
+    want_c, want_s = find_circles(img, **kw)
+    assert len(want_c) == 5
+
+    h, w = img.shape
+    ucap_key = ("ransac", h, w, 8, 12)
+    keep_key = ("ransac_keep", h, w, 8, 12)
+    memo = dict(detect_mod._cap_memo)
+    memo[ucap_key] = 4      # n_unique certainly exceeds this -> grow
+    memo[keep_key] = 2      # n_keep exceeds this -> grow
+    monkeypatch.setattr(detect_mod, "_cap_memo", memo)
+
+    got_c, got_s = find_circles(img, **kw)
+    assert memo[ucap_key] > 4 and memo[keep_key] > 2
+    np.testing.assert_array_equal(got_c, want_c)
+    np.testing.assert_array_equal(got_s, want_s)
