@@ -96,7 +96,35 @@ def microfluidic_chip_pipe(
     return pipe
 
 
-def microfluidic_chip(data, **kwargs):
+def microfluidic_chip(
+    data,
+    shape=(8, 8),
+    pinlist=None,
+    blank=None,
+    overlap: int = 102,
+    rotation: int = 0,
+    row_dist: float = 375 / 1.61,
+    col_dist: float = 400 / 1.61,
+    chip_type=None,
+    min_button_diameter: int = 8,
+    max_button_diameter: int = 30,
+    chamber_diameter: int = 60,
+    top_chamber=None,
+    left_chamber=None,
+    low_edge_quantile: float = 0.1,
+    high_edge_quantile: float = 0.9,
+    num_iter: int = 5000000,
+    min_roundness: float = 0.2,
+    cluster_penalty: float = 50,
+    roi_length=None,
+    progress_bar: bool = False,
+    search_timestep=0,
+    search_channel=None,
+    roi_only: bool = False,
+    drop_tiles: bool = True,
+    interactive: bool = False,
+    detector: str = "auto",
+):
     """Find buttons in microfluidic-chip images and return the standardized
     dataset.
 
@@ -166,7 +194,34 @@ def microfluidic_chip(data, **kwargs):
     ``fg``/``bg``/``x``/``y``/``tag``/``valid`` coordinates over
     ``mark = (mark_row, mark_col)``.
     """
-    return microfluidic_chip_pipe(**kwargs)(data=data)
+    return microfluidic_chip_pipe(
+        shape=shape,
+        pinlist=pinlist,
+        blank=blank,
+        overlap=overlap,
+        rotation=rotation,
+        row_dist=row_dist,
+        col_dist=col_dist,
+        chip_type=chip_type,
+        min_button_diameter=min_button_diameter,
+        max_button_diameter=max_button_diameter,
+        chamber_diameter=chamber_diameter,
+        top_chamber=top_chamber,
+        left_chamber=left_chamber,
+        low_edge_quantile=low_edge_quantile,
+        high_edge_quantile=high_edge_quantile,
+        num_iter=num_iter,
+        min_roundness=min_roundness,
+        cluster_penalty=cluster_penalty,
+        roi_length=roi_length,
+        progress_bar=progress_bar,
+        search_timestep=search_timestep,
+        search_channel=search_channel,
+        roi_only=roi_only,
+        drop_tiles=drop_tiles,
+        interactive=interactive,
+        detector=detector,
+    )(data=data)
 
 
 def mrbles_pipe(
@@ -215,7 +270,27 @@ def mrbles_pipe(
     return pipe
 
 
-def mrbles(data, spectra, codes, **kwargs):
+def mrbles(
+    data,
+    spectra,
+    codes,
+    flatfield=1.0,
+    darkfield=0.0,
+    overlap: int = 102,
+    min_bead_diameter: int = 10,
+    max_bead_diameter: int = 50,
+    low_edge_quantile: float = 0.1,
+    high_edge_quantile: float = 0.9,
+    num_iter: int = 5000000,
+    min_roundness: float = 0.3,
+    roi_length=None,
+    search_channel=None,
+    reference: str = "eu",
+    roi_only: bool = False,
+    drop_tiles: bool = True,
+    interactive: bool = False,
+    detector: str = "auto",
+):
     """Find and spectrally decode MRBLEs beads.
 
     Parameter surface mirrors the reference ``mrbles``
@@ -258,7 +333,26 @@ def mrbles(data, spectra, codes, **kwargs):
     Dataset with ``roi``, ``ln_vol``/``ln_ratio`` (mark, ln) variables, and
     a decoded per-bead ``tag`` coordinate ("outlier" for unassigned beads).
     """
-    return mrbles_pipe(spectra=spectra, codes=codes, **kwargs)(data=data)
+    return mrbles_pipe(
+        spectra=spectra,
+        codes=codes,
+        flatfield=flatfield,
+        darkfield=darkfield,
+        overlap=overlap,
+        min_bead_diameter=min_bead_diameter,
+        max_bead_diameter=max_bead_diameter,
+        low_edge_quantile=low_edge_quantile,
+        high_edge_quantile=high_edge_quantile,
+        num_iter=num_iter,
+        min_roundness=min_roundness,
+        roi_length=roi_length,
+        search_channel=search_channel,
+        reference=reference,
+        roi_only=roi_only,
+        drop_tiles=drop_tiles,
+        interactive=interactive,
+        detector=detector,
+    )(data=data)
 
 
 def beads_pipe(

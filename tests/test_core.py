@@ -237,3 +237,34 @@ def test_pipeline_multiple_assays_returns_list():
     assert out[0].roi.sizes["mark"] == 1
     assert out[1].roi.sizes["mark"] == 1
     assert round(out[1].x.squeeze().values.item() / 10) == 20
+
+
+def test_user_api_signatures_match_pipe_factories():
+    """The one-shot wrappers (mg.beads/mrbles/microfluidic_chip/image) must
+    expose the same explicit parameters and defaults as their *_pipe
+    factories (plus the leading ``data``) — the reference spells every
+    parameter out (registry.py:32-693), and an explicit signature keeps
+    help()/IDE introspection and typo detection faithful."""
+    import inspect
+
+    import magnify_tpu as mg
+
+    for fn, pipe_fn in [(mg.beads, mg.beads_pipe),
+                        (mg.mrbles, mg.mrbles_pipe),
+                        (mg.microfluidic_chip, mg.microfluidic_chip_pipe),
+                        (mg.image, mg.image_pipe)]:
+        sig = inspect.signature(fn)
+        pipe_sig = inspect.signature(pipe_fn)
+        params = dict(sig.parameters)
+        assert next(iter(params)) == "data", fn.__name__
+        params.pop("data")
+        assert all(p.kind is inspect.Parameter.POSITIONAL_OR_KEYWORD
+                   for p in params.values()), fn.__name__
+        assert list(params) == list(pipe_sig.parameters), fn.__name__
+        # The reference intentionally defaults beads to 10/50 but
+        # beads_pipe to 5/25 (registry.py:454-459 vs :568-573).
+        asym = {("beads", "min_bead_diameter"), ("beads", "max_bead_diameter")}
+        for name, p in pipe_sig.parameters.items():
+            if (fn.__name__, name) in asym:
+                continue
+            assert params[name].default == p.default, (fn.__name__, name)
