@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # vs_baseline is computed against the hardest anchor. See BASELINE.md.
 CPU_ANCHOR_MPIX_S = 0.5541         # beads pipeline, 1.89 s/frame
 CPU_ANCHOR_MRBLES_MPIX_S = 1.099   # mrbles pipeline (noisy field), 3.82 s
-CPU_ANCHOR_CHIP_MPIX_S = 0.438     # chip 8x8 pipeline
+CPU_ANCHOR_CHIP_MPIX_S = 0.498     # chip 8x8 pipeline (2026-08-17 host)
 
 NUM_ITER = 5_000_000
 SHAPE = (1024, 1024)

@@ -43,9 +43,12 @@ def quantify(assay, batch_timesteps: int = 8):
 
     from magnify_tpu.core.lazy import evict_backing_pages
 
-    n_t = assay.sizes["time"]
+    # Single-channel / single-timestep datasets come out of restore_format
+    # with those dims squeezed away; treat missing dims as size 1 and
+    # attach `intensity` over only the dims that exist.
+    n_t = assay.sizes.get("time", 1)
     n_marks = assay.sizes["mark"]
-    n_ch = assay.sizes["channel"]
+    n_ch = assay.sizes.get("channel", 1)
     # Cap the host batch buffer at ~128 MB: at out-of-core scale (thousands
     # of marks) the requested batch_timesteps would otherwise stage
     # multi-hundred-MB copies per batch (x2 with the prefetch thread, x2
@@ -70,19 +73,30 @@ def quantify(assay, batch_timesteps: int = 8):
     out = np.empty((n_marks, n_ch, n_t), np.float32)
     starts = list(range(0, n_t, batch_timesteps))
 
-    roi_da = assay.roi.transpose("mark", "channel", "time", "roi_y", "roi_x")
-    fg_da = assay["fg"].transpose("mark", "time", "roi_y", "roi_x")
-    bg_da = assay["bg"].transpose("mark", "time", "roi_y", "roi_x")
+    def ordered(da, want):
+        """Window ``da`` over time (when present), order its axes as
+        ``want``, and insert size-1 axes for absent dims."""
+        present = [d for d in want if d in da.dims]
+        da = da.transpose(*present)
+
+        def fetch(window):
+            arr = (da.isel(time=window) if "time" in da.dims
+                   else da).to_numpy()
+            for i, d in enumerate(want):
+                if d not in da.dims:
+                    arr = np.expand_dims(arr, i)
+            return arr
+
+        return fetch
+
+    roi_f = ordered(assay.roi, ("mark", "channel", "time", "roi_y", "roi_x"))
+    fg_f = ordered(assay["fg"], ("mark", "time", "roi_y", "roi_x"))
+    bg_f = ordered(assay["bg"], ("mark", "time", "roi_y", "roi_x"))
 
     def load(start):
         stop = min(start + batch_timesteps, n_t)
         window = slice(start, stop)
-        return (
-            start, stop,
-            roi_da.isel(time=window).to_numpy(),
-            fg_da.isel(time=window).to_numpy(),
-            bg_da.isel(time=window).to_numpy(),
-        )
+        return (start, stop, roi_f(window), fg_f(window), bg_f(window))
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         pending = pool.submit(load, starts[0])
@@ -99,13 +113,16 @@ def quantify(assay, batch_timesteps: int = 8):
             b = stop - start
             length_y, length_x = roi.shape[-2:]
             # Fold (mark, time) into one batch axis for a single reduction.
-            roi_f = roi.transpose(0, 2, 1, 3, 4).reshape(
+            roi_b = roi.transpose(0, 2, 1, 3, 4).reshape(
                 n_marks * b, n_ch, length_y, length_x)
-            fg_f = fg.reshape(n_marks * b, length_y, length_x)
-            bg_f = bg.reshape(n_marks * b, length_y, length_x)
-            vals = fg_mean_bg_median(roi_f, fg_f, bg_f,
+            fg_b = fg.reshape(n_marks * b, length_y, length_x)
+            bg_b = bg.reshape(n_marks * b, length_y, length_x)
+            vals = fg_mean_bg_median(roi_b, fg_b, bg_b,
                                      prefer_host=prefer_host)
             out[:, :, start:stop] = vals.reshape(n_marks, b,
                                                  n_ch).transpose(0, 2, 1)
-    assay["intensity"] = (("mark", "channel", "time"), out)
+    dims = ["mark"] + [d for d in ("channel", "time") if d in assay.roi.dims]
+    shape = [n_marks] + ([n_ch] if "channel" in assay.roi.dims else []) \
+        + ([n_t] if "time" in assay.roi.dims else [])
+    assay["intensity"] = (tuple(dims), out.reshape(shape))
     return assay
