@@ -5,13 +5,11 @@ sharded over a (batch, space) mesh — plane batches data-parallel, each
 image plane row-sharded with ppermute halo exchange for the edge stencils
 and exact collective quantiles. Results are bit-identical to single-chip.
 
-On hardware with one chip (or none), run on a virtual CPU mesh:
-
-    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python examples/mesh_example.py
-
-(the script forces the CPU backend itself when it sees fewer than
-MESH_SIZE devices, matching tests/conftest.py).
+This walkthrough always runs on a virtual 8-device CPU mesh so it works
+anywhere (the script provisions the devices and forces the CPU backend,
+matching tests/conftest.py). On a real multi-chip TPU slice, delete the
+``jax.config.update("jax_platforms", "cpu")`` line in ``main`` to run the
+same code over the hardware mesh.
 """
 
 import os

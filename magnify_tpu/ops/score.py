@@ -209,8 +209,16 @@ def _depth_to_space(x, s):
 
 
 def _resolve_s2d(s2d, shape):
+    """Space-to-depth fold for ``score_maps`` given the (padded) plane
+    shape. MAGNIFY_TPU_S2D overrides (1 disables the fold — the unfolded
+    conv is the debugging reference)."""
     if s2d is not None:
         return s2d
+    import os
+
+    env = os.environ.get("MAGNIFY_TPU_S2D")
+    if env:
+        return int(env)
     if jax.default_backend() == "tpu":
         return 16 if min(shape[-2:]) >= 512 else 8
     return 4

@@ -350,7 +350,16 @@ def _sharded_dense_plane(edges, grad_angles, min_roundness, *, valid_h,
     eg = _exchange_halo(edges, halo, "space")
     ga = jnp.pad(ga, ((0, 0), (halo, halo)))
     eg = jnp.pad(eg, ((0, 0), (halo, halo)))
-    maps = score_maps(ga, eg, min_radius=min_radius, max_radius=max_radius)
+    # Resolve the s2d fold from the GLOBAL padded-plane shape — the same
+    # resolution the single-chip _dense_candidates makes — so every shard
+    # runs the identical conv kernel. Resolving from the (smaller) shard
+    # slab could pick a different fold whose different accumulation
+    # grouping breaks the bit-identical-scores contract in the last ulp.
+    from magnify_tpu.ops.score import _resolve_s2d
+
+    s2d = _resolve_s2d(None, (valid_h + 2 * halo, width + 2 * halo))
+    maps = score_maps(ga, eg, min_radius=min_radius, max_radius=max_radius,
+                      s2d=s2d)
     n_r, lh, wp = maps.shape  # lh = local + 2*halo, wp = width + 2*halo
 
     rows_g = (jax.lax.broadcasted_iota(jnp.int32, maps.shape, 1) - halo
