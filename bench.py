@@ -124,6 +124,39 @@ def measure_device_throughput(data, n_dispatch: int = 16) -> dict:
     }
 
 
+def measure_device_stream(data, n_planes: int = 16, n_dispatch: int = 4) -> dict:
+    """Batched detection throughput with the device-resident stack: the
+    16-plane vmapped packed program dispatched ``n_dispatch`` times with
+    one final sync. Separates batch compute capability from the relay's
+    upload tax (measure_stream pays ~1 MB/plane uploads that an attached
+    deployment overlaps with compute)."""
+    import jax.numpy as jnp
+
+    from magnify_tpu.ops.detect import (
+        _stage_dense_batch_packed,
+        normalize_planes_u8,
+    )
+
+    stack = np.broadcast_to(data.values, (n_planes,) + data.values.shape)
+    planes = jnp.asarray(normalize_planes_u8(np.ascontiguousarray(stack)))
+    kw = dict(min_radius=8, max_radius=12, cap=2048, nms_cap=2048,
+              min_dist=8, pull_cap=511, normalized=True)
+    packed, _ = _stage_dense_batch_packed(planes, 0.1, 0.9, 0.3, **kw)
+    found = int(np.asarray(packed)[0, 0, 0])  # warmup + sync
+    t0 = time.perf_counter()
+    outs = [_stage_dense_batch_packed(planes, 0.1, 0.9, 0.3, **kw)[0]
+            for _ in range(n_dispatch)]
+    np.asarray(outs[-1])
+    dt = time.perf_counter() - t0
+    mpix = n_planes * SHAPE[0] * SHAPE[1] / 1e6
+    return {
+        "device_stream_mpix_per_s": round(n_dispatch * mpix / dt, 1),
+        "device_stream_ms_per_plane": round(
+            dt / (n_dispatch * n_planes) * 1000, 2),
+        "device_stream_found": found,
+    }
+
+
 def measure_ransac(data) -> dict:
     """Reference-faithful RANSAC detection mode on device (detector=
     "ransac", the reference's num_iter=5e6 sampling budget) — the
@@ -493,6 +526,7 @@ def main():
     for name, fn in [("rtt", measure_rtt),
                      ("stream", lambda: measure_stream(data)),
                      ("device", lambda: measure_device_throughput(data)),
+                     ("device_stream", lambda: measure_device_stream(data)),
                      ("ransac", lambda: measure_ransac(data)),
                      ("mrbles", measure_mrbles),
                      ("mrbles24", measure_mrbles_realistic),
