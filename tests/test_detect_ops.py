@@ -132,6 +132,54 @@ def test_dedupe_collapses_rounded_triples():
     assert got == {(10, 10, 8), (30, 40, 9)}
 
 
+def test_dedupe_fuzz_both_paths_match_numpy_oracle():
+    """Raster scatter-min dedupe and the sorted fallback (huge key spaces,
+    ops/score.py _dedupe_sorted) both produce exactly the oracle's unique
+    rounded-triple set under random duplicates/invalid/out-of-bounds mixes.
+    The two paths compact in different orders (input order vs
+    lexicographic), so sets are compared."""
+    from magnify_tpu.ops.score import _dedupe_sorted
+
+    rng = np.random.default_rng(7)
+    height, width, min_radius, max_radius, cap = 80, 96, 4, 9, 512
+    for trial in range(5):
+        n = 400
+        # Coarse grid + jitter forces rounded-triple collisions; wide
+        # ranges force the radius and off-image filters to engage.
+        circles = np.stack([
+            rng.integers(-20, height + 20, n) + rng.normal(0, 0.3, n),
+            rng.integers(-20, width + 20, n) + rng.normal(0, 0.3, n),
+            rng.integers(min_radius - 3, max_radius + 4, n)
+            + rng.normal(0, 0.3, n),
+        ], axis=1).astype(np.float32)
+        valid = rng.random(n) > 0.3
+
+        rc = np.round(circles).astype(np.int32)
+        row, col, rad = rc[:, 0], rc[:, 1], rc[:, 2]
+        ok = (valid & (rad >= min_radius) & (rad <= max_radius)
+              & (row + rad >= 0) & (col + rad >= 0)
+              & (row - rad < height) & (col - rad < width))
+        oracle = {tuple(t) for t in rc[ok].tolist()}
+        assert len(oracle) > 50  # the fixture actually exercises dedupe
+
+        uniq, uvalid, n_uniq = dedupe_circles(
+            jnp.asarray(circles), jnp.asarray(valid), height=height,
+            width=width, min_radius=min_radius, max_radius=max_radius,
+            cap=cap)
+        got = {tuple(t) for t in
+               np.asarray(uniq)[np.asarray(uvalid)].tolist()}
+        assert int(n_uniq) == len(oracle)
+        assert got == oracle
+
+        s_uniq, s_uvalid, s_n = _dedupe_sorted(
+            jnp.asarray(row), jnp.asarray(col), jnp.asarray(rad),
+            jnp.asarray(ok), max_radius, cap)
+        s_got = {tuple(t) for t in
+                 np.asarray(s_uniq)[np.asarray(s_uvalid)].tolist()}
+        assert int(s_n) == len(oracle)
+        assert s_got == oracle
+
+
 def test_disk_mask_matches_host_rasterizer():
     from magnify_tpu.ops.geom import annulus_mask, disk_mask
 
