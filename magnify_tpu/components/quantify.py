@@ -18,15 +18,7 @@ from magnify_tpu.ops.reduce import fg_mean_bg_median
 __all__ = ["quantify"]
 
 
-def _is_memmap_backed(arr) -> bool:
-    seen = set()
-    a = arr
-    while a is not None and id(a) not in seen:
-        seen.add(id(a))
-        if isinstance(a, np.memmap):
-            return True
-        a = getattr(a, "base", None)
-    return False
+from magnify_tpu.core.lazy import is_memmap_backed as _is_memmap_backed
 
 
 @component("quantify")

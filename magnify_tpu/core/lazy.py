@@ -342,6 +342,24 @@ def _evict_pages(mm: np.memmap) -> None:
         pass
 
 
+def is_memmap_backed(arr) -> bool:
+    """Whether ``arr`` is (a view of) an on-disk memmap (walks ``.base``).
+
+    The reduction-placement signal shared by ``quantify`` and
+    ``identify_mrbles``: a disk-spilled store reduces on host — streaming
+    data that already lives in host spill files through the device costs
+    more in host->HBM transfer than the reduction saves.
+    """
+    seen = set()
+    a = arr
+    while a is not None and id(a) not in seen:
+        seen.add(id(a))
+        if isinstance(a, np.memmap):
+            return True
+        a = getattr(a, "base", None)
+    return False
+
+
 def evict_backing_pages(arr) -> None:
     """Evict the page cache behind ``arr`` if it is (a view of) a memmap.
 

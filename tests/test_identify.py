@@ -244,3 +244,45 @@ def test_mrbles_pipeline_end_to_end():
     a = (tags == "code_a").sum()
     b = (tags == "code_b").sum()
     assert a == 5 and b == 5, tags
+
+
+def test_identify_mrbles_reduction_policy_parity(monkeypatch):
+    """identify_mrbles follows quantify's reduction-placement policy: the
+    host and device intensity reductions are exact twins, and auto routes
+    memmap-backed (disk-spilled) ROI stores to the host twin — so the
+    out-of-core decode never uploads a store that already lives in host
+    spill files."""
+    from magnify_tpu.core import Dataset
+    from magnify_tpu.core.lazy import alloc_output
+
+    ds, truth = synthetic_bead_assay(n_per_code=8, seed=5)
+
+    outs = {}
+    for policy in ["host", "device"]:
+        monkeypatch.setenv("MAGNIFY_TPU_QUANTIFY", policy)
+        out = identify_mrbles(ds.copy(), spectra=spectra_csv(),
+                              codes=codes_csv(), reference="eu")
+        outs[policy] = out
+    np.testing.assert_allclose(outs["host"].ln_vol.values,
+                               outs["device"].ln_vol.values,
+                               rtol=1e-5, atol=1e-4)
+    assert (outs["host"].tag.values == outs["device"].tag.values).all()
+
+    # auto + a memmap-backed roi store: routes to host, same decode.
+    monkeypatch.setenv("MAGNIFY_TPU_QUANTIFY", "auto")
+    monkeypatch.setattr("magnify_tpu.core.lazy.RESIDENT_BYTES_LIMIT", 1)
+    roi = ds.roi.values
+    mm = alloc_output("mrbles_policy_test", roi.shape, roi.dtype)
+    mm[:] = roi
+    assert isinstance(mm, np.memmap)
+    ds_mm = Dataset(
+        {"roi": (("mark", "channel", "time", "roi_y", "roi_x"), mm)},
+        coords={"channel": ds.channel.values,
+                "fg": (("mark", "time", "roi_y", "roi_x"), ds.fg.values),
+                "bg": (("mark", "time", "roi_y", "roi_x"), ds.bg.values)})
+    out_auto = identify_mrbles(ds_mm, spectra=spectra_csv(),
+                               codes=codes_csv(), reference="eu")
+    np.testing.assert_allclose(out_auto.ln_vol.values,
+                               outs["host"].ln_vol.values,
+                               rtol=1e-6, atol=1e-6)
+    assert (out_auto.tag.values == outs["host"].tag.values).all()
