@@ -42,6 +42,101 @@ def test_tiff_multipage_ome(tmp_path):
                                   arr.reshape(-1, 16, 16)[5])
 
 
+def _write_deflate_predictor_tiff(path, arr: np.ndarray, rows_per_strip: int):
+    """Hand-assemble a classic little-endian TIFF with deflate compression
+    (tag 259 = 8) and horizontal-differencing predictor (tag 317 = 2),
+    split into multiple strips — the native decode branch of
+    io/tiff.py:183-199 that PIL interop (uncompressed) never reaches."""
+    import struct
+    import zlib
+
+    h, w = arr.shape
+    itemsize = arr.dtype.itemsize
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        rows = arr[r0: r0 + rows_per_strip].astype(arr.dtype)
+        # Predictor 2: store per-row deltas (wrapping in the storage dtype).
+        delta = rows.copy()
+        delta[:, 1:] = rows[:, 1:] - rows[:, :-1]  # uint wraps mod 2^bits
+        strips.append(zlib.compress(delta.astype("<" + arr.dtype.str[1:]
+                                                 ).tobytes()))
+
+    n_strips = len(strips)
+    # Layout: header(8) | IFD | offsets arrays | strip data.
+    entries = []
+
+    def entry(tag, typ, count, value_bytes):
+        entries.append((tag, typ, count, value_bytes.ljust(4, b"\0")))
+
+    def short(v):
+        return struct.pack("<H", v) + b"\0\0"
+
+    def long(v):
+        return struct.pack("<I", v)
+
+    n_entries = 11
+    ifd_off = 8
+    arrays_off = ifd_off + 2 + n_entries * 12 + 4
+    offsets_bytes = 4 * n_strips
+    data_off = arrays_off + 2 * offsets_bytes
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+
+    entry(256, 3, 1, short(w))
+    entry(257, 3, 1, short(h))
+    entry(258, 3, 1, short(itemsize * 8))
+    entry(259, 3, 1, short(8))  # deflate
+    entry(262, 3, 1, short(1))
+    if n_strips == 1:
+        entry(273, 4, 1, long(strip_offsets[0]))
+        entry(279, 4, 1, long(len(strips[0])))
+    else:
+        entry(273, 4, n_strips, long(arrays_off))
+        entry(279, 4, n_strips, long(arrays_off + offsets_bytes))
+    entry(277, 3, 1, short(1))
+    entry(278, 3, 1, short(rows_per_strip))
+    entry(317, 3, 1, short(2))  # horizontal differencing
+    entry(339, 3, 1, short(1))
+    entries.sort()
+
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", n_entries)
+    for tag, typ, count, val in entries:
+        out += struct.pack("<HHI", tag, typ, count) + val
+    out += b"\0\0\0\0"  # next IFD
+    for off in strip_offsets:
+        out += struct.pack("<I", off)
+    for s in strips:
+        out += struct.pack("<I", len(s))
+    assert len(out) == data_off
+    for s in strips:
+        out += s
+    path.write_bytes(bytes(out))
+
+
+def test_tiff_deflate_predictor_decode(tmp_path):
+    """The native deflate+predictor strip decode matches the source array,
+    including uint16 deltas that wrap mod 2^16 and multi-strip joins."""
+    rng = np.random.default_rng(11)
+    # Large jumps force wrapping deltas; 7 rows over rows_per_strip=3
+    # exercises the ragged final strip.
+    arr = (rng.integers(0, 65536, (7, 13))).astype(np.uint16)
+    arr[:, 0] = 60000
+    arr[:, 1] = 5  # delta wraps negative
+    path = tmp_path / "pred.tif"
+    _write_deflate_predictor_tiff(path, arr, rows_per_strip=3)
+    got = tiff.read_page(path, 0)
+    np.testing.assert_array_equal(got, arr)
+    # PIL agrees on the same file (cross-decoder oracle).
+    from PIL import Image
+
+    with Image.open(path) as im:
+        np.testing.assert_array_equal(np.asarray(im), arr)
+
+
 def test_tiff_pil_interop(tmp_path):
     from PIL import Image
 
