@@ -416,6 +416,29 @@ def measure_mrbles_realistic() -> dict:
     out["decode8k_outlier_frac"] = round(float((tags == "outlier").mean()),
                                          4)
     out["decode8k_stage_s"] = dict(identify_mod.last_decode_timings)
+
+    # Same decode with the ROI store disk-spilled (the out-of-core regime):
+    # the reduction-placement policy routes intensities to the exact host
+    # twin, skipping the 167 MB relay upload entirely.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        mm = np.memmap(os.path.join(td, "roi.dat"), dtype=roi.dtype,
+                       mode="w+", shape=roi.shape)
+        mm[:] = roi
+        ds_mm = Dataset(
+            {"roi": (("mark", "channel", "time", "roi_y", "roi_x"), mm)},
+            coords={"channel": REALISTIC_CHANNELS,
+                    "fg": (("mark", "time", "roi_y", "roi_x"), fg),
+                    "bg": (("mark", "time", "roi_y", "roi_x"), bg)})
+        t0 = time.perf_counter()
+        res_mm = identify_mrbles(ds_mm, spectra=_realistic_spectra_csv(),
+                                 codes=_realistic_codes_csv())
+        out["decode8k_spilled_seconds"] = round(time.perf_counter() - t0, 3)
+        out["decode8k_spilled_stage_s"] = dict(
+            identify_mod.last_decode_timings)
+        mismatch = (res_mm.tag.values != tags).sum()
+        out["decode8k_spilled_tag_mismatch"] = int(mismatch)
     return out
 
 

@@ -140,6 +140,26 @@ class Variable:
         return f"Variable(dims={self.dims}, shape={self.shape}, dtype={self.dtype})"
 
 
+def _regular_to_slice(idx):
+    """Rewrite a 1-D integer-array indexer with a constant positive stride
+    (e.g. the identity selection ``sel(channel=<all channels in order>)``)
+    as the equivalent slice. Outer indexing by such an array equals the
+    slice exactly, but numpy's advanced indexing materializes a copy —
+    ~100 MB/s on a middle axis — where the slice is a free view. Returns
+    ``idx`` unchanged when no slice is equivalent."""
+    if not isinstance(idx, np.ndarray) or idx.ndim != 1 \
+            or idx.dtype.kind not in "iu" or len(idx) == 0:
+        return idx
+    if len(idx) == 1:
+        start = int(idx[0])
+        return idx if start < 0 else slice(start, start + 1)
+    steps = np.diff(idx)
+    step = int(steps[0])
+    if step <= 0 or (steps != step).any() or int(idx[0]) < 0:
+        return idx
+    return slice(int(idx[0]), int(idx[-1]) + 1, step)
+
+
 def _isel_var(var: Variable, indexers) -> Variable:
     """Apply a dict of indexers to a Variable.
 
@@ -158,6 +178,11 @@ def _isel_var(var: Variable, indexers) -> Variable:
     applicable = {d: i for d, i in indexers.items() if d in var.dims}
     if not applicable:
         return var
+    applicable = {
+        d: (_regular_to_slice(np.asarray(i))
+            if isinstance(i, (list, np.ndarray)) else i)
+        for d, i in applicable.items()
+    }
     if _is_lazy(var.data):
         return var.isel(applicable)
     basic = {d: i for d, i in applicable.items()

@@ -55,7 +55,28 @@ def _fg_mean_bg_median(roi, fg, bg):
 def _fg_mean_bg_median_np(roi, fg, bg):
     """Numpy twin of :func:`_fg_mean_bg_median` (same inf-fill sort median
     and f32 arithmetic) for small problems, where one XLA sort dispatch
-    costs more than the whole reduction in numpy."""
+    costs more than the whole reduction in numpy.
+
+    Large stores reduce in mark chunks: the body makes ~6 array-sized
+    temporaries, and first-touch of fresh anonymous pages is the dominant
+    cost on VM hosts (~100 MB/s measured, vs GB/s once the allocator
+    recycles the pages) — chunking bounds the temporaries to a recycled
+    working set. Chunking over marks is exact (every statistic is
+    per-mark).
+    """
+    n_marks = roi.shape[0]
+    per_mark = max(int(np.prod(roi.shape[1:], dtype=np.int64)) * 4, 1)
+    chunk = max(1, min(n_marks, (32 << 20) // per_mark))
+    if chunk >= n_marks:
+        return _fg_mean_bg_median_np_block(roi, fg, bg)
+    out = np.empty(roi.shape[:2], np.float32)
+    for s in range(0, n_marks, chunk):
+        e = min(s + chunk, n_marks)
+        out[s:e] = _fg_mean_bg_median_np_block(roi[s:e], fg[s:e], bg[s:e])
+    return out
+
+
+def _fg_mean_bg_median_np_block(roi, fg, bg):
     n_marks, n_ch = roi.shape[:2]
     flat = roi.reshape(n_marks, n_ch, -1).astype(np.float32)
     n = flat.shape[-1]

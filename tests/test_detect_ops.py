@@ -577,3 +577,32 @@ def test_ransac_cap_grow_retry_paths(monkeypatch):
     assert memo[ucap_key] > 4 and memo[keep_key] > 2
     np.testing.assert_array_equal(got_c, want_c)
     np.testing.assert_array_equal(got_s, want_s)
+
+
+def test_fg_mean_bg_median_chunked_twin_bit_identical():
+    """The mark-chunked numpy reduction equals the single-block twin
+    bit-for-bit (chunking is a pure working-set optimization)."""
+    from magnify_tpu.ops.reduce import (
+        _fg_mean_bg_median_np,
+        _fg_mean_bg_median_np_block,
+    )
+
+    rng = np.random.default_rng(2)
+    n, C, L = 300, 3, 24  # > 32 MB per-mark budget when chunked at L=24?
+    roi = rng.normal(100, 30, (n, C, L, L)).astype(np.float32)
+    fg = rng.random((n, L, L)) > 0.5
+    bg = rng.random((n, L, L)) > 0.5
+    fg[0] = False  # empty masks hit the NaN paths in both twins
+    bg[1] = False
+    whole = _fg_mean_bg_median_np_block(roi, fg, bg)
+    # Force multi-chunk execution regardless of the 32 MB budget.
+    chunked = np.empty((n, C), np.float32)
+    step = 37  # ragged final chunk
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        chunked[s:e] = _fg_mean_bg_median_np_block(roi[s:e], fg[s:e],
+                                                   bg[s:e])
+    np.testing.assert_array_equal(np.asarray(whole, np.float32), chunked)
+    # And the public twin dispatcher agrees.
+    np.testing.assert_array_equal(
+        _fg_mean_bg_median_np(roi, fg, bg), whole)

@@ -236,3 +236,31 @@ def test_dataarray_loc():
     np.testing.assert_array_equal(da.loc[{"x": 2.5}].values, [2, 6, 10])
     np.testing.assert_array_equal(da.loc[slice(20, 30)].values,
                                   da.values[1:])
+
+
+def test_regular_array_indexers_become_views():
+    """1-D constant-stride integer indexers (identity selections, channel
+    subsets) rewrite to slices: same outer-indexing result, but a view —
+    numpy's advanced indexing would copy the array at ~100 MB/s."""
+    from magnify_tpu.core.xd import _regular_to_slice
+
+    assert _regular_to_slice(np.array([0, 1, 2, 3])) == slice(0, 4, 1)
+    assert _regular_to_slice(np.array([2, 4, 6])) == slice(2, 7, 2)
+    assert _regular_to_slice(np.array([5])) == slice(5, 6)
+    # Not rewritable: reversed, irregular, negative, bool, empty.
+    for arr in (np.array([3, 2, 1]), np.array([0, 1, 3]),
+                np.array([-1, 0]), np.array([True, False]),
+                np.array([], dtype=int)):
+        out = _regular_to_slice(arr)
+        assert not isinstance(out, slice)
+
+    data = np.arange(2 * 3 * 4).reshape(2, 3, 4)
+    ds = Dataset({"v": (("a", "b", "c"), data)},
+                 coords={"b": ["x", "y", "z"]})
+    sel = ds.v.sel(b=["x", "y", "z"]).values
+    np.testing.assert_array_equal(sel, data)
+    assert sel.base is not None  # a view, not an advanced-indexing copy
+    np.testing.assert_array_equal(ds.v.sel(b=["z", "x"]).values,
+                                  data[:, [2, 0]])
+    np.testing.assert_array_equal(ds.v.isel(b=[0, 2]).values,
+                                  data[:, [0, 2]])
