@@ -546,14 +546,18 @@ def main():
             "beads_per_s": round(found / sec_frame, 1),
         },
     }
+    # mrbles24 runs LAST: its decode8k leg uploads ~334 MB (warmup + timed)
+    # and the axon client leaks host RSS per uploaded byte, which degrades
+    # the upload throughput of everything measured after it (the high-RSS
+    # process penalty) — chip/stitch must not pay for it.
     for name, fn in [("rtt", measure_rtt),
                      ("stream", lambda: measure_stream(data)),
                      ("device", lambda: measure_device_throughput(data)),
                      ("device_stream", lambda: measure_device_stream(data)),
                      ("ransac", lambda: measure_ransac(data)),
                      ("mrbles", measure_mrbles),
-                     ("mrbles24", measure_mrbles_realistic),
-                     ("chip", measure_chip), ("stitch", measure_stitch)]:
+                     ("chip", measure_chip), ("stitch", measure_stitch),
+                     ("mrbles24", measure_mrbles_realistic)]:
         try:  # the headline metric must still print if an extra fails
             result["detail"].update(fn())
         except Exception as e:

@@ -13,7 +13,7 @@ import numpy as np
 
 from magnify_tpu import utils
 from magnify_tpu.core.registry import component
-from magnify_tpu.ops.reduce import masked_median
+from magnify_tpu.ops.reduce import masked_median, prefer_host_reduction
 
 __all__ = ["filter_expression", "filter_nonround", "filter_leaky_buttons"]
 
@@ -30,7 +30,9 @@ def _fg_bg_medians(assay, channel):
     vals = sub.to_numpy()
     fg = assay["fg"].isel(time=0).to_numpy()
     bg = assay["bg"].isel(time=0).to_numpy()
-    return masked_median(vals, fg), masked_median(vals, bg)
+    host = prefer_host_reduction(assay["roi"].data)
+    return (masked_median(vals, fg, prefer_host=host),
+            masked_median(vals, bg, prefer_host=host))
 
 
 def _bg_sigma_bound(bg: np.ndarray, mult: float) -> float:

@@ -245,22 +245,17 @@ def _identify_mrbles_impl(assay, spectra, codes, reference):
     sel = assay.roi.isel(time=0).sel(channel=channels)
     fg = assay["fg"].isel(time=0)
     bg = assay["bg"].isel(time=0)
-    # Reduction placement follows quantify's policy (same knob): a
-    # disk-spilled ROI store reduces on the exact host twin — uploading a
-    # store that already lives in spill files costs more in host->HBM
-    # transfer than the device reduction saves (and per-mark intensities
-    # are host-bound input to the lstsq anyway).
-    import os
+    # Reduction placement follows the shared policy (see
+    # ops.reduce.prefer_host_reduction): a disk-spilled ROI store reduces
+    # on the exact host twin — uploading a store that already lives in
+    # spill files costs more in host->HBM transfer than the device
+    # reduction saves (and per-mark intensities are host-bound input to
+    # the lstsq anyway).
+    from magnify_tpu.ops.reduce import prefer_host_reduction
 
-    from magnify_tpu.core.lazy import is_memmap_backed
-
-    policy = os.environ.get("MAGNIFY_TPU_QUANTIFY", "auto")
-    if policy == "auto":
-        prefer_host = is_memmap_backed(assay["roi"].data)
-    else:
-        prefer_host = policy == "host"
-    intensities = fg_mean_bg_median(sel.to_numpy(), fg.to_numpy(),
-                                    bg.to_numpy(), prefer_host=prefer_host)
+    intensities = fg_mean_bg_median(
+        sel.to_numpy(), fg.to_numpy(), bg.to_numpy(),
+        prefer_host=prefer_host_reduction(assay["roi"].data))
     volumes = np.linalg.lstsq(sp.T, intensities.T, rcond=None)[0].T
     ratios = volumes / volumes[:, 0:1]
     _stamp("intensities_lstsq")

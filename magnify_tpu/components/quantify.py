@@ -31,7 +31,6 @@ def quantify(assay, batch_timesteps: int = 8):
     (possibly memmapped) ROI store, keeping IO behind compute.
     """
     import concurrent.futures
-    import os
 
     from magnify_tpu.core.lazy import evict_backing_pages
 
@@ -56,12 +55,11 @@ def quantify(assay, batch_timesteps: int = 8):
     # reduction saves, and the result is a host-bound summary. In-RAM
     # stores keep the device path (one fused program per batch). The numpy
     # and device reductions are exact twins, so this is performance policy
-    # only; MAGNIFY_TPU_QUANTIFY=device|host overrides.
-    policy = os.environ.get("MAGNIFY_TPU_QUANTIFY", "auto")
-    if policy == "auto":
-        prefer_host = _is_memmap_backed(assay["roi"].data)
-    else:
-        prefer_host = policy == "host"
+    # only; MAGNIFY_TPU_QUANTIFY=device|host overrides (shared with
+    # identify_mrbles and the QC filters via ops.reduce).
+    from magnify_tpu.ops.reduce import prefer_host_reduction
+
+    prefer_host = prefer_host_reduction(assay["roi"].data)
     out = np.empty((n_marks, n_ch, n_t), np.float32)
     starts = list(range(0, n_t, batch_timesteps))
 

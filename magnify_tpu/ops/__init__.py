@@ -28,6 +28,7 @@ from magnify_tpu.ops.reduce import (  # noqa: F401
     fg_mean_bg_median,
     masked_mean,
     masked_median,
+    prefer_host_reduction,
 )
 
 __all__ = [
@@ -39,5 +40,6 @@ __all__ = [
     "histogram_quantile",
     "masked_mean",
     "masked_median",
+    "prefer_host_reduction",
     "resolve_detector",
 ]

@@ -8,11 +8,40 @@ per-marker scalars return to host.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fg_mean_bg_median", "masked_median", "masked_mean"]
+__all__ = [
+    "fg_mean_bg_median",
+    "masked_median",
+    "masked_mean",
+    "prefer_host_reduction",
+]
+
+
+def prefer_host_reduction(store) -> bool:
+    """Shared reduction-placement policy (quantify, identify_mrbles, the
+    QC filters): host when the backing store is a disk spill — uploading
+    data that already lives in host spill files costs more in host->HBM
+    transfer than the device reduction saves — device otherwise;
+    MAGNIFY_TPU_QUANTIFY=host|device overrides."""
+    policy = os.environ.get("MAGNIFY_TPU_QUANTIFY", "auto")
+    if policy == "auto":
+        from magnify_tpu.core.lazy import is_memmap_backed
+
+        return is_memmap_backed(store)
+    return policy == "host"
+
+
+def _row_chunk(shape, itemsize: int = 4, budget: int = 32 << 20) -> int:
+    """Rows per chunk keeping ~``budget`` bytes of temporaries: first-touch
+    of fresh anonymous pages runs at ~100 MB/s on VM hosts while
+    allocator-recycled pages run at GB/s, so bounded chunks win."""
+    per_row = max(int(np.prod(shape[1:], dtype=np.int64)) * itemsize, 1)
+    return max(1, min(int(shape[0]), budget // per_row))
 
 
 def _masked_median_1d(values, mask):
@@ -65,8 +94,7 @@ def _fg_mean_bg_median_np(roi, fg, bg):
     per-mark).
     """
     n_marks = roi.shape[0]
-    per_mark = max(int(np.prod(roi.shape[1:], dtype=np.int64)) * 4, 1)
-    chunk = max(1, min(n_marks, (32 << 20) // per_mark))
+    chunk = _row_chunk(roi.shape)
     if chunk >= n_marks:
         return _fg_mean_bg_median_np_block(roi, fg, bg)
     out = np.empty(roi.shape[:2], np.float32)
@@ -132,9 +160,22 @@ def _masked_median(values, mask):
     return jax.vmap(_masked_median_1d)(flat, m)
 
 
-def masked_median(values: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """Per-row median over masked elements: values/mask (n, ...)."""
-    return np.asarray(_masked_median(jnp.asarray(values), jnp.asarray(mask)))
+def _masked_median_np_block(values, mask):
+    """Numpy twin of :func:`_masked_median` (same inf-fill sort median)."""
+    n = values.shape[0]
+    flat = values.reshape(n, -1).astype(np.float32)
+    m = mask.reshape(n, -1)
+    length = flat.shape[1]
+    filled = np.where(m, flat, np.inf)
+    filled.sort(axis=-1)
+    cnt = m.sum(-1)
+    hi = np.maximum(cnt - 1, 0)
+    mid_lo = np.clip((cnt - 1) // 2, 0, length - 1)
+    mid_hi = np.clip(np.minimum(cnt // 2, hi), 0, length - 1)
+    lo_val = np.take_along_axis(filled, mid_lo[:, None], -1)[:, 0]
+    hi_val = np.take_along_axis(filled, mid_hi[:, None], -1)[:, 0]
+    return np.where(cnt > 0, (lo_val + hi_val) / 2,
+                    np.float32(np.nan)).astype(np.float32)
 
 
 @jax.jit
@@ -147,6 +188,51 @@ def _masked_mean(values, mask):
     return jnp.where(c > 0, s / jnp.maximum(c, 1), jnp.nan)
 
 
-def masked_mean(values: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """Per-row mean over masked elements: values/mask (n, ...)."""
+def _masked_mean_np_block(values, mask):
+    """Numpy twin of :func:`_masked_mean` (f32 where-sum / count)."""
+    n = values.shape[0]
+    flat = values.reshape(n, -1).astype(np.float32)
+    m = mask.reshape(n, -1)
+    s = np.where(m, flat, np.float32(0.0)).sum(-1)
+    c = m.sum(-1)
+    return np.where(c > 0, s / np.maximum(c, 1),
+                    np.float32(np.nan)).astype(np.float32)
+
+
+def _rowwise(block_fn, values, mask):
+    """Run a per-row numpy twin in recycled-page chunks (see _row_chunk)."""
+    n = values.shape[0]
+    chunk = _row_chunk(values.shape)
+    if chunk >= n:
+        return block_fn(values, mask)
+    out = np.empty((n,), np.float32)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        out[s:e] = block_fn(values[s:e], mask[s:e])
+    return out
+
+
+def masked_median(values: np.ndarray, mask: np.ndarray,
+                  prefer_host: bool = False) -> np.ndarray:
+    """Per-row median over masked elements: values/mask (n, ...).
+
+    Small or ``prefer_host`` (disk-spilled) inputs take the exact numpy
+    twin — one XLA sort dispatch through a remote relay costs more than
+    the whole reduction, and spilled stores should never be uploaded.
+    """
+    if not isinstance(values, jax.Array) and (
+            prefer_host or np.asarray(values).size < (1 << 24)):
+        return _rowwise(_masked_median_np_block, np.asarray(values),
+                        np.asarray(mask))
+    return np.asarray(_masked_median(jnp.asarray(values), jnp.asarray(mask)))
+
+
+def masked_mean(values: np.ndarray, mask: np.ndarray,
+                prefer_host: bool = False) -> np.ndarray:
+    """Per-row mean over masked elements: values/mask (n, ...). Same
+    host/device routing as :func:`masked_median`."""
+    if not isinstance(values, jax.Array) and (
+            prefer_host or np.asarray(values).size < (1 << 24)):
+        return _rowwise(_masked_mean_np_block, np.asarray(values),
+                        np.asarray(mask))
     return np.asarray(_masked_mean(jnp.asarray(values), jnp.asarray(mask)))

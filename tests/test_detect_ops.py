@@ -606,3 +606,48 @@ def test_fg_mean_bg_median_chunked_twin_bit_identical():
     # And the public twin dispatcher agrees.
     np.testing.assert_array_equal(
         _fg_mean_bg_median_np(roi, fg, bg), whole)
+
+
+def test_masked_median_mean_twins_match_device():
+    """The numpy twins of masked_median/masked_mean equal the device
+    reductions (median bit-identical: both select the same sorted
+    elements; mean to f32 tolerance), including empty-mask NaN rows and
+    forced chunked execution."""
+    from magnify_tpu.ops.reduce import (
+        _masked_mean_np_block,
+        _masked_median_np_block,
+        _masked_mean,
+        _masked_median,
+        _rowwise,
+        masked_mean,
+        masked_median,
+    )
+
+    rng = np.random.default_rng(9)
+    n, L = 129, 17
+    vals = rng.normal(50, 40, (n, L, L)).astype(np.float32)
+    mask = rng.random((n, L, L)) > 0.55
+    mask[3] = False  # empty mask -> NaN
+    mask[4] = True   # full mask
+
+    dev_med = np.asarray(_masked_median(jnp.asarray(vals), jnp.asarray(mask)))
+    host_med = _masked_median_np_block(vals, mask)
+    np.testing.assert_array_equal(host_med, dev_med)
+
+    dev_mean = np.asarray(_masked_mean(jnp.asarray(vals), jnp.asarray(mask)))
+    host_mean = _masked_mean_np_block(vals, mask)
+    np.testing.assert_allclose(host_mean, dev_mean, rtol=1e-5, atol=1e-4)
+
+    # Chunked execution is identical to one block.
+    chunked = np.empty(n, np.float32)
+    for s in range(0, n, 23):
+        e = min(s + 23, n)
+        chunked[s:e] = _masked_median_np_block(vals[s:e], mask[s:e])
+    np.testing.assert_array_equal(chunked, host_med)
+    np.testing.assert_array_equal(_rowwise(_masked_median_np_block, vals,
+                                           mask), host_med)
+
+    # Public routing: small host inputs take the twin; results match.
+    np.testing.assert_array_equal(masked_median(vals, mask), host_med)
+    np.testing.assert_allclose(masked_mean(vals, mask), host_mean,
+                               rtol=1e-6, atol=1e-6)
