@@ -920,15 +920,11 @@ class ButtonFinder:
         with np.errstate(invalid="ignore"):
             y_rel = np.round(new_y).astype(np.int32) - tops2
             x_rel = np.round(new_x).astype(np.int32) - lefts2
-        fg_h = np.stack([
-            utils.circle((L, L), (yr, xr), r).astype(bool)
-            for yr, xr, r in zip(y_rel, x_rel, radius)
-        ])
-        bg_h = np.stack([
-            utils.annulus((L, L), (yr, xr), self.chamber_radius,
-                          self.max_button_radius, True)
-            for yr, xr in zip(y_rel, x_rel)
-        ])
+        centers_rel = np.stack([y_rel, x_rel], axis=1)
+        fg_h = utils.disk_masks((L, L), centers_rel, radius)
+        bg_h = utils.annulus_masks((L, L), centers_rel,
+                                   self.chamber_radius,
+                                   self.max_button_radius)
         n_ch = images_np.shape[0]
         return (
             crops.reshape(num_rows, num_cols, n_ch, L, L),
@@ -1097,15 +1093,11 @@ class ButtonFinder:
             ])
             y_rel = np.round(new_y).astype(np.int32) - tops2
             x_rel = np.round(new_x).astype(np.int32) - lefts2
-            fg_h = np.stack([
-                utils.circle((L, L), (yr, xr), r).astype(bool)
-                for yr, xr, r in zip(y_rel, x_rel, radius)
-            ])
-            bg_h = np.stack([
-                utils.annulus((L, L), (yr, xr), self.chamber_radius,
-                              self.max_button_radius, True)
-                for yr, xr in zip(y_rel, x_rel)
-            ])
+            centers_rel = np.stack([y_rel, x_rel], axis=1)
+            fg_h = utils.disk_masks((L, L), centers_rel, radius)
+            bg_h = utils.annulus_masks((L, L), centers_rel,
+                                       self.chamber_radius,
+                                       self.max_button_radius)
             return (
                 crops.reshape(num_rows, num_cols, n_ch, L, L),
                 fg_h.reshape(num_rows, num_cols, L, L),

@@ -258,6 +258,56 @@ def circle(
     return image.astype(type(value)) * value
 
 
+def disk_masks(
+    image_shape: tuple[int, int],
+    centers: np.ndarray,
+    radii: np.ndarray,
+) -> np.ndarray:
+    """(N, H, W) filled-disk bool masks, vectorized over markers.
+
+    Bit-identical per row to ``circle(image_shape, center, r, thickness=-1)``
+    (the same Bresenham extent-LUT formula), but grouped by unique radius
+    and evaluated as whole-array ops — the chip path rasterizes hundreds of
+    chamber masks per timestep, and the per-mask Python loop was the
+    largest host cost after the relay pull.
+    """
+    centers = np.asarray(centers, np.int64).reshape(-1, 2)
+    radii = np.asarray(radii, np.int64).reshape(-1)
+    h, w = image_shape
+    n = centers.shape[0]
+    out = np.zeros((n, h, w), bool)
+    row_off = np.arange(h, dtype=np.int64)
+    col_off = np.arange(w, dtype=np.int64)
+    for r in np.unique(radii):
+        if r < 0:
+            continue
+        idx = np.nonzero(radii == r)[0]
+        ext = disk_extents(int(r))
+        rows = np.abs(row_off[None, :] - centers[idx, 0][:, None])  # (K, H)
+        width = np.where(rows <= r, ext[np.minimum(rows, r)], -1)
+        cols = np.abs(col_off[None, None, :]
+                      - centers[idx, 1][:, None, None])             # (K,1,W)
+        out[idx] = cols <= width[:, :, None]
+    return out
+
+
+def annulus_masks(
+    image_shape: tuple[int, int],
+    centers: np.ndarray,
+    outer_radius: int,
+    inner_radius: int,
+) -> np.ndarray:
+    """(N, H, W) annulus bool masks (outer disk & ~inner disk), vectorized
+    over markers; per row identical to :func:`annulus`."""
+    centers = np.asarray(centers, np.int64).reshape(-1, 2)
+    n = centers.shape[0]
+    outer = disk_masks(image_shape, centers,
+                       np.full(n, outer_radius, np.int64))
+    inner = disk_masks(image_shape, centers,
+                       np.full(n, inner_radius, np.int64))
+    return outer & ~inner
+
+
 def annulus(
     image_shape: tuple[int, int],
     center: tuple[int, int],

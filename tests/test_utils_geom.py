@@ -126,3 +126,22 @@ def test_misc_helpers():
         return a
 
     assert utils.valid_kwargs({"b": 2, "c": 3}, f) == {"b": 2}
+
+
+def test_batched_disk_annulus_masks_match_scalar():
+    """disk_masks/annulus_masks are bit-identical per row to the scalar
+    circle/annulus rasterizers, including off-image centers, clipped
+    disks, r=0, and negative radii (empty)."""
+    rng = np.random.default_rng(13)
+    L = 21
+    centers = np.stack([rng.integers(-5, L + 5, 40),
+                        rng.integers(-5, L + 5, 40)], axis=1)
+    radii = rng.integers(-1, 9, 40)
+    batched = utils.disk_masks((L, L), centers, radii)
+    for i, ((cy, cx), r) in enumerate(zip(centers, radii)):
+        ref = utils.circle((L, L), (cy, cx), int(r)).astype(bool)
+        np.testing.assert_array_equal(batched[i], ref, err_msg=str(i))
+    ann = utils.annulus_masks((L, L), centers, 7, 3)
+    for i, (cy, cx) in enumerate(centers):
+        ref = utils.annulus((L, L), (cy, cx), 7, 3, True)
+        np.testing.assert_array_equal(ann[i], ref, err_msg=str(i))
