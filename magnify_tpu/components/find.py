@@ -189,17 +189,36 @@ def _bead_ownership_host(beads, h, w, roi_length, max_radius):
     neighbor_lists = tree.query_ball_point(
         win_centers, L / 2 + max_radius + 1, p=np.inf)
 
+    # Vectorize over all (window, covering-bead) pairs: the per-pair
+    # Python loop was ~5 ms/frame at 110 beads — the largest host cost
+    # after the relay pull once masks and crops are batched.
     arange_l = np.arange(L)
-    for i in range(n):
-        for j in neighbor_lists[i]:
-            r = min(max(int(beads[j, 2]), 0), max_radius)
-            dr = np.abs(tops[i] + arange_l - beads[j, 0])
-            width = np.where(dr <= r, lut[r, np.minimum(dr, max_radius)], -1)
-            dc = np.abs(lefts[i] + arange_l - beads[j, 1])
-            cover = dc[None, :] <= width[:, None]
-            count[i] += cover
-            if j == i:
-                fg[i] = cover
+    pairs_i = np.concatenate(
+        [np.full(len(nb), i, np.int64) for i, nb in enumerate(neighbor_lists)]
+    )
+    pairs_j = np.concatenate(
+        [np.asarray(nb, np.int64) for nb in neighbor_lists]
+    )
+    # Pair chunks bound the (P, L, L) temporaries to a recycled working
+    # set (first-touch pages are the cost on VM hosts, see ops/reduce.py).
+    chunk = max(1, (32 << 20) // max(L * L, 1))
+    for s in range(0, len(pairs_i), chunk):
+        pi = pairs_i[s:s + chunk]
+        pj = pairs_j[s:s + chunk]
+        r = np.clip(beads[pj, 2].astype(np.int64), 0, max_radius)
+        dr = np.abs(tops[pi, None] + arange_l[None, :] - beads[pj, 0][:, None])
+        width = np.where(dr <= r[:, None],
+                         lut[r[:, None], np.minimum(dr, max_radius)], -1)
+        dc = np.abs(lefts[pi, None] + arange_l[None, :]
+                    - beads[pj, 1][:, None])
+        cover = dc[:, None, :] <= width[:, :, None]  # (P, L, L)
+        # pairs_i ascends by construction, so each window's pairs form a
+        # contiguous run: segmented reduceat + a unique-index add replaces
+        # np.add.at (which is ~100x slower than a plain add).
+        ui, starts = np.unique(pi, return_index=True)
+        count[ui] += np.add.reduceat(cover.astype(np.int16), starts, axis=0)
+        self_rows = pi == pj
+        fg[pi[self_rows]] = cover[self_rows]
 
     fg &= count == 1
     return fg, count == 0, tops, lefts

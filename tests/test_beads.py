@@ -191,3 +191,52 @@ def test_beads_from_tiff_path(tmp_path):
                   max_bead_diameter=24, overlap=0, num_iter=2000)
     assert xp.roi.sizes["mark"] == 1
     assert 290 < xp.x.squeeze().values.item() < 310
+
+
+def test_bead_ownership_vectorized_matches_loop_oracle():
+    """The pair-vectorized ownership masks equal a literal transcription of
+    the per-(window, neighbor) loop (the reference's painted-raster
+    semantics, find.py:561-586), across crowding, borders, and radius
+    clamping."""
+    import scipy.spatial
+
+    from magnify_tpu.components.find import _bead_ownership_host
+    from magnify_tpu.ops import geom as ops_geom
+
+    rng = np.random.default_rng(21)
+    h = w = 120
+    L, max_radius = 19, 8
+    n = 35
+    beads = np.stack([
+        rng.integers(4, h - 4, n), rng.integers(4, w - 4, n),
+        rng.integers(3, 12, n),  # some radii exceed max_radius -> clamp
+    ], axis=1).astype(np.int64)
+
+    fg, bg, tops, lefts = _bead_ownership_host(beads, h, w, L, max_radius)
+
+    lut = ops_geom.extent_lut(max_radius)
+    tops_o = np.clip(beads[:, 0] - L // 2, 0, h - L)
+    lefts_o = np.clip(beads[:, 1] - L // 2, 0, w - L)
+    tree = scipy.spatial.KDTree(beads[:, :2])
+    win_centers = np.stack([tops_o + L // 2, lefts_o + L // 2], axis=1)
+    neighbor_lists = tree.query_ball_point(
+        win_centers, L / 2 + max_radius + 1, p=np.inf)
+    arange_l = np.arange(L)
+    fg_o = np.zeros((n, L, L), bool)
+    count = np.zeros((n, L, L), np.int16)
+    for i in range(n):
+        for j in neighbor_lists[i]:
+            r = min(max(int(beads[j, 2]), 0), max_radius)
+            dr = np.abs(tops_o[i] + arange_l - beads[j, 0])
+            width = np.where(dr <= r, lut[r, np.minimum(dr, max_radius)], -1)
+            dc = np.abs(lefts_o[i] + arange_l - beads[j, 1])
+            cover = dc[None, :] <= width[:, None]
+            count[i] += cover
+            if j == i:
+                fg_o[i] = cover
+    fg_o &= count == 1
+
+    np.testing.assert_array_equal(tops, tops_o)
+    np.testing.assert_array_equal(lefts, lefts_o)
+    np.testing.assert_array_equal(fg, fg_o)
+    np.testing.assert_array_equal(bg, count == 0)
