@@ -87,3 +87,17 @@ def panel_codes_csv():
     rows = ["name,eu,dy,sm,tm"]
     rows += [f"{n},1.0,{d},{s},{t}" for n, (d, s, t) in PANEL_CODES.items()]
     return io.StringIO("\n".join(rows))
+
+
+def panel_codes_grid(n_dy: int, n_sm: int, n_tm: int):
+    """Arbitrary-size code lattice over the three decode dims, with the
+    same level spacings as PANEL_CODES; returns (codes_dict, codes_csv).
+    Real MRBLEs panels run 24-48 codes — tests pin decode accuracy at
+    both ends of that range."""
+    import io
+
+    codes = {f"code_{d}{s}{t}": (1.5 * d, 2.0 * s, 2.5 * t)
+             for d in range(n_dy) for s in range(n_sm) for t in range(n_tm)}
+    rows = ["name,eu,dy,sm,tm"]
+    rows += [f"{n},1.0,{d},{s},{t}" for n, (d, s, t) in codes.items()]
+    return codes, io.StringIO("\n".join(rows))

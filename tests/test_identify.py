@@ -147,11 +147,12 @@ def codes24_csv():
     return panel_codes_csv()
 
 
-def synthetic_bead_assay_24(n_per_code=10, seed=3):
-    """240 beads over the 24-code, 3-decode-dim lattice with realistic
-    ratio noise."""
+def synthetic_bead_assay_24(n_per_code=10, seed=3, codes=None):
+    """Beads over a 3-decode-dim code lattice (default: the 24-code
+    panel) with realistic ratio noise."""
     rng = np.random.default_rng(seed)
-    n = n_per_code * len(CODES24)
+    codes = CODES24 if codes is None else codes
+    n = n_per_code * len(codes)
     L = 9
     roi = np.zeros((n, len(CHANNELS5), 1, L, L), np.float32)
     fg = np.zeros((n, 1, L, L), bool)
@@ -160,7 +161,7 @@ def synthetic_bead_assay_24(n_per_code=10, seed=3):
     bg[:, :, 0, :] = True
     truth = []
     i = 0
-    for name, code in CODES24.items():
+    for name, code in codes.items():
         for _ in range(n_per_code):
             eu_vol = rng.uniform(80, 120)
             ratio_noise = rng.normal(0, 0.04, 3)
@@ -286,3 +287,21 @@ def test_identify_mrbles_reduction_policy_parity(monkeypatch):
                                outs["host"].ln_vol.values,
                                rtol=1e-6, atol=1e-6)
     assert (out_auto.tag.values == outs["host"].tag.values).all()
+
+
+def test_identify_mrbles_48_codes():
+    """Decode at the top of the realistic panel range: a 4x4x3 = 48-code
+    lattice (reference workloads run 24-48 codes). Pins that the per-dim
+    lattice fit and the 48-component GMM stay accurate as k doubles."""
+    from tests.synth import panel_codes_grid
+
+    codes48, codes_csv = panel_codes_grid(4, 4, 3)
+    ds, truth = synthetic_bead_assay_24(n_per_code=8, seed=11,
+                                        codes=codes48)
+    out = identify_mrbles(ds, spectra=spectra4_csv(), codes=codes_csv,
+                          reference="eu")
+    tags = out.tag.values
+    decoded = np.unique(tags[tags != "outlier"])
+    assert len(decoded) == 48, f"only {len(decoded)} codes decoded"
+    accuracy = (tags == truth).mean()
+    assert accuracy > 0.9, f"accuracy {accuracy}"
