@@ -162,6 +162,11 @@ def _bead_detect_packed(planes, low_q, high_q, min_roundness, dedupe_dist,
     return packed, beads
 
 
+# Budget for the (pairs, L, L) ownership temporaries; module-level so the
+# chunk-boundary path is test-drivable (tests monkeypatch it small).
+_PAIR_CHUNK_BYTES = 32 << 20
+
+
 def _bead_ownership_host(beads, h, w, roi_length, max_radius):
     """Host fg/bg ownership masks + ROI windows (numpy).
 
@@ -201,7 +206,7 @@ def _bead_ownership_host(beads, h, w, roi_length, max_radius):
     )
     # Pair chunks bound the (P, L, L) temporaries to a recycled working
     # set (first-touch pages are the cost on VM hosts, see ops/reduce.py).
-    chunk = max(1, (32 << 20) // max(L * L, 1))
+    chunk = max(1, _PAIR_CHUNK_BYTES // max(L * L, 1))
     for s in range(0, len(pairs_i), chunk):
         pi = pairs_i[s:s + chunk]
         pj = pairs_j[s:s + chunk]

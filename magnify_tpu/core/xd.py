@@ -140,24 +140,35 @@ class Variable:
         return f"Variable(dims={self.dims}, shape={self.shape}, dtype={self.dtype})"
 
 
-def _regular_to_slice(idx):
+def _regular_to_slice(idx, length: int):
     """Rewrite a 1-D integer-array indexer with a constant positive stride
     (e.g. the identity selection ``sel(channel=<all channels in order>)``)
     as the equivalent slice. Outer indexing by such an array equals the
     slice exactly, but numpy's advanced indexing materializes a copy —
     ~100 MB/s on a middle axis — where the slice is a free view. Returns
-    ``idx`` unchanged when no slice is equivalent."""
+    ``idx`` unchanged when no slice is equivalent: non-constant or
+    non-positive strides, negative indices, and any index >= ``length``
+    (a slice would silently clamp where advanced indexing raises
+    IndexError — the array is kept so the error stays loud). The
+    resulting selection may be a VIEW of the parent store; callers that
+    mutate results go through ``_protect_rewritten_view``.
+    """
     if not isinstance(idx, np.ndarray) or idx.ndim != 1 \
             or idx.dtype.kind not in "iu" or len(idx) == 0:
         return idx
-    if len(idx) == 1:
-        start = int(idx[0])
-        return idx if start < 0 else slice(start, start + 1)
-    steps = np.diff(idx)
-    step = int(steps[0])
-    if step <= 0 or (steps != step).any() or int(idx[0]) < 0:
+    # Unsigned dtypes wrap under np.diff (a descending uint sequence
+    # yields a huge positive "step"); do the arithmetic in int64.
+    vals = idx.astype(np.int64, copy=False)
+    if int(vals[0]) < 0 or int(vals[-1]) >= length:
         return idx
-    return slice(int(idx[0]), int(idx[-1]) + 1, step)
+    if len(vals) == 1:
+        start = int(vals[0])
+        return slice(start, start + 1)
+    steps = np.diff(vals)
+    step = int(steps[0])
+    if step <= 0 or (steps != step).any():
+        return idx
+    return slice(int(vals[0]), int(vals[-1]) + 1, step)
 
 
 def _isel_var(var: Variable, indexers) -> Variable:
@@ -178,11 +189,17 @@ def _isel_var(var: Variable, indexers) -> Variable:
     applicable = {d: i for d, i in indexers.items() if d in var.dims}
     if not applicable:
         return var
-    applicable = {
-        d: (_regular_to_slice(np.asarray(i))
-            if isinstance(i, (list, np.ndarray)) else i)
-        for d, i in applicable.items()
-    }
+    rewritten = False
+    norm = {}
+    for d, i in applicable.items():
+        if isinstance(i, (list, np.ndarray)):
+            conv = _regular_to_slice(np.asarray(i),
+                                     var.shape[var.dims.index(d)])
+            rewritten |= isinstance(conv, slice)
+            norm[d] = conv
+        else:
+            norm[d] = i
+    applicable = norm
     if _is_lazy(var.data):
         return var.isel(applicable)
     basic = {d: i for d, i in applicable.items()
@@ -192,6 +209,16 @@ def _isel_var(var: Variable, indexers) -> Variable:
     for d, i in applicable.items():
         if not isinstance(i, (int, np.integer, slice)):
             var = var.isel({d: i})
+    if rewritten and isinstance(var.data, np.ndarray) \
+            and var.data.base is not None:
+        # An array indexer was rewritten to a slice, so this selection is
+        # a VIEW where advanced indexing would have returned a copy.
+        # Hand out a read-only view: mutating it raises loudly instead of
+        # silently writing through to the parent store (which may be an
+        # on-disk memmap spill). Reads — the hot path — stay zero-copy.
+        guarded = var.data.view()
+        guarded.flags.writeable = False
+        var = Variable(var.dims, guarded, var.attrs)
     return var
 
 

@@ -230,7 +230,10 @@ def masked_median(values: np.ndarray, mask: np.ndarray,
 def masked_mean(values: np.ndarray, mask: np.ndarray,
                 prefer_host: bool = False) -> np.ndarray:
     """Per-row mean over masked elements: values/mask (n, ...). Same
-    host/device routing as :func:`masked_median`."""
+    host/device routing as :func:`masked_median`. Unlike the median twin
+    (bit-identical: both select the same sorted elements), the host and
+    device means agree only to f32 summation-order rounding — numpy's
+    pairwise summation and XLA's reduction tree associate differently."""
     if not isinstance(values, jax.Array) and (
             prefer_host or np.asarray(values).size < (1 << 24)):
         return _rowwise(_masked_mean_np_block, np.asarray(values),

@@ -193,7 +193,7 @@ def test_beads_from_tiff_path(tmp_path):
     assert 290 < xp.x.squeeze().values.item() < 310
 
 
-def test_bead_ownership_vectorized_matches_loop_oracle():
+def test_bead_ownership_vectorized_matches_loop_oracle(monkeypatch):
     """The pair-vectorized ownership masks equal a literal transcription of
     the per-(window, neighbor) loop (the reference's painted-raster
     semantics, find.py:561-586), across crowding, borders, and radius
@@ -240,3 +240,15 @@ def test_bead_ownership_vectorized_matches_loop_oracle():
     np.testing.assert_array_equal(lefts, lefts_o)
     np.testing.assert_array_equal(fg, fg_o)
     np.testing.assert_array_equal(bg, count == 0)
+
+    # Drive the REAL pair-chunk boundary (the default 32 MB budget never
+    # chunks at test scale): 3 pairs per chunk splits windows' contiguous
+    # pair runs across chunks, which the reduceat accumulation must
+    # handle by adding partial sums into count.
+    from magnify_tpu.components import find as find_mod
+
+    monkeypatch.setattr(find_mod, "_PAIR_CHUNK_BYTES", 3 * L * L)
+    fg_c, bg_c, tops_c, lefts_c = _bead_ownership_host(
+        beads, h, w, L, max_radius)
+    np.testing.assert_array_equal(fg_c, fg_o)
+    np.testing.assert_array_equal(bg_c, count == 0)

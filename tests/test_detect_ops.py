@@ -579,36 +579,34 @@ def test_ransac_cap_grow_retry_paths(monkeypatch):
     np.testing.assert_array_equal(got_s, want_s)
 
 
-def test_fg_mean_bg_median_chunked_twin_bit_identical():
+def test_fg_mean_bg_median_chunked_twin_bit_identical(monkeypatch):
     """The mark-chunked numpy reduction equals the single-block twin
-    bit-for-bit (chunking is a pure working-set optimization)."""
+    bit-for-bit. The REAL chunked dispatch loop is driven by shrinking
+    _row_chunk (the default 32 MB budget exceeds any test fixture)."""
+    import magnify_tpu.ops.reduce as red
     from magnify_tpu.ops.reduce import (
         _fg_mean_bg_median_np,
         _fg_mean_bg_median_np_block,
     )
 
     rng = np.random.default_rng(2)
-    n, C, L = 300, 3, 24  # > 32 MB per-mark budget when chunked at L=24?
+    n, C, L = 300, 3, 24
     roi = rng.normal(100, 30, (n, C, L, L)).astype(np.float32)
     fg = rng.random((n, L, L)) > 0.5
     bg = rng.random((n, L, L)) > 0.5
     fg[0] = False  # empty masks hit the NaN paths in both twins
     bg[1] = False
     whole = _fg_mean_bg_median_np_block(roi, fg, bg)
-    # Force multi-chunk execution regardless of the 32 MB budget.
-    chunked = np.empty((n, C), np.float32)
-    step = 37  # ragged final chunk
-    for s in range(0, n, step):
-        e = min(s + step, n)
-        chunked[s:e] = _fg_mean_bg_median_np_block(roi[s:e], fg[s:e],
-                                                   bg[s:e])
-    np.testing.assert_array_equal(np.asarray(whole, np.float32), chunked)
-    # And the public twin dispatcher agrees.
     np.testing.assert_array_equal(
         _fg_mean_bg_median_np(roi, fg, bg), whole)
+    # Force the multi-chunk loop (ragged final chunk: 300 % 37 != 0).
+    monkeypatch.setattr(red, "_row_chunk", lambda *a, **k: 37)
+    chunked = _fg_mean_bg_median_np(roi, fg, bg)
+    np.testing.assert_array_equal(chunked,
+                                  np.asarray(whole, np.float32))
 
 
-def test_masked_median_mean_twins_match_device():
+def test_masked_median_mean_twins_match_device(monkeypatch):
     """The numpy twins of masked_median/masked_mean equal the device
     reductions (median bit-identical: both select the same sorted
     elements; mean to f32 tolerance), including empty-mask NaN rows and
@@ -638,14 +636,14 @@ def test_masked_median_mean_twins_match_device():
     host_mean = _masked_mean_np_block(vals, mask)
     np.testing.assert_allclose(host_mean, dev_mean, rtol=1e-5, atol=1e-4)
 
-    # Chunked execution is identical to one block.
-    chunked = np.empty(n, np.float32)
-    for s in range(0, n, 23):
-        e = min(s + 23, n)
-        chunked[s:e] = _masked_median_np_block(vals[s:e], mask[s:e])
-    np.testing.assert_array_equal(chunked, host_med)
+    # Drive the REAL chunked _rowwise loop (ragged final chunk).
+    import magnify_tpu.ops.reduce as red
+    monkeypatch.setattr(red, "_row_chunk", lambda *a, **k: 23)
     np.testing.assert_array_equal(_rowwise(_masked_median_np_block, vals,
                                            mask), host_med)
+    np.testing.assert_allclose(_rowwise(_masked_mean_np_block, vals, mask),
+                               host_mean, rtol=1e-6, atol=1e-6)
+    monkeypatch.undo()
 
     # Public routing: small host inputs take the twin; results match.
     np.testing.assert_array_equal(masked_median(vals, mask), host_med)

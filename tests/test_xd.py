@@ -241,18 +241,25 @@ def test_dataarray_loc():
 def test_regular_array_indexers_become_views():
     """1-D constant-stride integer indexers (identity selections, channel
     subsets) rewrite to slices: same outer-indexing result, but a view —
-    numpy's advanced indexing would copy the array at ~100 MB/s."""
+    numpy's advanced indexing would copy the array at ~100 MB/s. The
+    rewrite must NOT fire for descending/irregular/negative/bool/empty
+    indexers, for unsigned descending sequences (np.diff wraps), or for
+    out-of-bounds indices (a slice would silently clamp where advanced
+    indexing raises)."""
     from magnify_tpu.core.xd import _regular_to_slice
 
-    assert _regular_to_slice(np.array([0, 1, 2, 3])) == slice(0, 4, 1)
-    assert _regular_to_slice(np.array([2, 4, 6])) == slice(2, 7, 2)
-    assert _regular_to_slice(np.array([5])) == slice(5, 6)
-    # Not rewritable: reversed, irregular, negative, bool, empty.
+    assert _regular_to_slice(np.array([0, 1, 2, 3]), 10) == slice(0, 4, 1)
+    assert _regular_to_slice(np.array([2, 4, 6]), 10) == slice(2, 7, 2)
+    assert _regular_to_slice(np.array([5]), 10) == slice(5, 6)
+    # Not rewritable: reversed, irregular, negative, bool, empty,
+    # unsigned-descending (diff wraps to a huge positive step), OOB.
     for arr in (np.array([3, 2, 1]), np.array([0, 1, 3]),
                 np.array([-1, 0]), np.array([True, False]),
-                np.array([], dtype=int)):
-        out = _regular_to_slice(arr)
-        assert not isinstance(out, slice)
+                np.array([], dtype=int),
+                np.array([3, 2, 1], dtype=np.uint32),
+                np.array([8, 9, 10])):
+        out = _regular_to_slice(arr, 10)
+        assert not isinstance(out, slice), arr
 
     data = np.arange(2 * 3 * 4).reshape(2, 3, 4)
     ds = Dataset({"v": (("a", "b", "c"), data)},
@@ -260,7 +267,20 @@ def test_regular_array_indexers_become_views():
     sel = ds.v.sel(b=["x", "y", "z"]).values
     np.testing.assert_array_equal(sel, data)
     assert sel.base is not None  # a view, not an advanced-indexing copy
+    # ... but a READ-ONLY view: where numpy advanced indexing returned a
+    # private copy, mutation must raise rather than silently write
+    # through to the parent store (e.g. an on-disk memmap spill).
+    with pytest.raises(ValueError):
+        sel[0, 0, 0] = -1
+    assert data[0, 0, 0] == 0
     np.testing.assert_array_equal(ds.v.sel(b=["z", "x"]).values,
                                   data[:, [2, 0]])
     np.testing.assert_array_equal(ds.v.isel(b=[0, 2]).values,
                                   data[:, [0, 2]])
+    # Descending uint indexer takes the (correct) advanced-indexing path.
+    np.testing.assert_array_equal(
+        ds.v.isel(b=np.array([2, 1, 0], np.uint32)).values,
+        data[:, [2, 1, 0]])
+    # Out-of-bounds stays a loud IndexError, not a silent empty slice.
+    with pytest.raises(IndexError):
+        ds.v.isel(b=[7]).values
