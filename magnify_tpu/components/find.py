@@ -371,8 +371,10 @@ def _chip_fused_packed(images, low_q, high_q, high_q_roi, min_roundness,
     rows = jnp.concatenate(
         [best, mark_x.reshape(-1, 1), mark_y.reshape(-1, 1)], axis=1
     )
+    # worst_keep is bit-stored (ops_detect.pack_count): a plain f32 cast
+    # rounds above 2^24 and could mask a cap overflow on the host.
     header = jnp.stack([
-        worst_keep.astype(jnp.float32), n_centers.astype(jnp.float32),
+        ops_detect.pack_count(worst_keep), n_centers.astype(jnp.float32),
         row_counts[0], row_counts[-1], col_counts[0], col_counts[-1],
     ])
     slopes = jnp.stack([row_slope, col_slope, 0.0, 0.0, 0.0, 0.0])
@@ -897,7 +899,7 @@ class ButtonFinder:
                 min_dist=int(self.chamber_radius), roi_length=L,
             )
             packed = np.asarray(packed_d)  # the single pull + sync
-            worst = int(packed[0, 0])
+            worst = ops_detect.unpack_count(packed[0, 0])
             if worst <= cap:
                 ops_detect._cap_memo[memo_key] = cap
                 break

@@ -208,7 +208,6 @@ class ChunkedArray:
                 block = self._block(bidx)
                 out[tuple(dst_sl)] = block[tuple(src_sl)]
         # Apply strides/fancy indices and collapse int dims.
-        sel = tuple(p if not isinstance(p, int) else p for p in post)
         result = out
         # Apply per-dim post selections one dim at a time (to keep fancy
         # indexers independent).

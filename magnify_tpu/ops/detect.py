@@ -88,6 +88,25 @@ def _score_uniques(grad_angles, edges, uniq, uvalid, *, min_radius,
     return score_circles(ga, eg, shifted, uvalid, max_radius=max_radius)
 
 
+def pack_count(n):
+    """Store an int32 count in a float32 packed-header slot EXACTLY.
+
+    The packed pull blocks are float32 (circle rows mix coordinates and
+    scores); a plain ``astype(float32)`` of a count rounds above 2^24,
+    which could make the host's grow-retry check (``worst <= cap``)
+    falsely accept a truncated survivor set on a pathologically dense
+    plane. Bitcasting preserves all 32 bits; :func:`unpack_count` is the
+    host twin.
+    """
+    return jax.lax.bitcast_convert_type(
+        jnp.asarray(n, jnp.int32), jnp.float32)
+
+
+def unpack_count(v) -> int:
+    """Recover an int32 count bit-stored in a float32 header slot."""
+    return int(np.asarray(v, np.float32).reshape(1).view(np.int32)[0])
+
+
 def _pad_for_scoring(grad_angles, edges, max_radius):
     pad = 2 * max_radius
     ga = jnp.pad(grad_angles, pad)
@@ -134,7 +153,13 @@ def ranked_survivor_sources(keep, cap: int):
 )
 def _stage_candidates(image, low_q, high_q, key, *, grid_length, num_iter,
                       min_radius, max_radius):
-    """Edges + RANSAC proposals + unique count (no compaction yet)."""
+    """Edges + RANSAC proposals + unique count (no compaction yet).
+
+    Not called by the production path (find_circles runs the fused
+    _stage_ransac_packed); kept as the driver's single-chip compile-check
+    surface — ``__graft_entry__.entry`` builds its forward step from this
+    and :func:`_stage_score`.
+    """
     h, w = image.shape
     edges, _dx, _dy, grad_angles = edge_pipeline(image, low_q, high_q)
     cands, any_edges = candidate_circles(edges, grid_length=grid_length,
@@ -241,8 +266,9 @@ def _stage_ransac_packed(image, low_q, high_q, min_roundness, key, *,
     compacted = jnp.zeros((total, 4), jnp.float32).at[dest].set(rows,
                                                                 mode="drop")
     packed = jnp.zeros((pull_cap + 1, 4), jnp.float32)
-    packed = (packed.at[0, 0].set(n_acc).at[0, 1].set(n_keep)
-              .at[0, 2].set(n_unique))
+    packed = (packed.at[0, 0].set(pack_count(n_acc))
+              .at[0, 1].set(pack_count(n_keep))
+              .at[0, 2].set(pack_count(n_unique)))
     take = min(pull_cap, total)
     packed = packed.at[1:1 + take].set(compacted[:take])
     return packed, compacted
@@ -424,7 +450,8 @@ def _stage_dense_packed(image, low_q, high_q, min_roundness, *, min_radius,
     compacted = jnp.zeros((total, 4), jnp.float32).at[dest].set(rows,
                                                                 mode="drop")
     packed = jnp.zeros((pull_cap + 1, 4), jnp.float32)
-    packed = packed.at[0, 0].set(n_acc).at[0, 1].set(n_keep)
+    packed = (packed.at[0, 0].set(pack_count(n_acc))
+              .at[0, 1].set(pack_count(n_keep)))
     take = min(pull_cap, total)
     packed = packed.at[1:1 + take].set(compacted[:take])
     return packed, compacted
@@ -631,7 +658,8 @@ def find_circles(
                     pull_cap=pull_cap,
                 )
             packed = np.asarray(packed_d)  # the single transfer + sync
-            n_acc, n_keep = int(packed[0, 0]), int(packed[0, 1])
+            n_acc = unpack_count(packed[0, 0])
+            n_keep = unpack_count(packed[0, 1])
             if n_keep <= cap:
                 _cap_memo[memo_key] = cap
                 break
@@ -667,9 +695,9 @@ def find_circles(
                 use_conv=_use_conv_scorer(),
             )
             packed = np.asarray(packed_d)  # the single transfer + sync
-            n_acc = int(packed[0, 0])
-            n_keep = int(packed[0, 1])
-            n_unique = int(packed[0, 2])
+            n_acc = unpack_count(packed[0, 0])
+            n_keep = unpack_count(packed[0, 1])
+            n_unique = unpack_count(packed[0, 2])
             if n_unique > ucap:
                 ucap = _grow_cap(n_unique, ucap)
                 continue
@@ -850,14 +878,15 @@ def find_circles_stack(
                 min_dist=int(min_dist), cap=cap, pull_cap=pull_cap,
             )
             packed = np.asarray(packed_d)  # the single pull
-            worst = int(packed[:, 0, 1].max())
+            worst = max(unpack_count(v)
+                        for v in np.ascontiguousarray(packed[:, 0, 1]))
             if worst <= cap:
                 _cap_memo[memo_key] = cap
                 break
             cap = _grow_cap(worst, cap)
         results = []
         for b in range(packed.shape[0]):
-            n_acc = int(packed[b, 0, 0])
+            n_acc = unpack_count(packed[b, 0, 0])
             rows = packed[b, 1:1 + min(n_acc, pull_cap)]
             if n_acc > pull_cap:
                 rows = np.concatenate(
@@ -889,13 +918,14 @@ def find_circles_stack(
                 min_dist=int(min_dist), pull_cap=pull_cap, normalized=True,
             )
             packed = np.asarray(packed_d)  # one transfer per chunk
-            worst = int(packed[:, 0, 1].max())
+            worst = max(unpack_count(v)
+                        for v in np.ascontiguousarray(packed[:, 0, 1]))
             if worst <= cap:
                 _cap_memo[memo_key] = cap
                 break
             cap = _grow_cap(worst, cap)
         for b in range(packed.shape[0]):
-            n_acc = int(packed[b, 0, 0])
+            n_acc = unpack_count(packed[b, 0, 0])
             rows = packed[b, 1:1 + min(n_acc, pull_cap)]
             if n_acc > pull_cap:
                 rows = np.concatenate(

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["hysteresis", "pallas_supported"]
+__all__ = ["hysteresis", "pallas_preferred", "pallas_supported"]
 
 # Whole-plane kernel ceiling: the loop keeps cur/weak plus a few shift
 # temps live as int32 vectors (Mosaic's dynamic_rotate has no 8-bit path);

@@ -208,17 +208,25 @@ def _depth_to_space(x, s):
     return x.transpose(0, 3, 1, 4, 2).reshape(c, h * s, w * s)
 
 
+# MAGNIFY_TPU_S2D is snapshotted at import: _resolve_s2d runs inside
+# traced code, so a mid-process env change would apply to newly traced
+# shapes while already-traced shapes kept the old fold — silently
+# half-applied. Reading once makes the knob uniformly process-level (set
+# it before importing magnify_tpu); per-call control is the explicit
+# ``s2d=`` parameter, which jit treats as part of the trace.
+import os as _os  # noqa: E402
+
+_S2D_ENV = _os.environ.get("MAGNIFY_TPU_S2D")
+
+
 def _resolve_s2d(s2d, shape):
     """Space-to-depth fold for ``score_maps`` given the (padded) plane
-    shape. MAGNIFY_TPU_S2D overrides (1 disables the fold — the unfolded
-    conv is the debugging reference)."""
+    shape. MAGNIFY_TPU_S2D (read at import) overrides (1 disables the
+    fold — the unfolded conv is the debugging reference)."""
     if s2d is not None:
         return s2d
-    import os
-
-    env = os.environ.get("MAGNIFY_TPU_S2D")
-    if env:
-        return int(env)
+    if _S2D_ENV:
+        return int(_S2D_ENV)
     if jax.default_backend() == "tpu":
         return 16 if min(shape[-2:]) >= 512 else 8
     return 4

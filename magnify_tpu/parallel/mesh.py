@@ -513,6 +513,9 @@ def sharded_find_circles_batch(images, mesh: Mesh, low_q: float,
     return circles[:b], scores[:b], accepted[:b], n_keep[:b]
 
 
+from magnify_tpu.ops.detect import pack_count, unpack_count  # noqa: E402
+
+
 @functools.partial(jax.jit, static_argnames=("pull_cap",))
 def _pack_accepted_batch(circles, scores, accepted, n_keep, *, pull_cap):
     """Compact each plane's accepted circles to the front and pack counts +
@@ -530,7 +533,8 @@ def _pack_accepted_batch(circles, scores, accepted, n_keep, *, pull_cap):
         compacted = jnp.zeros((total, 4), jnp.float32).at[dest].set(
             rows, mode="drop")
         packed = jnp.zeros((pull_cap + 1, 4), jnp.float32)
-        packed = packed.at[0, 0].set(n_acc).at[0, 1].set(nk)
+        packed = (packed.at[0, 0].set(pack_count(n_acc))
+                  .at[0, 1].set(pack_count(nk)))
         take = min(pull_cap, total)
         packed = packed.at[1:1 + take].set(compacted[:take])
         return packed, compacted
@@ -555,8 +559,7 @@ def sharded_find_circles_batch_packed(
         min_radius=min_radius, max_radius=max_radius, min_dist=min_dist,
         cap=cap, normalized=True,
     )
-    return _pack_accepted_batch(circles, scores, accepted,
-                                n_keep.astype(jnp.float32),
+    return _pack_accepted_batch(circles, scores, accepted, n_keep,
                                 pull_cap=pull_cap)
 
 
@@ -595,12 +598,13 @@ def sharded_find_circles(
             min_dist=int(min_dist), cap=cap, pull_cap=pull_cap,
         )
         packed = np.asarray(packed_d)  # the single pull
-        worst = int(packed[:, 0, 1].max())
+        worst = max(unpack_count(v)
+                    for v in np.ascontiguousarray(packed[:, 0, 1]))
         if worst <= cap:
             ops_detect._cap_memo[memo_key] = cap
             break
         cap = ops_detect._grow_cap(worst, cap)
-    n_acc = int(packed[0, 0, 0])
+    n_acc = unpack_count(packed[0, 0, 0])
     rows = packed[0, 1:1 + min(n_acc, pull_cap)]
     if n_acc > pull_cap:
         rows = np.concatenate([rows, np.asarray(full_d[0, pull_cap:n_acc])])

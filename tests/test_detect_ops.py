@@ -649,3 +649,18 @@ def test_masked_median_mean_twins_match_device(monkeypatch):
     np.testing.assert_array_equal(masked_median(vals, mask), host_med)
     np.testing.assert_allclose(masked_mean(vals, mask), host_mean,
                                rtol=1e-6, atol=1e-6)
+
+
+def test_packed_header_counts_exact_above_2_24():
+    """Counts bit-stored in float32 packed-header slots survive values a
+    plain f32 cast rounds (2^24 + 1 -> 2^24), which would let the host's
+    grow-retry check accept a truncated survivor set."""
+    from magnify_tpu.ops.detect import pack_count, unpack_count
+
+    for n in (0, 1, (1 << 24) - 1, 1 << 24, (1 << 24) + 1,
+              (1 << 24) + 3, (1 << 31) - 1):
+        slot = np.asarray(pack_count(n))  # float32 scalar
+        assert slot.dtype == np.float32
+        assert unpack_count(slot) == n, n
+    # The failure mode being prevented:
+    assert int(np.float32((1 << 24) + 1)) == 1 << 24

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 import magnify_tpu as mg
+from magnify_tpu.ops.detect import unpack_count  # noqa: E402
 from magnify_tpu.core import Dataset
 from magnify_tpu.ops.edge import edge_pipeline
 from magnify_tpu.parallel import (
@@ -355,7 +356,7 @@ def test_packed_mesh_detection_matches_unpacked(devices):
         acc = np.asarray(accepted[b])
         want_c = np.asarray(circles[b])[acc]
         want_s = np.asarray(scores[b])[acc]
-        n_acc = int(packed[b, 0, 0])
+        n_acc = unpack_count(packed[b, 0, 0])
         assert n_acc == len(want_c)
         rows = packed[b, 1:1 + n_acc]
         np.testing.assert_array_equal(rows[:, :3].astype(np.int32), want_c)
