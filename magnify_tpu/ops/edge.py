@@ -21,6 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Snapshot of MAGNIFY_TPU_PALLAS (see the hysteresis routing note below).
+_PALLAS_ENV = os.environ.get("MAGNIFY_TPU_PALLAS", "1")
+
 __all__ = [
     "canny",
     "edge_pipeline",
@@ -158,8 +161,11 @@ def canny(dx, dy, low_thresh, high_thresh):
     """
     strong, weak = canny_nms(dx, dy, low_thresh, high_thresh)
 
-    if os.environ.get("MAGNIFY_TPU_PALLAS", "1") != "0" \
-            and jax.default_backend() == "tpu":
+    # _PALLAS_ENV is snapshotted at import (this function is traced inside
+    # the jitted detection stages, so a per-call env read would be baked
+    # per trace — mid-process changes silently half-applied). The knob is
+    # process-level: set it before importing magnify_tpu.
+    if _PALLAS_ENV != "0" and jax.default_backend() == "tpu":
         from magnify_tpu.ops.pallas_kernels import hysteresis, pallas_preferred
 
         if pallas_preferred(strong.shape):

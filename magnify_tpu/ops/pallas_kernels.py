@@ -13,6 +13,7 @@ code path is exercised by the CPU test suite.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +21,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["hysteresis", "pallas_preferred", "pallas_supported"]
+
+# Import-time snapshot (trace-time reads bake per shape; see ops/edge.py).
+_PALLAS_ENV = os.environ.get("MAGNIFY_TPU_PALLAS", "1")
 
 # Whole-plane kernel ceiling: the loop keeps cur/weak plus a few shift
 # temps live as int32 vectors (Mosaic's dynamic_rotate has no 8-bit path);
@@ -61,16 +65,16 @@ def pallas_preferred(shape) -> bool:
     fixpoint on axon v5e (49-56ms vs 36ms at 4096^2 on a long-chain
     torture mask; the per-iteration HBM traffic XLA pays is not the
     bottleneck at these sizes, while the tiled sweeps pay per-block DMA
-    latency). Opt in with MAGNIFY_TPU_PALLAS=tiled.
+    latency). Opt in with MAGNIFY_TPU_PALLAS=tiled (read at import — this
+    predicate runs at trace time inside the jitted detection stages, so a
+    per-call env read would bake per shape; see the note in ops/edge.py).
     """
-    import os
-
     h, w = shape
     if not pallas_supported(shape):
         return False
     if h * w <= _MAX_VMEM_ELEMENTS:
         return True
-    return os.environ.get("MAGNIFY_TPU_PALLAS") == "tiled"
+    return _PALLAS_ENV == "tiled"
 
 
 def _shift_zero(x, dr: int, dc: int):
