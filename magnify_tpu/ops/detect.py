@@ -841,6 +841,7 @@ def find_circles_stack(
     min_dist: int,
     nms_cap: int = 4096,
     batch: int = 4,
+    pull_cap: int = 511,
 ) -> list:
     """Dense detection over a stack of planes, sub-batched per dispatch.
 
@@ -864,7 +865,6 @@ def find_circles_stack(
                     int(min_radius), int(max_radius),
                     tuple(sorted(mesh.shape.items())))
         cap = max(nms_cap, _cap_memo.get(memo_key, nms_cap))
-        pull_cap = 511
         # Minimum-traffic mesh path, mirroring the single-chip stack path
         # below: host-normalize to uint8 (1 B/px up the link) and pull ONE
         # small packed block per retry round instead of full (B, cap)
@@ -908,7 +908,6 @@ def find_circles_stack(
     # Cap persists across chunks (and runs): an overflow on chunk k should
     # not be rediscovered by chunk k+1 or the next call.
     cap = max(nms_cap, _cap_memo.get(memo_key, nms_cap))
-    pull_cap = 511
     for chunk in chunks:
         while True:
             packed_d, full_d = _stage_dense_batch_packed(

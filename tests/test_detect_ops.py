@@ -664,3 +664,28 @@ def test_packed_header_counts_exact_above_2_24():
         assert unpack_count(slot) == n, n
     # The failure mode being prevented:
     assert int(np.float32((1 << 24) + 1)) == 1 << 24
+
+
+def test_stack_pull_cap_spill_matches_default():
+    """When a plane holds more accepted circles than the packed pull block
+    (n_acc > pull_cap), the host completes the rows from the full device
+    block — a branch the production pull_cap=511 never exercises at test
+    scale. A tiny pull_cap must return exactly the default's circles."""
+    from magnify_tpu.ops.detect import find_circles_stack
+
+    rng = np.random.default_rng(17)
+    img = rng.normal(100, 3, (160, 160)).astype(np.float32)
+    centers = [(r, c) for r in range(20, 160, 36) for c in range(20, 160, 36)]
+    for pos in centers:  # 16 beads > pull_cap=4
+        pts = utils.filled_circle_points(7) + np.array(pos)
+        img[pts[:, 0], pts[:, 1]] = 900.0
+    planes = np.stack([img, img[::-1].copy()])
+
+    kw = dict(min_radius=5, max_radius=9, min_roundness=0.2, min_dist=5)
+    base = find_circles_stack(planes, 0.1, 0.9, **kw)
+    spill = find_circles_stack(planes, 0.1, 0.9, pull_cap=4, **kw)
+    assert len(base) == len(spill) == 2
+    for (bc, bs), (sc, ss) in zip(base, spill):
+        assert len(bc) > 4  # the spill branch actually engaged
+        np.testing.assert_array_equal(sc, bc)
+        np.testing.assert_array_equal(ss, bs)

@@ -361,3 +361,23 @@ def test_packed_mesh_detection_matches_unpacked(devices):
         rows = packed[b, 1:1 + n_acc]
         np.testing.assert_array_equal(rows[:, :3].astype(np.int32), want_c)
         np.testing.assert_allclose(rows[:, 3], want_s, rtol=1e-6)
+
+    # find_circles_stack's mesh branch with a pull block smaller than the
+    # accepted count: the host completes rows from the full device block
+    # (the spill path the production pull_cap=511 never hits at test
+    # scale). Results must equal the unpacked detection exactly.
+    from magnify_tpu.ops.detect import find_circles_stack
+    from magnify_tpu.parallel.mesh import use_mesh
+
+    with use_mesh(mesh):
+        spill = find_circles_stack(planes, 0.1, 0.9, min_radius=4,
+                                   max_radius=8, min_roundness=0.2,
+                                   min_dist=4, pull_cap=1)
+    assert len(spill) == planes.shape[0]
+    for b in range(planes.shape[0]):
+        acc = np.asarray(accepted[b])
+        want_c = np.asarray(circles[b])[acc]
+        want_s = np.asarray(scores[b])[acc]
+        sc, ss = spill[b]
+        np.testing.assert_array_equal(sc, want_c)
+        np.testing.assert_allclose(ss, want_s, rtol=1e-6)
