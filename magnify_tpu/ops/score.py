@@ -19,6 +19,7 @@ perimeter length.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -122,9 +123,16 @@ def _dedupe_sorted(row, col, rad, ok, max_radius, cap):
 # per-pixel score 4*|wrap(|a - e|) - pi/2|/pi - 1 equals
 # (8/pi^2) * sum_{k odd} cos(2k (a - e)) / k^2, which separates the image
 # angle a from the ring angle e — turning perimeter scoring into a
-# convolution. Keeping k <= 11 bounds the truncation error at ~1.5% of the
-# score range.
-_HARMONICS = (1, 3, 5, 7, 9, 11)
+# convolution. MAGNIFY_TPU_HARMONICS=<max odd k> (read at import — the
+# tables feed traced code) trades conv channels for truncation error.
+# Default k <= 7 (~2.4% worst-case score error, measured 2.60 -> 1.79 ms
+# for the 1024^2 folded score stage on v5e — a third of the conv
+# channels): the full test suite (every detection count/position fixture,
+# conv-vs-gather cross-checks) and the marginal-detection-sensitive noisy
+# bench fixtures produce IDENTICAL detection sets at 7 and 11; set
+# MAGNIFY_TPU_HARMONICS=11 for the tighter ~1.5% score bound.
+_MAX_HARMONIC = int(os.environ.get("MAGNIFY_TPU_HARMONICS", "7"))
+_HARMONICS = tuple(k for k in (1, 3, 5, 7, 9, 11) if k <= _MAX_HARMONIC)
 _COEFFS = tuple(8.0 / (np.pi**2 * k**2) for k in _HARMONICS)
 
 
@@ -214,9 +222,7 @@ def _depth_to_space(x, s):
 # half-applied. Reading once makes the knob uniformly process-level (set
 # it before importing magnify_tpu); per-call control is the explicit
 # ``s2d=`` parameter, which jit treats as part of the trace.
-import os as _os  # noqa: E402
-
-_S2D_ENV = _os.environ.get("MAGNIFY_TPU_S2D")
+_S2D_ENV = os.environ.get("MAGNIFY_TPU_S2D")
 
 
 def _resolve_s2d(s2d, shape):
