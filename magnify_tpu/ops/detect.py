@@ -77,15 +77,26 @@ def resolve_detector(detector: str = "auto") -> str:
 
 
 def _score_uniques(grad_angles, edges, uniq, uvalid, *, min_radius,
-                   max_radius, use_conv):
-    ga, eg, pad = _pad_for_scoring(grad_angles, edges, max_radius)
+                   max_radius, use_conv, grads=None):
+    """``grads=(dx, dy)`` lets the conv branch build its features without
+    the angle transcendentals (score._cs2_from_grads); the gather branch
+    (the exact reference scorer) always consumes the true angles."""
+    pad = 2 * max_radius
+    eg = jnp.pad(edges, pad)
     shifted = uniq.at[:, :2].add(pad)
     if use_conv:
-        maps = score_maps(ga, eg, min_radius=min_radius,
-                          max_radius=max_radius)
+        if grads is not None:
+            maps = score_maps(None, eg, min_radius=min_radius,
+                              max_radius=max_radius,
+                              grads=(jnp.pad(grads[0], pad),
+                                     jnp.pad(grads[1], pad)))
+        else:
+            maps = score_maps(jnp.pad(grad_angles, pad), eg,
+                              min_radius=min_radius, max_radius=max_radius)
         return gather_map_scores(maps, shifted, uvalid,
                                  min_radius=min_radius)
-    return score_circles(ga, eg, shifted, uvalid, max_radius=max_radius)
+    return score_circles(jnp.pad(grad_angles, pad), eg, shifted, uvalid,
+                         max_radius=max_radius)
 
 
 def pack_count(n):
@@ -119,30 +130,48 @@ def ranked_survivor_sources(keep, cap: int):
     plus the total survivor count.
 
     Exactly ``searchsorted(cumsum(keep.ravel()), 1..cap)`` — but evaluated
-    hierarchically: per-row cumsums, a small scan over row totals, a row
-    binary search, then a per-selected-row column binary search. A single
-    multi-M-element 1-D cumsum plus gathers from it measures ~1.4x slower
-    on v5e than this two-level form (the row-major layout keeps every pass
-    lane-friendly).
+    hierarchically (super-group totals -> row totals -> columns) with every
+    rank search expressed as a ``sum(bounds < target)`` compare-reduce: a
+    single multi-M-element 1-D cumsum plus gathers measures ~1.4x slower on
+    v5e, and ``jnp.searchsorted`` itself lowers to a while loop of
+    (cap,)-element gathers that cost ~10x the whole compare-sum form.
 
     ``keep``: bool, any shape with last dim = row width. Returns
     (src (cap,) int32 flat indices into keep.ravel(), n_keep int32).
     Entries past n_keep hold clipped garbage — callers mask by rank.
     """
     wp = keep.shape[-1]
-    k2 = keep.reshape(-1, wp).astype(jnp.int32)
-    row_c = jnp.cumsum(k2, axis=1)
-    row_tot = row_c[:, -1]
+    k2 = keep.reshape(-1, wp)
+    n_rows = k2.shape[0]
+    # Row totals via a plain reduce; the per-row cumsum the original form
+    # materialized over the whole volume (log2(wp) lane passes + an int32
+    # write) moves AFTER the row gather and runs over (cap, wp) only.
+    row_tot = k2.sum(axis=1, dtype=jnp.int32)
     row_end = jnp.cumsum(row_tot)
     n_keep = row_end[-1]
     tgt = jnp.arange(1, cap + 1, dtype=row_end.dtype)
-    row = jnp.clip(jnp.searchsorted(row_end, tgt, side="left"),
-                   0, k2.shape[0] - 1)
+
+    # searchsorted(a, t, "left") == sum(a < t): XLA lowers searchsorted to
+    # a while loop of (cap,)-element gathers, which dominate this whole
+    # function on TPU (measured 0.46 of 0.49 ms at 1024^2); the compare-sum
+    # form is pure VPU traffic (0.49 -> 0.05 ms). Two levels keep the
+    # compare volume at cap*(n_rows/g + g) instead of cap*n_rows, so the
+    # same code stays cheap on 4096^2+ planes (~10^6 rows).
+    g = 256
+    n_sup = -(-n_rows // g)
+    rt_pad = jnp.pad(row_tot, (0, n_sup * g - n_rows)).reshape(n_sup, g)
+    sup_end = jnp.cumsum(rt_pad.sum(axis=1))
+    sup = jnp.clip((sup_end[None, :] < tgt[:, None]).sum(1, dtype=tgt.dtype),
+                   0, n_sup - 1)
+    sup_off = sup_end[sup] - rt_pad.sum(axis=1)[sup]
+    rc_sup = jnp.cumsum(rt_pad[sup], axis=1)  # (cap, g) row gather
+    ri = (rc_sup < (tgt - sup_off)[:, None]).sum(1, dtype=tgt.dtype)
+    row = jnp.clip(sup * g + ri, 0, n_rows - 1)
+
     row_off = row_end[row] - row_tot[row]
     tloc = tgt - row_off
-    rows = row_c[row]
-    col = jax.vmap(lambda rc, t: jnp.searchsorted(rc, t, side="left"))(
-        rows, tloc)
+    rows = jnp.cumsum(k2[row].astype(jnp.int32), axis=1)
+    col = (rows < tloc[:, None]).sum(1, dtype=tgt.dtype)
     col = jnp.clip(col, 0, wp - 1)
     return (row * wp + col).astype(jnp.int32), n_keep
 
@@ -216,8 +245,8 @@ def _stage_ransac_packed(image, low_q, high_q, min_roundness, key, *,
     """
     image = image.astype(jnp.float32)
     h, w = image.shape
-    edges, _dx, _dy, grad_angles = edge_pipeline(image, low_q, high_q,
-                                                 normalized=normalized)
+    edges, dx, dy, grad_angles = edge_pipeline(image, low_q, high_q,
+                                               normalized=normalized)
     cands, any_edges = candidate_circles(edges, grid_length=grid_length,
                                          num_iter=num_iter, key=key)
     valid = jnp.full((num_iter,), True) & any_edges
@@ -227,7 +256,7 @@ def _stage_ransac_packed(image, low_q, high_q, min_roundness, key, *,
     )
     scores = _score_uniques(grad_angles, edges, uniq, uvalid,
                             min_radius=min_radius, max_radius=max_radius,
-                            use_conv=use_conv)
+                            use_conv=use_conv, grads=(dx, dy))
     keep = scores >= min_roundness
     scores = jnp.where(keep, scores, -jnp.inf)
 
@@ -478,10 +507,15 @@ def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
     retries with a larger cap).
     """
     h, w = image.shape
-    edges, _dx, _dy, grad_angles = edge_pipeline(image, low_q, high_q,
-                                                 normalized=normalized)
-    ga, eg, pad = _pad_for_scoring(grad_angles, edges, max_radius)
-    hp, wp = ga.shape
+    edges, dx, dy, _grad_angles = edge_pipeline(image, low_q, high_q,
+                                                normalized=normalized)
+    # Score features come straight from (dx, dy) — cos/sin(2a) are rational
+    # in the gradients (score._cs2_from_grads), so the full-plane arctan2
+    # (and its unused cos/sin) are dead code XLA eliminates from this
+    # program (~0.5 ms of transcendentals at 1024^2 on v5e).
+    dxp, eg, pad = _pad_for_scoring(dx, edges, max_radius)
+    dyp = jnp.pad(dy, pad)
+    hp, wp = eg.shape
 
     # Survivor compaction without a full top_k or scatter: the roundness
     # threshold already leaves n_keep (<= cap, else the caller regrows cap
@@ -505,9 +539,10 @@ def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
     # unfolded path.
     from magnify_tpu.ops.score import _resolve_s2d, score_maps_folded
 
-    if _resolve_s2d(None, ga.shape) > 1:
-        folded, s = score_maps_folded(ga, eg, min_radius=min_radius,
-                                      max_radius=max_radius)
+    if _resolve_s2d(None, eg.shape) > 1:
+        folded, s = score_maps_folded(None, eg, min_radius=min_radius,
+                                      max_radius=max_radius,
+                                      grads=(dxp, dyp))
         _c, hq, wq = folded.shape
         ch = jax.lax.broadcasted_iota(jnp.int32, folded.shape, 0)
         ri = ch // (s * s)
@@ -545,8 +580,8 @@ def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
         lin = ((fch // (s * s)) * hp + fy) * wp + fx
         neg, cand_lin = jax.lax.sort((-sel_scores, lin), num_keys=2)
     else:
-        maps = score_maps(ga, eg, min_radius=min_radius,
-                          max_radius=max_radius)
+        maps = score_maps(None, eg, min_radius=min_radius,
+                          max_radius=max_radius, grads=(dxp, dyp))
         rows = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 1) - pad
         cols = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 2) - pad
         rads = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 0) \
@@ -731,7 +766,7 @@ def _detect_rois(rois, low_q, high_q, min_roundness, keys, *, grid_length,
     neighborhood = jnp.asarray(nb)
 
     def one(roi, key):
-        edges, _dx, _dy, grad_angles = edge_pipeline(roi, low_q, high_q)
+        edges, dx, dy, grad_angles = edge_pipeline(roi, low_q, high_q)
         cands, any_edges = candidate_circles(edges, grid_length=grid_length,
                                              num_iter=num_iter, key=key)
         valid = jnp.full((num_iter,), True) & any_edges
@@ -742,8 +777,11 @@ def _detect_rois(rois, low_q, high_q, min_roundness, keys, *, grid_length,
         ga, eg, pad = _pad_for_scoring(grad_angles, edges, max_radius)
         shifted = uniq.at[:, :2].add(pad)
         if use_conv:
-            maps = score_maps(ga, eg, min_radius=min_radius,
-                              max_radius=max_radius)
+            # Gradient-derived features skip the angle transcendentals;
+            # the unused ga (arctan2) is DCE'd from this trace.
+            maps = score_maps(None, eg, min_radius=min_radius,
+                              max_radius=max_radius,
+                              grads=(jnp.pad(dx, pad), jnp.pad(dy, pad)))
             scores = gather_map_scores(maps, shifted, uvalid,
                                        min_radius=min_radius)
         else:
@@ -946,10 +984,11 @@ def _detect_rois_dense(rois, low_q, high_q, min_roundness, *, min_radius,
     n, l, _ = rois.shape
 
     def one(roi):
-        edges, _dx, _dy, grad_angles = edge_pipeline(roi, low_q, high_q)
-        ga, eg, pad = _pad_for_scoring(grad_angles, edges, max_radius)
-        maps = score_maps(ga, eg, min_radius=min_radius,
-                          max_radius=max_radius)
+        edges, dx, dy, _grad_angles = edge_pipeline(roi, low_q, high_q)
+        dxp, eg, pad = _pad_for_scoring(dx, edges, max_radius)
+        maps = score_maps(None, eg, min_radius=min_radius,
+                          max_radius=max_radius,
+                          grads=(dxp, jnp.pad(dy, pad)))
         _n_r, hp, wp = maps.shape
         rows = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 1) - pad
         cols = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 2) - pad

@@ -238,16 +238,43 @@ def _resolve_s2d(s2d, shape):
     return 4
 
 
-def _alignment_features(grad_angles, edges):
-    """Per-harmonic (edge*cos(2ka), edge*sin(2ka)) channel stack."""
+def _cs2_from_grads(dx, dy):
+    """(cos(2a), sin(2a)) for a = arctan2(dy, dx) with NO transcendentals.
+
+    Double-angle identities on the unit gradient direction: cos(2a) =
+    (dx^2 - dy^2) / g^2 and sin(2a) = 2*dx*dy / g^2 with g^2 = dx^2 + dy^2.
+    Zero-gradient pixels get the a = 0 values (1, 0) — exactly
+    cos/sin(2*arctan2(0, 0)) — via a safe denominator (no NaN/inf is ever
+    formed; those pixels are edge-masked to 0 downstream anyway). Replaces
+    three full-plane transcendental passes (arctan2 + cos + sin) in the
+    dense detector with a handful of VPU mults; the f32 rounding difference
+    vs the transcendental route (~1e-7 relative) vanishes in the bf16 cast
+    below.
+    """
+    g2 = dx * dx + dy * dy
+    safe = jnp.where(g2 > 0, g2, 1.0)
+    c1 = jnp.where(g2 > 0, (dx * dx - dy * dy) / safe, 1.0)
+    s1 = jnp.where(g2 > 0, (2.0 * dx * dy) / safe, 0.0)
+    return c1, s1
+
+
+def _alignment_features(grad_angles, edges, grads=None):
+    """Per-harmonic (edge*cos(2ka), edge*sin(2ka)) channel stack.
+
+    ``grads=(dx, dy)`` supplies the gradient fields directly and skips the
+    angle transcendentals entirely (``grad_angles`` may then be None).
+    """
     e = edges.astype(jnp.float32)
-    # Two transcendental passes (cos/sin of 2a) + a complex-product
-    # recurrence generate all cos/sin(2ka) channels: cos(2(k+1)a) =
-    # cos(2ka)c1 - sin(2ka)s1 etc. Saves 10 of 12 transcendental plane
-    # passes vs direct evaluation; the recurrence's float32 rounding
-    # (~1e-6 relative at k=11) is far below the bf16 cast downstream.
-    c1 = jnp.cos(2.0 * grad_angles)
-    s1 = jnp.sin(2.0 * grad_angles)
+    # Base cos/sin(2a) + a complex-product recurrence generate all
+    # cos/sin(2ka) channels: cos(2(k+1)a) = cos(2ka)c1 - sin(2ka)s1 etc.
+    # Saves 10 of 12 transcendental plane passes vs direct evaluation; the
+    # recurrence's float32 rounding (~1e-6 relative at k=11) is far below
+    # the bf16 cast downstream.
+    if grads is not None:
+        c1, s1 = _cs2_from_grads(grads[0], grads[1])
+    else:
+        c1 = jnp.cos(2.0 * grad_angles)
+        s1 = jnp.sin(2.0 * grad_angles)
     feats = []
     ck, sk = c1, s1
     for k in range(1, max(_HARMONICS) + 1):
@@ -263,7 +290,7 @@ def _alignment_features(grad_angles, edges):
 
 
 def score_maps_folded(grad_angles, edges, *, min_radius: int,
-                      max_radius: int, s2d: int | None = None):
+                      max_radius: int, s2d: int | None = None, grads=None):
     """Score maps in the space-to-depth FOLDED layout — no unfold transpose.
 
     Returns (folded, s) where ``folded`` has shape (n_radii * s * s, Hq, Wq)
@@ -276,10 +303,10 @@ def score_maps_folded(grad_angles, edges, *, min_radius: int,
     layout-agnostic (the survivor set and the (score, unfolded-index) sort
     keys are identical either way). ``s2d`` must resolve to > 1.
     """
-    s2d = _resolve_s2d(s2d, grad_angles.shape)
+    s2d = _resolve_s2d(s2d, edges.shape)
     if s2d <= 1:
         raise ValueError("score_maps_folded requires an s2d fold > 1")
-    feats = _alignment_features(grad_angles, edges)
+    feats = _alignment_features(grad_angles, edges, grads=grads)
     c, hp, wp = feats.shape
     hpad = (-hp) % s2d
     wpad = (-wp) % s2d
@@ -295,7 +322,7 @@ def score_maps_folded(grad_angles, edges, *, min_radius: int,
 
 
 def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
-               s2d: int | None = None):
+               s2d: int | None = None, grads=None):
     """Roundness score for every (center, radius) as one MXU convolution.
 
     ``grad_angles``/``edges`` must be padded by 2*max_radius (the caller's
@@ -308,17 +335,17 @@ def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
     4.7 ms at 1024^2 on v5e), 8 below 512^2 where the 16-fold's collapsed
     spatial extent starves the MXU's M dimension; 4 elsewhere.
     """
-    s2d = _resolve_s2d(s2d, grad_angles.shape)
-    hp, wp = grad_angles.shape[-2:]
+    s2d = _resolve_s2d(s2d, edges.shape)
+    hp, wp = edges.shape[-2:]
 
     if s2d > 1:
         folded, s2d = score_maps_folded(
             grad_angles, edges, min_radius=min_radius,
-            max_radius=max_radius, s2d=s2d)
+            max_radius=max_radius, s2d=s2d, grads=grads)
         maps = _depth_to_space(folded, s2d)
         return maps[:, :hp, :wp]
 
-    x = _alignment_features(grad_angles, edges)[None]
+    x = _alignment_features(grad_angles, edges, grads=grads)[None]
     kernel = jnp.asarray(_ring_conv_kernel(min_radius, max_radius),
                          jnp.bfloat16)
     out = jax.lax.conv_general_dilated(

@@ -199,8 +199,11 @@ def _sharded_edges_one_plane(img, low_q, high_q, valid_h: int,
         return grown, delta > 0
 
     edges, _ = jax.lax.while_loop(cond, body, (strong, jnp.asarray(True)))
-    grad_angles = jnp.arctan2(dy, dx)
-    return edges, grad_angles
+    # Raw gradients travel instead of angles: the score features are
+    # rational in (dx, dy) (score._cs2_from_grads), matching the single-chip
+    # dense path bit-for-bit while skipping the full-plane arctan2; callers
+    # needing true angles (diagnostics) compute them locally.
+    return edges, dx, dy
 
 
 def sharded_edge_pipeline(images, mesh: Mesh, low_q: float, high_q: float,
@@ -211,7 +214,8 @@ def sharded_edge_pipeline(images, mesh: Mesh, low_q: float, high_q: float,
     images: (B, H, W) with B divisible by the batch axis and H by the space
     axis (arbitrary sizes: pad the batch/rows and pass the true height as
     ``valid_h`` — :func:`sharded_find_circles_batch` does this). Returns
-    (edges bool (B, H, W), grad_angles (B, H, W)) with the same sharding.
+    (edges bool (B, H, W), dx (B, H, W), dy (B, H, W)) with the same
+    sharding (``arctan2(dy, dx)`` recovers the gradient angles).
     ``normalized`` marks host-prenormalized uint8-valued planes.
     """
     h = images.shape[1]
@@ -220,7 +224,7 @@ def sharded_edge_pipeline(images, mesh: Mesh, low_q: float, high_q: float,
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=(spec, P(), P()),
-        out_specs=(spec, spec),
+        out_specs=(spec, spec, spec),
     )
     def run(imgs, lo, hi):
         def one(img):
@@ -233,7 +237,7 @@ def sharded_edge_pipeline(images, mesh: Mesh, low_q: float, high_q: float,
                jnp.asarray([high_q], jnp.float32))
 
 
-def _sharded_best_circle(edges, grad_angles, min_radius, max_radius,
+def _sharded_best_circle(edges, dx, dy, min_radius, max_radius,
                          min_roundness):
     """Per-plane best circle from row-sharded score maps (inside shard_map).
 
@@ -245,13 +249,15 @@ def _sharded_best_circle(edges, grad_angles, min_radius, max_radius,
     from magnify_tpu.ops.score import score_maps
 
     halo = 2 * max_radius
-    ga = _exchange_halo(grad_angles, halo, "space")
+    dxh = _exchange_halo(dx, halo, "space")
+    dyh = _exchange_halo(dy, halo, "space")
     eg = _exchange_halo(edges, halo, "space")
     # Pad columns only (rows already extended by the halo exchange).
-    ga = jnp.pad(ga, ((0, 0), (halo, halo)))
+    dxh = jnp.pad(dxh, ((0, 0), (halo, halo)))
+    dyh = jnp.pad(dyh, ((0, 0), (halo, halo)))
     eg = jnp.pad(eg, ((0, 0), (halo, halo)))
-    maps = score_maps(ga, eg, min_radius=min_radius, max_radius=max_radius,
-                      s2d=1)
+    maps = score_maps(None, eg, min_radius=min_radius, max_radius=max_radius,
+                      s2d=1, grads=(dxh, dyh))
     # Keep only centers whose row belongs to this shard.
     maps = maps[:, halo:-halo, :]
 
@@ -298,28 +304,31 @@ def sharded_detect_step(images, mesh: Mesh, low_q: float = 0.1,
     statistics. Everything shards over (batch, space); per-plane summaries
     come back replicated along ``space``.
     """
-    edges, grad_angles = sharded_edge_pipeline(images, mesh, low_q, high_q)
+    edges, dx, dy = sharded_edge_pipeline(images, mesh, low_q, high_q)
 
     spec = P("batch", "space", None)
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(spec, spec),
+        jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
         out_specs=(P("batch"), P("batch"), P("batch"), P("batch")),
     )
-    def reduce_stats(e, ga):
+    def reduce_stats(e, gx, gy):
         count = jax.lax.psum(e.sum(axis=(1, 2)), "space")
+        # The |angle| energy diagnostic still wants true angles — computed
+        # here, on edge pixels' gradients only.
         energy = jax.lax.psum(
-            jnp.where(e, jnp.abs(ga), 0.0).sum(axis=(1, 2)), "space"
+            jnp.where(e, jnp.abs(jnp.arctan2(gy, gx)), 0.0).sum(axis=(1, 2)),
+            "space",
         )
 
-        def one(e1, ga1):
-            return _sharded_best_circle(e1, ga1, min_radius, max_radius,
+        def one(e1, gx1, gy1):
+            return _sharded_best_circle(e1, gx1, gy1, min_radius, max_radius,
                                         min_roundness)
 
-        circles, scores = jax.vmap(one)(e, ga)
+        circles, scores = jax.vmap(one)(e, gx, gy)
         return count, energy, circles, scores
 
-    count, energy, circles, scores = reduce_stats(edges, grad_angles)
+    count, energy, circles, scores = reduce_stats(edges, dx, dy)
     return {"edges": edges, "edge_count": count, "edge_energy": energy,
             "best_circle": circles, "best_score": scores}
 
@@ -328,7 +337,7 @@ def sharded_detect_step(images, mesh: Mesh, low_q: float = 0.1,
 # Full multi-marker dense detection over the mesh
 # ---------------------------------------------------------------------------
 
-def _sharded_dense_plane(edges, grad_angles, min_roundness, *, valid_h,
+def _sharded_dense_plane(edges, dx, dy, min_roundness, *, valid_h,
                          width, min_radius, max_radius, cap):
     """Dense detection for one row-sharded plane (inside shard_map).
 
@@ -346,9 +355,11 @@ def _sharded_dense_plane(edges, grad_angles, min_roundness, *, valid_h,
     shard = jax.lax.axis_index("space")
     n_sp = jax.lax.axis_size("space")
 
-    ga = _exchange_halo(grad_angles, halo, "space")
+    dxh = _exchange_halo(dx, halo, "space")
+    dyh = _exchange_halo(dy, halo, "space")
     eg = _exchange_halo(edges, halo, "space")
-    ga = jnp.pad(ga, ((0, 0), (halo, halo)))
+    dxh = jnp.pad(dxh, ((0, 0), (halo, halo)))
+    dyh = jnp.pad(dyh, ((0, 0), (halo, halo)))
     eg = jnp.pad(eg, ((0, 0), (halo, halo)))
     # Resolve the s2d fold from the GLOBAL padded-plane shape — the same
     # resolution the single-chip _dense_candidates makes — so every shard
@@ -358,8 +369,8 @@ def _sharded_dense_plane(edges, grad_angles, min_roundness, *, valid_h,
     from magnify_tpu.ops.score import _resolve_s2d
 
     s2d = _resolve_s2d(None, (valid_h + 2 * halo, width + 2 * halo))
-    maps = score_maps(ga, eg, min_radius=min_radius, max_radius=max_radius,
-                      s2d=s2d)
+    maps = score_maps(None, eg, min_radius=min_radius, max_radius=max_radius,
+                      s2d=s2d, grads=(dxh, dyh))
     n_r, lh, wp = maps.shape  # lh = local + 2*halo, wp = width + 2*halo
 
     rows_g = (jax.lax.broadcasted_iota(jnp.int32, maps.shape, 1) - halo
@@ -475,9 +486,8 @@ def sharded_find_circles_batch(images, mesh: Mesh, low_q: float,
             [imgs, imgs[np.arange(pad_b) % b]], axis=0
         )
 
-    edges, grad_angles = sharded_edge_pipeline(imgs, mesh, low_q, high_q,
-                                               valid_h=h,
-                                               normalized=normalized)
+    edges, dx, dy = sharded_edge_pipeline(imgs, mesh, low_q, high_q,
+                                          valid_h=h, normalized=normalized)
 
     spec = P("batch", "space", None)
 
@@ -485,20 +495,20 @@ def sharded_find_circles_batch(images, mesh: Mesh, low_q: float,
     # "space" by construction (every shard all_gathers and sorts the same
     # data), which the static varying-axes checker cannot infer.
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(spec, spec, P()),
+        jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec, P()),
         out_specs=(P("batch"), P("batch"), P("batch")), check_vma=False,
     )
-    def detect(e, ga, thr):
-        def one(e1, ga1):
+    def detect(e, gx, gy, thr):
+        def one(e1, gx1, gy1):
             return _sharded_dense_plane(
-                e1, ga1, thr[0], valid_h=h, width=w, min_radius=min_radius,
-                max_radius=max_radius, cap=cap,
+                e1, gx1, gy1, thr[0], valid_h=h, width=w,
+                min_radius=min_radius, max_radius=max_radius, cap=cap,
             )
 
-        return jax.vmap(one)(e, ga)
+        return jax.vmap(one)(e, gx, gy)
 
     circles, scores, n_keep = detect(
-        edges, grad_angles, jnp.asarray([min_roundness], jnp.float32)
+        edges, dx, dy, jnp.asarray([min_roundness], jnp.float32)
     )
 
     if min_dist > 0:

@@ -524,10 +524,13 @@ def test_dense_candidates_folded_layout_matches_unfolded():
     n_folded = int(n_folded)
     assert 0 < n_folded <= cap
 
-    edges, _dx, _dy, ga = edge_pipeline(jnp.asarray(img), 0.1, 0.9)
-    gap, egp, pad = _pad_for_scoring(ga, edges, max_r)
-    maps = np.asarray(score_maps(gap, egp, min_radius=min_r,
-                                 max_radius=max_r))
+    edges, dx, dy, _ga = edge_pipeline(jnp.asarray(img), 0.1, 0.9)
+    # The oracle unfolds the SAME conv (gradient-derived features, like the
+    # production path) — this test pins layout fungibility, not features.
+    dxp, egp, pad = _pad_for_scoring(dx, edges, max_r)
+    maps = np.asarray(score_maps(None, egp, min_radius=min_r,
+                                 max_radius=max_r,
+                                 grads=(dxp, jnp.pad(dy, pad))))
     n_r, hp, wp = maps.shape
     rads = np.arange(n_r)[:, None, None] + min_r
     rows = np.arange(hp)[None, :, None] - pad

@@ -43,17 +43,22 @@ def test_sharded_edges_match_single_device(devices):
     img = draw_beads((64, 128), [[20, 30], [40, 90]], diameters=12)
     batch = np.stack([img, np.roll(img, 7, axis=1)] ).astype(np.float32)
 
-    edges_sh, angles_sh = sharded_edge_pipeline(
+    edges_sh, dx_sh, dy_sh = sharded_edge_pipeline(
         jnp.asarray(batch), mesh, 0.1, 0.9
     )
     edges_sh = np.asarray(edges_sh)
 
     for b in range(2):
-        edges_1, _, _, _ = jax.jit(edge_pipeline)(
+        edges_1, dx_1, dy_1, _ = jax.jit(edge_pipeline)(
             jnp.asarray(batch[b]), 0.1, 0.9
         )
         agreement = (np.asarray(edges_1) == edges_sh[b]).mean()
         assert agreement == 1.0, f"plane {b}: {agreement}"
+        # Gradients (the scoring inputs) match bit-for-bit too.
+        np.testing.assert_array_equal(np.asarray(dx_1),
+                                      np.asarray(dx_sh)[b])
+        np.testing.assert_array_equal(np.asarray(dy_1),
+                                      np.asarray(dy_sh)[b])
 
 
 @pytest.mark.heavy_mesh
