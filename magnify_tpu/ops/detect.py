@@ -558,19 +558,24 @@ def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
         ok &= (rows - rads < h) & (cols - rads < w)
         keep = ok & (folded >= min_roundness)
 
-        # The folded spatial rows are only wq (= Wp/s) lanes wide —
-        # re-viewing the flat survivor mask as wide power-of-two rows keeps
-        # the rank search's per-row cumsum lane-saturated (measured 1.11 ->
-        # ~0.5 ms at 1024^2). Pure reshape: flat indices are unchanged.
-        n_flat = keep.size
-        rw = 1024
-        while rw > 128 and n_flat % rw:
-            rw //= 2
-        k2 = keep.reshape(-1, rw) if n_flat % rw == 0 else keep
+        # Rank-search in the conv output's NATIVE minor dim (wq-wide rows):
+        # regrouping the flat mask into power-of-two rows reads as a free
+        # reshape but crosses the 67-wide minor-dim boundary, so XLA must
+        # materialize a physical relayout of the whole padded volume — and
+        # the flat folded.reshape(-1)[src] gather forces a second one.
+        # Prefix-chained measurement at 1024^2: the keep+rank step cost
+        # 1.57 ms in-frame vs 0.12 ms isolated until both relayouts were
+        # removed (minor-dim-preserving reshapes are views; the score read
+        # becomes a row gather + one-hot column pick). Flat indices are
+        # unchanged, so results are bit-identical.
+        k2 = keep.reshape(-1, wq)
         src, n_keep = ranked_survivor_sources(k2, cap)
         targets = jnp.arange(1, cap + 1, dtype=n_keep.dtype)
         in_range = targets <= n_keep
-        sel_scores = jnp.where(in_range, folded.reshape(-1)[src], -jnp.inf)
+        frows = folded.reshape(-1, wq)[src // wq]  # (cap, wq) row gather
+        onehot = (src % wq)[:, None] == jnp.arange(wq)[None, :]
+        sel_scores = jnp.where(in_range, jnp.where(onehot, frows, 0).sum(1),
+                               -jnp.inf)
         # Folded flat index -> unfolded row-major index (the sort key the
         # unfolded path uses, keeping results identical across layouts).
         fch = src // (hq * wq)
