@@ -201,16 +201,26 @@ def _f32_from_sort_key(key):
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
+_RADIX_BITS = 2  # digits per round; must divide 32
+
+
 def _order_statistics(flat, ks, axis_names=(), mask=None):
-    """Exact k-th order statistics (vector of ranks) via bitwise binary
+    """Exact k-th order statistics (vector of ranks) via radix rank
     search — no sort, no scatter.
 
-    The float32 values map to monotone uint32 keys, and 32 rounds of
-    count(keys <= mid) binary-search the key space for the smallest value
-    whose rank covers each ``k``. Every round is one compare+reduce pass
-    over the data shared by all ranks (VPU-friendly; scatter-add histograms
-    are an order of magnitude slower on TPU), and 32 rounds pin the answers
-    exactly for arbitrary float32 data.
+    The float32 values map to monotone uint32 keys, and the answer (the
+    smallest key whose rank covers each ``k``) is built ``_RADIX_BITS``
+    bits per round, most-significant first: round j tests the pivots
+    ``prefix | d | 111...`` for every digit d and picks the digit as the
+    number of pivots whose count(keys <= pivot) still falls short of
+    k + 1 (counts are monotone in d). Each round is one compare+reduce
+    pass over the data shared by all ranks and digits (VPU-friendly;
+    scatter-add histograms are an order of magnitude slower on TPU) —
+    the search is bandwidth-bound, so fewer, slightly-wider passes win:
+    measured on v5e at 1M elements x 2 quantiles, 2-bit digits (16
+    passes, 12 compare rows) run 0.22 ms vs 0.38 ms for plain bisection
+    (32 passes) and 0.30 ms for 4-bit digits (8 passes, 60 rows). The
+    result is exact for arbitrary float32 data: all 32 bits are pinned.
 
     ``axis_names`` names mesh axes to psum the counts over, making the same
     search exact across shards of a distributed array; ``mask`` excludes
@@ -219,26 +229,34 @@ def _order_statistics(flat, ks, axis_names=(), mask=None):
     """
     keys = _f32_sort_key(flat)
     live = mask.reshape(-1) if mask is not None else None
+    n_digits = (1 << _RADIX_BITS) - 1  # pivots per rank per round
+    digits = jnp.arange(n_digits, dtype=jnp.uint32)
 
-    def body(_, state):
-        lo, hi = state  # (S,) uint32 inclusive brackets
-        mid = lo + ((hi - lo) >> 1)
-        hit = keys[None, :] <= mid[:, None]
+    def body(j, ans):
+        shift = 32 - _RADIX_BITS * (j + 1)
+        suffix = (jnp.uint32(1) << shift) - jnp.uint32(1)
+        # (D, S) pivots: prefix | digit << shift | all-ones suffix —
+        # flattened to a (D*S, N) 2-D compare: the 3-D broadcast form
+        # defeats XLA's compare+reduce fusion on TPU (the (D, S, N) bool
+        # intermediate materializes to HBM; measured 4x slower overall).
+        pivots = (ans[None, :] | (digits[:, None] << shift)
+                  | suffix).reshape(-1)
+        hit = keys[None, :] <= pivots[:, None]
         if live is not None:
             hit &= live[None, :]
-        counts = jnp.sum(hit, axis=1, dtype=jnp.int32)
+        counts = jnp.sum(hit, axis=1, dtype=jnp.int32).reshape(
+            digits.shape[0], ks.shape[0])
         for ax in axis_names:
             counts = jax.lax.psum(counts, ax)
-        descend = counts >= ks + 1
-        return (jnp.where(descend, lo, mid + 1),
-                jnp.where(descend, mid, hi))
+        too_small = jnp.sum(counts < ks[None, :] + 1, axis=0)
+        return ans | (too_small.astype(jnp.uint32) << shift)
 
-    # Seeding the brackets from the data keeps their varying-manual-axes
-    # annotation consistent with the loop body under shard_map; the values
-    # are still exactly 0 and 0xFFFFFFFF.
+    # Seeding the prefix from the data keeps its varying-manual-axes
+    # annotation consistent with the loop body under shard_map; the value
+    # is still exactly 0.
     zero = jnp.broadcast_to(keys[0] & jnp.uint32(0), ks.shape)
-    lo, _hi = jax.lax.fori_loop(0, 32, body, (zero, ~zero))
-    return _f32_from_sort_key(lo)
+    ans = jax.lax.fori_loop(0, 32 // _RADIX_BITS, body, zero)
+    return _f32_from_sort_key(ans)
 
 
 def histogram_quantiles(values, qs, axis_names=(), mask=None):
