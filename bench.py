@@ -104,13 +104,15 @@ def measure_device_throughput(data, n_dispatch: int = 16) -> dict:
     from magnify_tpu.ops.detect import (
         _stage_dense_packed,
         normalize_planes_u8,
+        unpack_count,
     )
 
     plane = jnp.asarray(normalize_planes_u8(data.values[None])[0])
     kw = dict(min_radius=8, max_radius=12, cap=2048, nms_cap=2048,
               min_dist=8, pull_cap=511, normalized=True)
     packed, _ = _stage_dense_packed(plane, 0.1, 0.9, 0.3, **kw)
-    found = int(np.asarray(packed)[0, 0])  # warmup + sync
+    # Counts are BITCAST into the float32 header (pack_count).
+    found = unpack_count(np.asarray(packed)[0, 0])  # warmup + sync
     t0 = time.perf_counter()
     outs = [_stage_dense_packed(plane, 0.1, 0.9, 0.3, **kw)[0]
             for _ in range(n_dispatch)]
@@ -135,6 +137,7 @@ def measure_device_stream(data, n_planes: int = 16, n_dispatch: int = 4) -> dict
     from magnify_tpu.ops.detect import (
         _stage_dense_batch_packed,
         normalize_planes_u8,
+        unpack_count,
     )
 
     stack = np.broadcast_to(data.values, (n_planes,) + data.values.shape)
@@ -142,7 +145,8 @@ def measure_device_stream(data, n_planes: int = 16, n_dispatch: int = 4) -> dict
     kw = dict(min_radius=8, max_radius=12, cap=2048, nms_cap=2048,
               min_dist=8, pull_cap=511, normalized=True)
     packed, _ = _stage_dense_batch_packed(planes, 0.1, 0.9, 0.3, **kw)
-    found = int(np.asarray(packed)[0, 0, 0])  # warmup + sync
+    # Counts are BITCAST into the float32 header (pack_count).
+    found = unpack_count(np.asarray(packed)[0, 0, 0])  # warmup + sync
     t0 = time.perf_counter()
     outs = [_stage_dense_batch_packed(planes, 0.1, 0.9, 0.3, **kw)[0]
             for _ in range(n_dispatch)]
