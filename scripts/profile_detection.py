@@ -6,6 +6,10 @@ queued dispatches (relay round trip amortized), so the top bins of the
 MXU score maps, survivor compaction + sort, NMS, packing.
 
 Run on the TPU host:  python scripts/profile_detection.py [s2d]
+
+NOTE: each row here pays the ~2-6 ms per-dispatch floor (see CLAUDE.md);
+for floor-free per-stage times use scripts/chain_time.py, which chains
+each stage inside one jit via lax.scan.
 """
 
 from __future__ import annotations
