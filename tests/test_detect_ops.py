@@ -500,6 +500,41 @@ def test_nms_oracle_property_fuzz(mode, monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+def test_ranked_survivor_sources_oracle_fuzz():
+    """Seeded fuzz: the hierarchical compare-reduce rank extraction equals
+    ``searchsorted(cumsum(keep.ravel()), 1..cap)`` exactly — across row
+    widths (incl. non-lane-aligned and width-1), occupancies (empty, full,
+    sparse), multiple super-groups (> 256 rows), and n_keep > cap
+    overflow. Entries past n_keep are unspecified; only [:min(n, cap)]
+    and the count are pinned."""
+    import functools
+
+    import jax
+
+    from magnify_tpu.ops.detect import ranked_survivor_sources
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for trial in range(24):
+        nr = int(rng.integers(1, 2000))
+        wd = int(rng.choice([1, 2, 7, 67, 128, 256]))
+        p = float(rng.choice([0.0, 0.001, 0.02, 0.3, 1.0]))
+        cases.append((rng.random((nr, wd)) < p, int(rng.choice([4, 64, 512]))))
+    cases.append((np.zeros((1, 1), bool), 8))
+    cases.append((np.ones((3000, 67), bool), 128))  # n_keep >> cap, 12 supers
+    for keep, cap in cases:
+        src, nk = jax.jit(
+            functools.partial(ranked_survivor_sources, cap=cap)
+        )(jnp.asarray(keep))
+        kf = keep.ravel()
+        cs = np.cumsum(kf)
+        n = int(cs[-1]) if kf.size else 0
+        oracle = np.searchsorted(cs, np.arange(1, cap + 1), side="left")
+        m = min(n, cap)
+        assert int(nk) == n, (keep.shape, cap, int(nk), n)
+        np.testing.assert_array_equal(np.asarray(src)[:m], oracle[:m])
+
+
 def test_dense_candidates_folded_layout_matches_unfolded():
     """The folded-s2d dense path must be bit-identical to compacting the
     UNFOLDED maps of the same conv: identical survivor set (n_keep <= cap)
