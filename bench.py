@@ -472,6 +472,12 @@ def measure_chip() -> dict:
     out = {"chip_mpix_per_s": round(mpix / dt, 3),
            "chip_buttons_found": int(xp.sizes["mark_row"]
                                      * xp.sizes["mark_col"])}
+    from magnify_tpu.components import find as find_mod
+
+    if find_mod.last_chip_timings:
+        # Fused-timestep stage split: upload bytes (u8 search planes only),
+        # normalize+upload, the one dispatch+pull, and host crops/masks.
+        out["chip_stage_split"] = dict(find_mod.last_chip_timings)
     if CPU_ANCHOR_CHIP_MPIX_S:
         out["chip_vs_anchor"] = round(
             out["chip_mpix_per_s"] / CPU_ANCHOR_CHIP_MPIX_S, 2)

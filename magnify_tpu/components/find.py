@@ -44,6 +44,11 @@ from magnify_tpu.ops import geom as ops_geom
 # Module-level so tests can lower it to exercise the out-of-core path.
 MAX_RESIDENT_BYTES = 512 * 1024 * 1024
 
+# Stage wall times of the most recent fused chip timestep (upload bytes,
+# normalize/upload, dispatch+pull, host crops+masks). Observability only —
+# bench.py publishes it so upload-traffic changes show up in the stage split.
+last_chip_timings: dict = {}
+
 
 def _progress(iterable, enabled):
     if not enabled:
@@ -241,23 +246,25 @@ def _bead_finalize_host(image, beads, roi_length, max_radius):
     return fg, bg, rois, tops, lefts
 
 
-def _refine_chambers(images, xs, ys, low_q, high_q, min_roundness, *,
-                     search_idxs, roi_length, min_radius, max_radius):
+def _refine_chambers(planes, xs, ys, low_q, high_q, min_roundness, *,
+                     roi_length, min_radius, max_radius):
     """Traced per-chamber re-detection: crop every chamber and dense-detect
     the best circle per chamber across all search channels (device half of
-    the reference's per-chamber loop, find.py:324-402). Returns an (n, 4)
-    float32 block (row, col, radius, score)."""
+    the reference's per-chamber loop, find.py:324-402). ``planes`` holds the
+    search channels ONLY (S, H, W) — non-search channels never cross the
+    link; their ROI crops are host slices. Returns an (n, 4) float32 block
+    (row, col, radius, score)."""
     from magnify_tpu.ops.detect import _detect_rois_dense
 
-    c, h, w = images.shape
+    s, h, w = planes.shape
     L = roi_length
     tops = jnp.clip(jnp.round(ys).astype(jnp.int32) - L // 2, 0, h - L)
     lefts = jnp.clip(jnp.round(xs).astype(jnp.int32) - L // 2, 0, w - L)
-    crops = ops_geom.extract_rois(images, tops, lefts, L)  # (n, C, L, L)
+    crops = ops_geom.extract_rois(planes, tops, lefts, L)  # (n, S, L, L)
 
     best_score = jnp.full(xs.shape, -jnp.inf)
     best_circle = jnp.zeros((xs.shape[0], 3), jnp.int32)
-    for ci in search_idxs:
+    for ci in range(s):
         circles, scores = _detect_rois_dense(
             crops[:, ci], low_q, high_q, min_roundness,
             min_radius=min_radius, max_radius=max_radius,
@@ -273,33 +280,31 @@ def _refine_chambers(images, xs, ys, low_q, high_q, min_roundness, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("search_idxs", "roi_length", "min_radius",
-                     "max_radius"),
+    static_argnames=("roi_length", "min_radius", "max_radius"),
 )
-def _chip_detect_dense(images, xs, ys, low_q, high_q, min_roundness, *,
-                       search_idxs, roi_length, min_radius, max_radius):
+def _chip_detect_dense(planes, xs, ys, low_q, high_q, min_roundness, *,
+                       roi_length, min_radius, max_radius):
     """Jitted :func:`_refine_chambers` — one dispatch, one (n, 4) pull;
     cropping at refined centers and fg/bg rasterization are cheap host
-    work."""
+    work. ``planes`` carries search channels only."""
     return _refine_chambers(
-        images, xs, ys, low_q, high_q, min_roundness,
-        search_idxs=search_idxs, roi_length=roi_length,
-        min_radius=min_radius, max_radius=max_radius,
+        planes, xs, ys, low_q, high_q, min_roundness,
+        roi_length=roi_length, min_radius=min_radius, max_radius=max_radius,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("search_idxs", "num_rows", "num_cols", "row_dist",
+    static_argnames=("num_rows", "num_cols", "row_dist",
                      "col_dist", "top_chamber", "left_chamber",
                      "chamber_radius", "min_radius", "max_radius", "cap",
-                     "min_dist", "roi_length"),
+                     "min_dist", "roi_length", "normalized"),
 )
-def _chip_fused_packed(images, low_q, high_q, high_q_roi, min_roundness,
-                       penalty, ppr, ppc, *, search_idxs, num_rows, num_cols,
+def _chip_fused_packed(planes, low_q, high_q, high_q_roi, min_roundness,
+                       penalty, ppr, ppc, *, num_rows, num_cols,
                        row_dist, col_dist, top_chamber, left_chamber,
                        chamber_radius, min_radius, max_radius, cap, min_dist,
-                       roi_length):
+                       roi_length, normalized=True):
     """The ENTIRE chip timestep as one device program.
 
     Fuses what the reference runs as a host-orchestrated chain
@@ -308,19 +313,21 @@ def _chip_fused_packed(images, low_q, high_q, high_q_roi, min_roundness,
     cross-channel dedupe, the 1-D grid-offset sweeps, per-cluster robust
     regression, grid-line intersection, and per-chamber re-detection at the
     intersected centers — one dispatch, one small (2 + R*C, 6) float32
-    pull. Row 0 carries [worst_keep, n_centers, row edge-cluster counts,
+    pull. ``planes`` holds the SEARCH channels only, host-normalized to
+    uint8 when ``normalized`` (1 byte/pixel up the link — the bead path's
+    minimum-traffic trick); non-search channels never reach the device.
+    Row 0 carries [worst_keep, n_centers, row edge-cluster counts,
     col edge-cluster counts] (for cap growth and the host-side sparse-edge
     warnings), row 1 [row_slope, col_slope, ...], rows 2.. per chamber
     [best_row, best_col, radius, score, mark_x, mark_y].
     """
     from magnify_tpu.ops import gridfit
 
-    h, w = images.shape[-2:]
-    planes = jnp.stack([images[ci] for ci in search_idxs])
+    h, w = planes.shape[-2:]
     circles, valid, worst_keep = _multi_channel_detect(
         planes, low_q, high_q, min_roundness, jnp.float32(chamber_radius),
         min_radius=min_radius, max_radius=max_radius, cap=cap, nms_cap=cap,
-        min_dist=min_dist, normalized=False,
+        min_dist=min_dist, normalized=normalized,
     )
     ys = circles[:, 0].astype(jnp.float32)
     xs = circles[:, 1].astype(jnp.float32)
@@ -363,8 +370,8 @@ def _chip_fused_packed(images, low_q, high_q, high_q_roi, min_roundness,
     mark_x = mark_y * col_slope + col_intercepts[None, :]
 
     best = _refine_chambers(
-        images, mark_x.reshape(-1), mark_y.reshape(-1), low_q, high_q_roi,
-        min_roundness, search_idxs=search_idxs, roi_length=roi_length,
+        planes, mark_x.reshape(-1), mark_y.reshape(-1), low_q, high_q_roi,
+        min_roundness, roi_length=roi_length,
         min_radius=min_radius, max_radius=max_radius,
     )  # (R*C, 4)
 
@@ -791,15 +798,18 @@ class ButtonFinder:
 
         for t in _progress(self.search_timesteps, self.progress_bar):
             images = assay.image.isel(time=t).to_numpy()  # (channel, H, W)
+            if use_fused:
+                # Minimum-traffic: only host-normalized uint8 SEARCH planes
+                # cross the link (inside _fused_timestep); ROI crops of the
+                # other channels are host slices of the copy already in RAM.
+                (roi[:, :, :, t], fg[:, :, t], bg[:, :, t], x[..., t],
+                 y[..., t], valid[..., t]) = self._fused_timestep(
+                    images, tag, valid[..., t], search_idxs,
+                )
+                continue
             # One transfer per searched timestep; detection/ROI slicing runs
             # on the device-resident stack.
             images_dev = jnp.asarray(np.ascontiguousarray(images))
-            if use_fused:
-                (roi[:, :, :, t], fg[:, :, t], bg[:, :, t], x[..., t],
-                 y[..., t], valid[..., t]) = self._fused_timestep(
-                    images, images_dev, tag, valid[..., t], search_idxs,
-                )
-                continue
             x[..., t], y[..., t] = self.find_centers(
                 images_dev, search_idxs, assay, tag
             )
@@ -852,18 +862,34 @@ class ButtonFinder:
         assay.cache(["roi", "fg", "bg"])
         return assay
 
-    def _fused_timestep(self, images_np, images_dev, tag, valid_t,
-                        search_idxs):
+    def _fused_timestep(self, images_np, tag, valid_t, search_idxs):
         """One-dispatch chip timestep: :func:`_chip_fused_packed` on device,
         then host-side crops at the refined centers plus fg/bg rasters.
         Replaces the find_centers + find_rois pair (two dispatches, two
         pulls, host geometry in between) with one dispatch and one small
-        pull."""
+        pull. Host->device traffic is ONE uint8 upload of the normalized
+        search planes (1 B/px) — non-search channels stay on the host
+        (the reference materializes and scans the full stack,
+        find.py:119-141; only the searched channels inform detection,
+        find.py:210-224/344-355)."""
         from magnify_tpu.ops import gridfit
 
         num_rows, num_cols = tag.shape
         L = self.roi_length
         h, w = images_np.shape[-2:]
+        # Exactly ops.edge.normalize_to_u8 per plane, precomputed on host so
+        # one byte per pixel crosses the relay. Per-chamber re-detection
+        # re-normalizes each crop; on already-uint8-scaled data (and the
+        # binary-valued suite fixtures) this is bit-identical to refining on
+        # raw planes, and within one u8 level otherwise.
+        import time as _time
+
+        t0 = _time.perf_counter()
+        planes_u8 = ops_detect.normalize_planes_u8(
+            np.ascontiguousarray(images_np[list(search_idxs)])
+        )
+        planes_dev = jnp.asarray(planes_u8)
+        t1 = _time.perf_counter()
 
         for name, chamber, total, count, dist in (
             ("rows", self.top_chamber, h, num_rows, self.row_dist),
@@ -880,16 +906,16 @@ class ButtonFinder:
         ppc = (tag != "").sum(axis=0).astype(np.float32)
         high_q_roi = 1 - np.pi * self.min_button_radius / L**2
 
-        memo_key = ("chip_fused", images_dev.shape, tuple(search_idxs),
+        memo_key = ("chip_fused", planes_u8.shape,
                     self.min_button_radius, self.max_button_radius)
         cap = ops_detect._cap_memo.get(memo_key, 1024)
         while True:
             packed_d = _chip_fused_packed(
-                images_dev, float(self.low_edge_quantile),
+                planes_dev, float(self.low_edge_quantile),
                 float(self.high_edge_quantile), float(high_q_roi),
                 float(self.min_roundness), float(self.cluster_penalty),
                 jnp.asarray(ppr), jnp.asarray(ppc),
-                search_idxs=tuple(search_idxs), num_rows=num_rows,
+                num_rows=num_rows,
                 num_cols=num_cols, row_dist=float(self.row_dist),
                 col_dist=float(self.col_dist), top_chamber=self.top_chamber,
                 left_chamber=self.left_chamber,
@@ -897,6 +923,7 @@ class ButtonFinder:
                 min_radius=self.min_button_radius,
                 max_radius=self.max_button_radius, cap=cap,
                 min_dist=int(self.chamber_radius), roi_length=L,
+                normalized=True,
             )
             packed = np.asarray(packed_d)  # the single pull + sync
             worst = ops_detect.unpack_count(packed[0, 0])
@@ -904,6 +931,7 @@ class ButtonFinder:
                 ops_detect._cap_memo[memo_key] = cap
                 break
             cap = ops_detect._grow_cap(worst, cap)
+        t2 = _time.perf_counter()
 
         # Host twins of the regress_clusters sparse-edge warnings.
         from magnify_tpu import diagnostics
@@ -952,6 +980,13 @@ class ButtonFinder:
                                    self.chamber_radius,
                                    self.max_button_radius)
         n_ch = images_np.shape[0]
+        last_chip_timings.clear()
+        last_chip_timings.update(
+            upload_bytes=int(planes_u8.nbytes),
+            normalize_upload_s=round(t1 - t0, 6),
+            dispatch_pull_s=round(t2 - t1, 6),
+            host_crops_masks_s=round(_time.perf_counter() - t2, 6),
+        )
         return (
             crops.reshape(num_rows, num_cols, n_ch, L, L),
             fg_h.reshape(num_rows, num_cols, L, L),
@@ -1086,12 +1121,12 @@ class ButtonFinder:
 
         if ops_detect.resolve_detector(self.detector) == "dense":
             high_q = 1 - np.pi * self.min_button_radius / L**2
+            planes = jnp.stack([images[ci] for ci in search_channel_idxs])
             best = np.asarray(_chip_detect_dense(
-                jnp.asarray(images), jnp.asarray(xs, jnp.float32),
+                planes, jnp.asarray(xs, jnp.float32),
                 jnp.asarray(ys, jnp.float32),
                 float(self.low_edge_quantile), float(high_q),
-                float(self.min_roundness),
-                search_idxs=tuple(search_channel_idxs), roi_length=L,
+                float(self.min_roundness), roi_length=L,
                 min_radius=self.min_button_radius,
                 max_radius=self.max_button_radius,
             ))  # the one device pull: (n, 4) row/col/radius/score

@@ -317,3 +317,37 @@ def test_single_row_or_column_grids(monkeypatch, detector, grid):
     ys = np.sort(np.unique(np.round(np.ravel(xp.y.values)).astype(int)))
     np.testing.assert_allclose(xs, (np.arange(cols) + 1) * 100, atol=2)
     np.testing.assert_allclose(ys, (np.arange(rows) + 1) * 100, atol=2)
+
+
+def test_fused_timestep_ships_only_u8_search_planes(monkeypatch):
+    """The fused chip path's only host->device payload is the uint8-
+    normalized SEARCH planes (1 B/px), never the full multi-channel raw
+    stack (the round-3 path uploaded all C channels at native dtype while
+    the device program read only the searched ones)."""
+    monkeypatch.setenv("MAGNIFY_TPU_DETECTOR", "dense")
+    from magnify_tpu.components import find as find_mod
+
+    img = draw_chip((3, 3))
+    data = DataArray(
+        np.stack([img, np.zeros_like(img), np.zeros_like(img)]),
+        dims=("channel", "y", "x"),
+        coords={"channel": ["bf", "gfp", "cy5"]},
+    )
+
+    seen = []
+    real = find_mod._chip_fused_packed
+
+    def spy(planes, *args, **kwargs):
+        seen.append((planes.shape, planes.dtype))
+        return real(planes, *args, **kwargs)
+
+    monkeypatch.setattr(find_mod, "_chip_fused_packed", spy)
+    xp = run_chip(data, (3, 3), search_channel="bf")
+    assert seen, "fused path not taken"
+    shape, dtype = seen[0]
+    assert shape[0] == 1, "non-search channels crossed the link"
+    assert dtype == np.uint8
+    grid_positions_ok(xp, (3, 3))
+    # ROI crops of the non-uploaded channels still come from the raw stack.
+    assert xp.roi.sizes["channel"] == 3
+    assert xp.roi.sel(channel="gfp").values.sum() == 0
