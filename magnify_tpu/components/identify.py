@@ -101,7 +101,12 @@ def _fit_affine_1d(points_sorted, codes, counts, n_grid: int = 100):
     def cost_fn(a, p):
         clusters = a * codes + p
         mids = (clusters[:-1] + clusters[1:]) / 2
-        spans = jnp.searchsorted(points_sorted, mids)
+        # Exact searchsorted(side="left") as a compare-reduce: on TPU the
+        # native lowering is a while loop of element gathers (~10x slower
+        # at these sizes — see CLAUDE.md / ops.nms.ranked_survivor_sources).
+        spans = (points_sorted[None, :] < mids[:, None]).sum(
+            axis=1, dtype=jnp.int32
+        )
         starts = jnp.concatenate([jnp.zeros(1, spans.dtype), spans])
         ends = jnp.concatenate([spans, jnp.full((1,), n_pts, spans.dtype)])
         n = (ends - starts).astype(jnp.float32)
