@@ -163,7 +163,10 @@ def _bead_detect_packed(planes, low_q, high_q, min_roundness, dedupe_dist,
                                                           mode="drop")
     packed = jnp.zeros((pull_cap + 1, 3), jnp.int32)
     packed = packed.at[0].set(jnp.stack([n, worst_keep, jnp.int32(0)]))
-    packed = packed.at[1:].set(beads[:pull_cap])
+    # total (= channels * nms_cap) can undershoot pull_cap while the cap
+    # memo is still growing — copy only the rows that exist.
+    k = min(pull_cap, total)
+    packed = packed.at[1:1 + k].set(beads[:k])
     return packed, beads
 
 
