@@ -116,6 +116,18 @@ def _multi_channel_detect(planes, low_q, high_q, min_roundness, dedupe_dist,
         blocks.append((c, acc))
         n_keeps.append(nk)
 
+    circles, valid = _cross_channel_dedupe(blocks, dedupe_dist, nms_cap)
+    return circles, valid, jnp.max(jnp.stack(n_keeps))
+
+
+def _cross_channel_dedupe(blocks, dedupe_dist, nms_cap):
+    """Sequential cross-channel dedupe (reference find.py:490-500 /
+    224-227): a channel-k circle within ``dedupe_dist`` of a SURVIVING
+    earlier-channel circle is dropped. Shared by the single-chip fused
+    programs and the mesh finishers so both orderings stay identical.
+    ``blocks``: per-channel (circles, valid) in search order. Returns the
+    channel-major concatenation (circles (S*nms_cap, 3), valid)."""
+    blocks = list(blocks)
     for k in range(1, len(blocks)):
         ck, vk = blocks[k]
         for j in range(k):
@@ -127,7 +139,7 @@ def _multi_channel_detect(planes, low_q, high_q, min_roundness, dedupe_dist,
 
     circles = jnp.concatenate([c[:nms_cap] for c, _ in blocks])
     valid = jnp.concatenate([v for _, v in blocks])
-    return circles, valid, jnp.max(jnp.stack(n_keeps))
+    return circles, valid
 
 
 @functools.partial(
@@ -153,9 +165,14 @@ def _bead_detect_packed(planes, low_q, high_q, min_roundness, dedupe_dist,
         min_radius=min_radius, max_radius=max_radius, cap=cap,
         nms_cap=nms_cap, min_dist=min_dist, normalized=normalized,
     )
-    total = circles.shape[0]
+    return _pack_beads(circles, valid, worst_keep, pull_cap)
 
-    # Compact live beads to the front, preserving channel-major score order.
+
+def _pack_beads(circles, valid, worst_keep, pull_cap):
+    """Compact live beads to the front (channel-major score order preserved)
+    and pack [count header; rows] — shared by the single-chip fused program
+    and the mesh finisher."""
+    total = circles.shape[0]
     rank = jnp.cumsum(valid) - 1
     n = valid.sum()
     dest = jnp.where(valid, rank, total)
@@ -168,6 +185,40 @@ def _bead_detect_packed(planes, low_q, high_q, min_roundness, dedupe_dist,
     k = min(pull_cap, total)
     packed = packed.at[1:1 + k].set(beads[:k])
     return packed, beads
+
+
+@functools.partial(jax.jit, static_argnames=("pull_cap",))
+def _dedupe_pack_beads_mesh(circles, accepted, n_keep, dedupe_dist, *,
+                            pull_cap):
+    """Mesh finisher for the fused bead step: takes the sharded detector's
+    per-channel (circles (S, cap, 3), accepted (S, cap), n_keep (S,)) —
+    replicated outputs bit-identical to _stage_dense_full per channel — and
+    applies the SAME cross-channel dedupe + compaction as
+    :func:`_bead_detect_packed`, so mesh and single-chip pulls are equal."""
+    blocks = [(circles[i], accepted[i]) for i in range(circles.shape[0])]
+    flat, valid = _cross_channel_dedupe(blocks, dedupe_dist,
+                                        circles.shape[1])
+    return _pack_beads(flat.astype(jnp.int32), valid,
+                       jnp.max(n_keep).astype(jnp.int32), pull_cap)
+
+
+def _bead_detect_packed_mesh(planes_u8, mesh, low_q, high_q, min_roundness,
+                             dedupe_dist, *, min_radius, max_radius, cap,
+                             min_dist, pull_cap):
+    """Mesh twin of :func:`_bead_detect_packed`: detection sharded over
+    (batch=channels, space=rows) via the proven-bit-identical
+    sharded_find_circles_batch, then the shared dedupe+pack finisher.
+    Same minimum-traffic contract: u8 planes up, one packed pull back."""
+    from magnify_tpu.parallel.mesh import sharded_find_circles_batch
+
+    circles, _scores, accepted, n_keep = sharded_find_circles_batch(
+        planes_u8, mesh, float(low_q), float(high_q), float(min_roundness),
+        min_radius=min_radius, max_radius=max_radius, min_dist=min_dist,
+        cap=cap, normalized=True,
+    )
+    return _dedupe_pack_beads_mesh(circles, accepted, n_keep,
+                                   jnp.float32(dedupe_dist),
+                                   pull_cap=pull_cap)
 
 
 # Budget for the (pairs, L, L) ownership temporaries; module-level so the
@@ -296,42 +347,15 @@ def _chip_detect_dense(planes, xs, ys, low_q, high_q, min_roundness, *,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_rows", "num_cols", "row_dist",
-                     "col_dist", "top_chamber", "left_chamber",
-                     "chamber_radius", "min_radius", "max_radius", "cap",
-                     "min_dist", "roi_length", "normalized"),
-)
-def _chip_fused_packed(planes, low_q, high_q, high_q_roi, min_roundness,
-                       penalty, ppr, ppc, *, num_rows, num_cols,
-                       row_dist, col_dist, top_chamber, left_chamber,
-                       chamber_radius, min_radius, max_radius, cap, min_dist,
-                       roi_length, normalized=True):
-    """The ENTIRE chip timestep as one device program.
-
-    Fuses what the reference runs as a host-orchestrated chain
-    (find.py:119-141 -> find_centers -> cluster_1d/label_clusters ->
-    regress_clusters -> find_rois): multi-channel dense detection + NMS +
-    cross-channel dedupe, the 1-D grid-offset sweeps, per-cluster robust
-    regression, grid-line intersection, and per-chamber re-detection at the
-    intersected centers — one dispatch, one small (2 + R*C, 6) float32
-    pull. ``planes`` holds the SEARCH channels only, host-normalized to
-    uint8 when ``normalized`` (1 byte/pixel up the link — the bead path's
-    minimum-traffic trick); non-search channels never reach the device.
-    Row 0 carries [worst_keep, n_centers, row edge-cluster counts,
-    col edge-cluster counts] (for cap growth and the host-side sparse-edge
-    warnings), row 1 [row_slope, col_slope, ...], rows 2.. per chamber
-    [best_row, best_col, radius, score, mark_x, mark_y].
-    """
+def _grid_stage(circles, valid, penalty, ppr, ppc, *, h, w, num_rows,
+                num_cols, row_dist, col_dist, top_chamber, left_chamber,
+                chamber_radius):
+    """Traced grid geometry: 1-D cluster sweeps (or fixed labeling), robust
+    per-cluster regression, and grid-line intersection (the device twins of
+    reference find.py:632-748). Shared by the single-chip fused chip program
+    and the mesh finisher."""
     from magnify_tpu.ops import gridfit
 
-    h, w = planes.shape[-2:]
-    circles, valid, worst_keep = _multi_channel_detect(
-        planes, low_q, high_q, min_roundness, jnp.float32(chamber_radius),
-        min_radius=min_radius, max_radius=max_radius, cap=cap, nms_cap=cap,
-        min_dist=min_dist, normalized=normalized,
-    )
     ys = circles[:, 0].astype(jnp.float32)
     xs = circles[:, 1].astype(jnp.float32)
     n_centers = valid.sum()
@@ -371,13 +395,14 @@ def _chip_fused_packed(planes, low_q, high_q, high_q_roi, min_roundness,
     mark_y = (row_slope * col_intercepts[None, :] + row_intercepts[:, None]
               ) / (1 - row_slope * col_slope)
     mark_x = mark_y * col_slope + col_intercepts[None, :]
+    return (mark_x, mark_y, n_centers, row_slope, col_slope, row_counts,
+            col_counts)
 
-    best = _refine_chambers(
-        planes, mark_x.reshape(-1), mark_y.reshape(-1), low_q, high_q_roi,
-        min_roundness, roi_length=roi_length,
-        min_radius=min_radius, max_radius=max_radius,
-    )  # (R*C, 4)
 
+def _pack_chip(best, mark_x, mark_y, worst_keep, n_centers, row_counts,
+               col_counts, row_slope, col_slope):
+    """Pack the fused chip step's pull block (header / slopes / per-chamber
+    rows) — shared by the single-chip program and the mesh finisher."""
     rows = jnp.concatenate(
         [best, mark_x.reshape(-1, 1), mark_y.reshape(-1, 1)], axis=1
     )
@@ -389,6 +414,146 @@ def _chip_fused_packed(planes, low_q, high_q, high_q_roi, min_roundness,
     ])
     slopes = jnp.stack([row_slope, col_slope, 0.0, 0.0, 0.0, 0.0])
     return jnp.concatenate([header[None], slopes[None], rows], axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_rows", "num_cols", "row_dist",
+                     "col_dist", "top_chamber", "left_chamber",
+                     "chamber_radius", "min_radius", "max_radius", "cap",
+                     "min_dist", "roi_length", "normalized"),
+)
+def _chip_fused_packed(planes, low_q, high_q, high_q_roi, min_roundness,
+                       penalty, ppr, ppc, *, num_rows, num_cols,
+                       row_dist, col_dist, top_chamber, left_chamber,
+                       chamber_radius, min_radius, max_radius, cap, min_dist,
+                       roi_length, normalized=True):
+    """The ENTIRE chip timestep as one device program.
+
+    Fuses what the reference runs as a host-orchestrated chain
+    (find.py:119-141 -> find_centers -> cluster_1d/label_clusters ->
+    regress_clusters -> find_rois): multi-channel dense detection + NMS +
+    cross-channel dedupe, the 1-D grid-offset sweeps, per-cluster robust
+    regression, grid-line intersection, and per-chamber re-detection at the
+    intersected centers — one dispatch, one small (2 + R*C, 6) float32
+    pull. ``planes`` holds the SEARCH channels only, host-normalized to
+    uint8 when ``normalized`` (1 byte/pixel up the link — the bead path's
+    minimum-traffic trick); non-search channels never reach the device.
+    Row 0 carries [worst_keep, n_centers, row edge-cluster counts,
+    col edge-cluster counts] (for cap growth and the host-side sparse-edge
+    warnings), row 1 [row_slope, col_slope, ...], rows 2.. per chamber
+    [best_row, best_col, radius, score, mark_x, mark_y].
+    """
+    h, w = planes.shape[-2:]
+    circles, valid, worst_keep = _multi_channel_detect(
+        planes, low_q, high_q, min_roundness, jnp.float32(chamber_radius),
+        min_radius=min_radius, max_radius=max_radius, cap=cap, nms_cap=cap,
+        min_dist=min_dist, normalized=normalized,
+    )
+    (mark_x, mark_y, n_centers, row_slope, col_slope, row_counts,
+     col_counts) = _grid_stage(
+        circles, valid, penalty, ppr, ppc, h=h, w=w, num_rows=num_rows,
+        num_cols=num_cols, row_dist=row_dist, col_dist=col_dist,
+        top_chamber=top_chamber, left_chamber=left_chamber,
+        chamber_radius=chamber_radius,
+    )
+
+    best = _refine_chambers(
+        planes, mark_x.reshape(-1), mark_y.reshape(-1), low_q, high_q_roi,
+        min_roundness, roi_length=roi_length,
+        min_radius=min_radius, max_radius=max_radius,
+    )  # (R*C, 4)
+
+    return _pack_chip(best, mark_x, mark_y, worst_keep, n_centers,
+                      row_counts, col_counts, row_slope, col_slope)
+
+
+@functools.lru_cache(maxsize=64)
+def _chip_mesh_finisher(mesh, n_search, num_rows, num_cols, row_dist,
+                        col_dist, top_chamber, left_chamber, chamber_radius,
+                        min_radius, max_radius, cap, roi_length):
+    """Build (once per mesh/geometry) the jitted mesh finisher: cross-channel
+    dedupe + grid stage on the replicated detector outputs, per-chamber
+    re-detection SHARDED over every mesh device (chambers split across the
+    flattened (batch, space) axes), and the packed pull block — the mesh
+    composition of the round-3 fused chip timestep."""
+    from jax.sharding import PartitionSpec as P
+
+    n = num_rows * num_cols
+    n_dev = mesh.size
+    pad = (-n) % n_dev
+    chamber_spec = P(("batch", "space"))
+
+    # check_vma=False: xs/ys derive from all_gathered (replicated) detector
+    # outputs, which the static varying-axes checker cannot infer.
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), chamber_spec, chamber_spec, P()),
+        out_specs=chamber_spec, check_vma=False,
+    )
+    def refine(planes_rep, xs1, ys1, scalars):
+        return _refine_chambers(
+            planes_rep, xs1, ys1, scalars[0], scalars[1], scalars[2],
+            roi_length=roi_length, min_radius=min_radius,
+            max_radius=max_radius,
+        )
+
+    @jax.jit
+    def run(planes_rep, circles, accepted, n_keep, low_q, high_q_roi,
+            min_roundness, penalty, ppr, ppc):
+        h, w = planes_rep.shape[-2:]
+        blocks = [(circles[i], accepted[i]) for i in range(n_search)]
+        flat, valid = _cross_channel_dedupe(
+            blocks, jnp.float32(chamber_radius), cap
+        )
+        (mark_x, mark_y, n_centers, row_slope, col_slope, row_counts,
+         col_counts) = _grid_stage(
+            flat, valid, penalty, ppr, ppc, h=h, w=w, num_rows=num_rows,
+            num_cols=num_cols, row_dist=row_dist, col_dist=col_dist,
+            top_chamber=top_chamber, left_chamber=left_chamber,
+            chamber_radius=chamber_radius,
+        )
+        xs = mark_x.reshape(-1)
+        ys = mark_y.reshape(-1)
+        if pad:
+            xs = jnp.concatenate([xs, jnp.broadcast_to(xs[:1], (pad,))])
+            ys = jnp.concatenate([ys, jnp.broadcast_to(ys[:1], (pad,))])
+        scalars = jnp.stack([low_q, high_q_roi, min_roundness])
+        best = refine(planes_rep, xs, ys, scalars)[:n]
+        return _pack_chip(best, mark_x, mark_y,
+                          jnp.max(n_keep).astype(jnp.int32), n_centers,
+                          row_counts, col_counts, row_slope, col_slope)
+
+    return run
+
+
+def _chip_fused_packed_mesh(planes_u8, mesh, low_q, high_q, high_q_roi,
+                            min_roundness, penalty, ppr, ppc, *, num_rows,
+                            num_cols, row_dist, col_dist, top_chamber,
+                            left_chamber, chamber_radius, min_radius,
+                            max_radius, cap, min_dist, roi_length):
+    """Mesh twin of :func:`_chip_fused_packed`: multi-channel detection
+    sharded over (batch=channels, space=rows), then the jitted finisher
+    (dedupe + grid fit replicated, chamber refinement sharded over all
+    devices). Same packed pull-block contract as the single-chip program."""
+    from magnify_tpu.parallel.mesh import sharded_find_circles_batch
+
+    circles, _scores, accepted, n_keep = sharded_find_circles_batch(
+        planes_u8, mesh, float(low_q), float(high_q), float(min_roundness),
+        min_radius=min_radius, max_radius=max_radius, min_dist=min_dist,
+        cap=cap, normalized=True,
+    )
+    finisher = _chip_mesh_finisher(
+        mesh, planes_u8.shape[0], num_rows, num_cols, float(row_dist),
+        float(col_dist), top_chamber, left_chamber, int(chamber_radius),
+        int(min_radius), int(max_radius), int(cap), int(roi_length),
+    )
+    return finisher(
+        jnp.asarray(planes_u8).astype(jnp.float32), circles, accepted,
+        n_keep, jnp.float32(low_q), jnp.float32(high_q_roi),
+        jnp.float32(min_roundness), jnp.float32(penalty),
+        jnp.asarray(ppr), jnp.asarray(ppc),
+    )
 
 
 def _crop_rois_np(images, xs, ys, roi_length):
@@ -482,11 +647,11 @@ class BeadFinder:
             _channel_index(assay, c) if not isinstance(c, int) else c
             for c in search_channels
         )
-        from magnify_tpu.parallel.mesh import active_mesh
-
-        on_mesh = active_mesh() is not None and active_mesh().size > 1
-        if (self.gui is None and image_np is not None and not on_mesh
+        if (self.gui is None and image_np is not None
                 and ops_detect.resolve_detector(self.detector) == "dense"):
+            # Fused minimum-traffic path, on or off mesh: with a mesh
+            # active the detection dispatch shards over (batch=channels,
+            # space=rows) instead of falling back to the unfused loop.
             return self._fused_dense(assay, image_np, search_idxs)
 
 
@@ -625,10 +790,17 @@ class BeadFinder:
             if peak > 0:
                 x = 255.0 * x / peak
             planes[s] = np.trunc(x).astype(np.uint8)
-        planes_dev = jnp.asarray(planes)
+
+        from magnify_tpu.parallel.mesh import active_mesh
+
+        mesh = active_mesh()
+        on_mesh = mesh is not None and mesh.size > 1
+        planes_dev = None if on_mesh else jnp.asarray(planes)
 
         memo_key = ("beads", planes.shape, self.min_bead_radius,
                     self.max_bead_radius)
+        if on_mesh:
+            memo_key += (tuple(sorted(mesh.shape.items())),)
         cap = ops_detect._cap_memo.get(memo_key, 1024)
         # One pull covers the live beads when the packed block is sized from
         # the last observed count (pow2-bucketed; overflow falls back to a
@@ -636,15 +808,25 @@ class BeadFinder:
         pull_key = memo_key + ("pull",)
         pull_cap = ops_detect._cap_memo.get(pull_key, 511)
         while True:
-            packed_d, beads_full = _bead_detect_packed(
-                planes_dev, float(self.low_edge_quantile),
-                float(self.high_edge_quantile), float(self.min_roundness),
-                2.0 * self.min_bead_radius,
-                search_channels=len(search_idxs),
-                min_radius=self.min_bead_radius,
-                max_radius=self.max_bead_radius, cap=cap, nms_cap=cap,
-                min_dist=self.min_bead_radius, pull_cap=pull_cap,
-            )
+            if on_mesh:
+                packed_d, beads_full = _bead_detect_packed_mesh(
+                    planes, mesh, float(self.low_edge_quantile),
+                    float(self.high_edge_quantile),
+                    float(self.min_roundness), 2.0 * self.min_bead_radius,
+                    min_radius=self.min_bead_radius,
+                    max_radius=self.max_bead_radius, cap=cap,
+                    min_dist=self.min_bead_radius, pull_cap=pull_cap,
+                )
+            else:
+                packed_d, beads_full = _bead_detect_packed(
+                    planes_dev, float(self.low_edge_quantile),
+                    float(self.high_edge_quantile),
+                    float(self.min_roundness), 2.0 * self.min_bead_radius,
+                    search_channels=len(search_idxs),
+                    min_radius=self.min_bead_radius,
+                    max_radius=self.max_bead_radius, cap=cap, nms_cap=cap,
+                    min_dist=self.min_bead_radius, pull_cap=pull_cap,
+                )
             packed = np.asarray(packed_d)
             n, worst = int(packed[0, 0]), int(packed[0, 1])
             if worst > cap:
@@ -787,15 +969,14 @@ class ButtonFinder:
             "mark_row", "mark_col", "time").to_numpy().copy()
         tag = assay["tag"].to_numpy()
 
-        from magnify_tpu.parallel.mesh import active_mesh
-
-        mesh = active_mesh()
-        on_mesh = mesh is not None and mesh.size > 1
         search_idxs = [_channel_index(assay, c) for c in search_channels]
         # The whole timestep (detect -> cluster -> regress -> intersect ->
         # refine chambers) fuses into ONE dispatch when the dense detector
-        # runs off-mesh and non-interactively.
-        use_fused = (self.gui is None and not on_mesh
+        # runs non-interactively; with a mesh active the same fusion shards
+        # detection over (batch=channels, space=rows) and the chamber
+        # refinement over all devices instead of falling back to the
+        # unfused two-dispatch path.
+        use_fused = (self.gui is None
                      and ops_detect.resolve_detector(self.detector)
                      == "dense")
 
@@ -891,7 +1072,11 @@ class ButtonFinder:
         planes_u8 = ops_detect.normalize_planes_u8(
             np.ascontiguousarray(images_np[list(search_idxs)])
         )
-        planes_dev = jnp.asarray(planes_u8)
+        from magnify_tpu.parallel.mesh import active_mesh
+
+        mesh = active_mesh()
+        on_mesh = mesh is not None and mesh.size > 1
+        planes_dev = None if on_mesh else jnp.asarray(planes_u8)
         t1 = _time.perf_counter()
 
         for name, chamber, total, count, dist in (
@@ -911,23 +1096,35 @@ class ButtonFinder:
 
         memo_key = ("chip_fused", planes_u8.shape,
                     self.min_button_radius, self.max_button_radius)
+        if on_mesh:
+            memo_key += (tuple(sorted(mesh.shape.items())),)
         cap = ops_detect._cap_memo.get(memo_key, 1024)
+        kw = dict(
+            num_rows=num_rows,
+            num_cols=num_cols, row_dist=float(self.row_dist),
+            col_dist=float(self.col_dist), top_chamber=self.top_chamber,
+            left_chamber=self.left_chamber,
+            chamber_radius=int(self.chamber_radius),
+            min_radius=self.min_button_radius,
+            max_radius=self.max_button_radius,
+            min_dist=int(self.chamber_radius), roi_length=L,
+        )
         while True:
-            packed_d = _chip_fused_packed(
-                planes_dev, float(self.low_edge_quantile),
-                float(self.high_edge_quantile), float(high_q_roi),
-                float(self.min_roundness), float(self.cluster_penalty),
-                jnp.asarray(ppr), jnp.asarray(ppc),
-                num_rows=num_rows,
-                num_cols=num_cols, row_dist=float(self.row_dist),
-                col_dist=float(self.col_dist), top_chamber=self.top_chamber,
-                left_chamber=self.left_chamber,
-                chamber_radius=int(self.chamber_radius),
-                min_radius=self.min_button_radius,
-                max_radius=self.max_button_radius, cap=cap,
-                min_dist=int(self.chamber_radius), roi_length=L,
-                normalized=True,
-            )
+            if on_mesh:
+                packed_d = _chip_fused_packed_mesh(
+                    planes_u8, mesh, float(self.low_edge_quantile),
+                    float(self.high_edge_quantile), float(high_q_roi),
+                    float(self.min_roundness), float(self.cluster_penalty),
+                    jnp.asarray(ppr), jnp.asarray(ppc), cap=cap, **kw,
+                )
+            else:
+                packed_d = _chip_fused_packed(
+                    planes_dev, float(self.low_edge_quantile),
+                    float(self.high_edge_quantile), float(high_q_roi),
+                    float(self.min_roundness), float(self.cluster_penalty),
+                    jnp.asarray(ppr), jnp.asarray(ppc), cap=cap,
+                    normalized=True, **kw,
+                )
             packed = np.asarray(packed_d)  # the single pull + sync
             worst = ops_detect.unpack_count(packed[0, 0])
             if worst <= cap:

@@ -190,8 +190,23 @@ def test_beads_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
     kw = dict(min_bead_diameter=12, max_bead_diameter=20, overlap=0,
               num_iter=1000, min_roundness=0.3)
     ref = mg.beads(data=DataArray(img, dims=("y", "x")), **kw)
+
+    # The mesh run must COMPOSE with the fused minimum-traffic path (one
+    # sharded detection + one packed pull), not fall back to the unfused
+    # per-channel loop.
+    from magnify_tpu.components import find as find_mod
+
+    mesh_calls = []
+    real = find_mod._bead_detect_packed_mesh
+
+    def spy(*a, **k):
+        mesh_calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(find_mod, "_bead_detect_packed_mesh", spy)
     with use_mesh(make_mesh(batch=2, space=4)):
         got = mg.beads(data=DataArray(img, dims=("y", "x")), **kw)
+    assert mesh_calls, "mesh run did not take the fused sharded path"
 
     assert got.roi.sizes["mark"] == ref.roi.sizes["mark"] == 3
     np.testing.assert_array_equal(got.x.values, ref.x.values)
@@ -320,15 +335,30 @@ def test_chip_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
     kw = dict(shape=grid, min_button_diameter=16, max_button_diameter=32,
               overlap=0, row_dist=100, col_dist=100, num_iter=1000)
     ref = mg.microfluidic_chip(data=DataArray(img, dims=("y", "x")), **kw)
+
+    # The mesh run must COMPOSE with the fused timestep (sharded detection,
+    # sharded per-chamber refinement, one packed pull), not fall back to
+    # the two-dispatch path.
+    from magnify_tpu.components import find as find_mod
+
+    mesh_calls = []
+    real = find_mod._chip_fused_packed_mesh
+
+    def spy(*a, **k):
+        mesh_calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(find_mod, "_chip_fused_packed_mesh", spy)
     with use_mesh(make_mesh(batch=2, space=4)):
         got = mg.microfluidic_chip(data=DataArray(img, dims=("y", "x")),
                                    **kw)
+    assert mesh_calls, "mesh run did not take the fused sharded path"
 
     assert got.sizes["mark_row"] == ref.sizes["mark_row"] == 3
-    np.testing.assert_allclose(got.x.values, ref.x.values, atol=0.51)
-    np.testing.assert_allclose(got.y.values, ref.y.values, atol=0.51)
-    assert (got.fg.values == ref.fg.values).mean() > 0.99
-    assert (got.roi.values == ref.roi.values).mean() > 0.99
+    np.testing.assert_array_equal(got.x.values, ref.x.values)
+    np.testing.assert_array_equal(got.y.values, ref.y.values)
+    np.testing.assert_array_equal(got.fg.values, ref.fg.values)
+    np.testing.assert_array_equal(got.roi.values, ref.roi.values)
 
 
 @pytest.mark.heavy_mesh
@@ -386,3 +416,48 @@ def test_packed_mesh_detection_matches_unpacked(devices):
         sc, ss = spill[b]
         np.testing.assert_array_equal(sc, want_c)
         np.testing.assert_allclose(ss, want_s, rtol=1e-6)
+
+
+def test_multihost_skeleton_single_process(devices):
+    """The DCN ingest skeleton (docs/multihost.md) at process_count == 1:
+    key sharding degenerates to identity, the hosts-outer mesh builds, and
+    make_global_stack assembles a P(batch, space) global array that the
+    sharded detector consumes with single-chip-identical results."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from magnify_tpu.ops.detect import find_circles, normalize_planes_u8
+    from magnify_tpu.parallel import (
+        host_shard_keys,
+        make_global_stack,
+        multihost_mesh,
+        sharded_find_circles_batch,
+    )
+
+    keys = [("c0", t) for t in range(5)]
+    assert host_shard_keys(keys) == keys  # one host owns everything
+    assert host_shard_keys(keys, 1, 3) == keys[1::3]
+    with pytest.raises(ValueError, match="out of range"):
+        host_shard_keys(keys, 3, 3)
+
+    mesh = multihost_mesh(batch=2, space=4)
+    assert dict(mesh.shape) == {"batch": 2, "space": 4}
+
+    planes = np.stack([
+        draw_beads((64, 128), [[20, 30], [40, 90]], diameters=12),
+        draw_beads((64, 128), [[32, 64]], diameters=14),
+    ]).astype(np.float32)
+    stack = make_global_stack(normalize_planes_u8(planes), mesh)
+    assert stack.shape == (2, 64, 128)
+    assert stack.sharding == NamedSharding(mesh, P("batch", "space", None))
+
+    circles, scores, accepted, _ = sharded_find_circles_batch(
+        stack, mesh, 0.1, 0.9, 0.2, min_radius=4, max_radius=8,
+        min_dist=4, cap=256, normalized=True,
+    )
+    for b, want_n in enumerate((2, 1)):
+        ref_c, ref_s = find_circles(planes[b], 0.1, 0.9, 20, 500, 4, 8,
+                                    0.2, 4, detector="dense")
+        acc = np.asarray(accepted[b])
+        np.testing.assert_array_equal(np.asarray(circles[b])[acc], ref_c)
+        np.testing.assert_array_equal(np.asarray(scores[b])[acc], ref_s)
+        assert len(ref_c) == want_n
