@@ -18,9 +18,15 @@ from magnify_tpu.parallel.mesh import (
     sharded_find_circles_batch_packed,
     use_mesh,
 )
+from magnify_tpu.parallel.multihost import (
+    host_shard_keys,
+    make_global_stack,
+    multihost_mesh,
+)
 from magnify_tpu.parallel.streaming import DevicePrefetcher, stream_planes
 
-__all__ = ["DevicePrefetcher", "active_mesh", "make_mesh",
+__all__ = ["DevicePrefetcher", "active_mesh", "host_shard_keys",
+           "make_global_stack", "make_mesh", "multihost_mesh",
            "sharded_detect_step", "sharded_find_circles",
            "sharded_find_circles_batch", "sharded_find_circles_batch_packed",
            "stream_planes", "use_mesh"]
