@@ -58,28 +58,64 @@ def _isel(da, **indexers):
 class ImageViewer:
     """Stateful renderer behind :func:`imshow`.
 
-    Holds the dataset and the selected (channel, time) plane; ``set_plane``
-    re-renders base image, fg (green) / bg (magenta) label overlays, ROI
-    rectangles, and tag annotations — the same layer stack the reference
-    builds in napari (plot/image.py:73-150), re-rendered per plane instead
-    of kept as always-loaded layers.
+    Holds the dataset and the selected plane along EVERY non-spatial dim
+    (the reference napari viewer exposes each extra dim as a slider,
+    plot/image.py:60-71); ``set_plane`` re-renders base image, fg (green) /
+    bg (magenta) label overlays, ROI rectangles, and tag annotations — the
+    same layer stack the reference builds in napari (plot/image.py:73-150),
+    re-rendered per plane instead of kept as always-loaded layers. Rendered
+    pyramid levels are cached per plane (each <= limit^2 pixels), so
+    browsing back to a visited plane — or re-rendering the current one —
+    never re-reads or re-decimates the full-resolution plane.
     """
+
+    #: cached decimated planes kept per viewer (each <= _MS_LIMIT^2 px).
+    CACHE_PLANES = 256
+    _MS_LIMIT = 512
 
     def __init__(self, xp, ax):
         self.xp = xp
         self.ax = ax
-        self.n_channel = xp.sizes.get("channel", 1)
-        self.n_time = xp.sizes.get("time", 1)
-        self.channel = 0
-        self.time = 0
+        img_dims = xp.image.dims
+        self.spatial_dims = tuple(img_dims[-2:])
+        self.extra_dims = tuple(d for d in img_dims
+                                if d not in self.spatial_dims)
+        self.dim_sizes = {d: xp.sizes[d] for d in self.extra_dims}
+        self.index = {d: 0 for d in self.extra_dims}
+        self._plane_cache: dict = {}
+
+    # Backwards-compatible accessors (the original viewer browsed only
+    # channel/time).
+    @property
+    def n_channel(self):
+        return self.dim_sizes.get("channel", 1)
+
+    @property
+    def n_time(self):
+        return self.dim_sizes.get("time", 1)
+
+    @property
+    def channel(self):
+        return self.index.get("channel", 0)
+
+    @property
+    def time(self):
+        return self.index.get("time", 0)
 
     # -- data for the current plane -------------------------------------
 
     def _plane(self):
-        disp = _isel(self.xp.image, channel=self.channel, time=self.time)
+        key = tuple(sorted(self.index.items()))
+        hit = self._plane_cache.get(key)
+        if hit is not None:
+            return hit
+        disp = _isel(self.xp.image, **self.index)
         full_shape = disp.shape
-        plane = _multiscale(disp.to_numpy())
+        plane = _multiscale(disp.to_numpy(), limit=self._MS_LIMIT)
         scale = full_shape[-1] / plane.shape[-1]
+        if len(self._plane_cache) >= self.CACHE_PLANES:
+            self._plane_cache.pop(next(iter(self._plane_cache)))
+        self._plane_cache[key] = (plane, scale, full_shape)
         return plane, scale, full_shape
 
     def _overlays(self, full_shape, scale, bboxes):
@@ -90,8 +126,8 @@ class ImageViewer:
         xp = self.xp
         if "roi" not in xp:
             return None, None
-        fg = _isel(xp.fg, time=self.time).to_numpy()
-        bg = _isel(xp.bg, time=self.time).to_numpy() if "bg" in xp.coords \
+        fg = _isel(xp.fg, **self.index).to_numpy()
+        bg = _isel(xp.bg, **self.index).to_numpy() if "bg" in xp.coords \
             else None
         h, w = full_shape[-2], full_shape[-1]
         fg_full = roi_to_image_labels(fg[:, None], bboxes, (h, w))[0]
@@ -103,8 +139,8 @@ class ImageViewer:
         return fg_ds, bg_full[::step, ::step]
 
     def _centers(self):
-        xs = _isel(self.xp.x, time=self.time)
-        ys = _isel(self.xp.y, time=self.time)
+        xs = _isel(self.xp.x, **self.index)
+        ys = _isel(self.xp.y, **self.index)
         return (np.round(xs.to_numpy()).astype(int),
                 np.round(ys.to_numpy()).astype(int))
 
@@ -147,44 +183,46 @@ class ImageViewer:
                     ax.annotate(str(tags[i]), ((left + right) / 2 / scale,
                                                top / scale - 2),
                                 color="yellow", fontsize=5, ha="center")
-        title = []
-        if self.n_channel > 1:
-            title.append(f"channel {self.channel}")
-        if self.n_time > 1:
-            title.append(f"time {self.time}")
+        title = [f"{d} {self.index[d]}" for d in self.extra_dims
+                 if self.dim_sizes[d] > 1]
         if title:
             ax.set_title(", ".join(title), fontsize=8)
         ax.figure.canvas.draw_idle()
 
-    def set_plane(self, channel: int | None = None, time: int | None = None):
-        """Select and render another (channel, time) plane — the headless
-        twin of the browsing sliders."""
-        if channel is not None:
-            if not 0 <= channel < self.n_channel:
+    def set_plane(self, **indexers: int):
+        """Select and render another plane along ANY non-spatial dim(s) —
+        the headless twin of the browsing sliders (one per extra dim, like
+        the reference napari viewer's dim sliders)."""
+        for dim, i in indexers.items():
+            if i is None:
+                continue
+            if dim not in self.index:
+                raise KeyError(
+                    f"{dim!r} is not a browsable dim "
+                    f"(have {list(self.extra_dims)})")
+            if not 0 <= i < self.dim_sizes[dim]:
                 raise IndexError(
-                    f"channel {channel} out of range ({self.n_channel})")
-            self.channel = int(channel)
-        if time is not None:
-            if not 0 <= time < self.n_time:
-                raise IndexError(f"time {time} out of range ({self.n_time})")
-            self.time = int(time)
+                    f"{dim} {i} out of range ({self.dim_sizes[dim]})")
+            self.index[dim] = int(i)
         self.render()
         return self
 
 
 def imshow(xp, show: bool = True):
-    """Show the stitched image with fg/bg overlays, ROI boxes and
-    (channel, time) browsing. Returns the figure; ``fig.magnify_viewer``
-    exposes :meth:`ImageViewer.set_plane` for programmatic browsing."""
+    """Show the stitched image with fg/bg overlays, ROI boxes and browsing
+    along EVERY extra dim (one slider per non-spatial dim, like the
+    reference napari viewer, plot/image.py:60-71). Returns the figure;
+    ``fig.magnify_viewer`` exposes :meth:`ImageViewer.set_plane` for
+    programmatic browsing."""
     import matplotlib.pyplot as plt
     from matplotlib.widgets import Slider
 
     if "mark_row" in xp.dims and "mark_col" in xp.dims and "mark" not in xp.dims:
         xp = xp.stack(mark=("mark_row", "mark_col"))
 
-    n_channel = xp.sizes.get("channel", 1)
-    n_time = xp.sizes.get("time", 1)
-    n_sliders = (n_channel > 1) + (n_time > 1)
+    img_dims = xp.image.dims
+    browse = [(d, xp.sizes[d]) for d in img_dims[:-2] if xp.sizes[d] > 1]
+    n_sliders = len(browse)
 
     fig = plt.figure(figsize=(6, 6 + 0.4 * n_sliders))
     bottom = 0.02 + 0.07 * n_sliders
@@ -193,10 +231,7 @@ def imshow(xp, show: bool = True):
     fig.magnify_viewer = viewer
 
     sliders = []
-    slot = 0
-    for dim, n in (("channel", n_channel), ("time", n_time)):
-        if n <= 1:
-            continue
+    for slot, (dim, n) in enumerate(browse):
         sax = fig.add_axes([0.25, 0.02 + 0.06 * slot, 0.55, 0.03])
         slider = Slider(sax, dim, 0, n - 1, valinit=0, valstep=1)
 
@@ -205,7 +240,6 @@ def imshow(xp, show: bool = True):
 
         slider.on_changed(on_change)
         sliders.append(slider)
-        slot += 1
     fig._magnify_sliders = sliders  # keep refs alive for the figure's life
 
     viewer.render()

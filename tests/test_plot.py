@@ -320,3 +320,51 @@ def test_mrbles_clusters_reference_surface():
     covs = np.tile(np.eye(2) * 0.01, (2, 1, 1))
     assert mp.mrbles_clusters(ds, means=means, covars=covs,
                               show=False) is not None
+
+
+def test_imshow_arbitrary_extra_dims_and_plane_cache(monkeypatch):
+    """Every non-spatial dim is browsable (the reference napari viewer
+    exposes each extra dim as a slider, plot/image.py:60-71), and rendered
+    pyramid levels are cached per plane: browsing back to a visited plane
+    never re-reads or re-decimates the full-resolution plane."""
+    from magnify_tpu.core import DataArray, Dataset
+    from magnify_tpu.plot import image as image_mod
+
+    data = np.zeros((2, 3, 4, 600, 600), np.uint16)
+    for z in range(4):
+        data[..., 100 + 50 * z, 200] = 1000
+    ds = Dataset({"image": (("channel", "time", "z", "im_y", "im_x"), data)})
+
+    reads = []
+    real = image_mod._multiscale
+
+    def spy(img, limit=512):
+        reads.append(img.shape)
+        return real(img, limit)
+
+    monkeypatch.setattr(image_mod, "_multiscale", spy)
+    fig = mp.imshow(ds, show=False)
+    viewer = fig.magnify_viewer
+    assert viewer.extra_dims == ("channel", "time", "z")
+    assert len(fig._magnify_sliders) == 3  # one slider per extra dim
+    assert len(reads) == 1
+
+    viewer.set_plane(z=3, time=1)
+    assert viewer.index == {"channel": 0, "time": 1, "z": 3}
+    assert "z 3" in viewer.ax.get_title()
+    assert len(reads) == 2
+    # The decimated plane shown is the pyramid level <= 512^2.
+    plane, scale, full_shape = viewer._plane()
+    assert plane.shape[-1] * plane.shape[-2] <= 512**2
+    assert full_shape[-2:] == (600, 600)
+    assert len(reads) == 2  # _plane() itself hit the cache
+
+    # Browsing BACK re-renders from the cache: no new full-plane read.
+    viewer.set_plane(z=0, time=0)
+    viewer.set_plane(z=3, time=1)
+    assert len(reads) == 2
+
+    with pytest.raises(KeyError, match="browsable"):
+        viewer.set_plane(q=1)
+    with pytest.raises(IndexError):
+        viewer.set_plane(z=9)
