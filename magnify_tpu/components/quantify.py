@@ -29,6 +29,14 @@ def quantify(assay, batch_timesteps: int = 8):
     (mark, time) axes fold together so one fused summary pass covers the
     whole batch — while a background thread reads the next batch from the
     (possibly memmapped) ROI store, keeping IO behind compute.
+
+    Numerics: the fg MEAN follows the host/device routing policy of
+    :mod:`magnify_tpu.ops.reduce` (small or memmap-resident batches run on
+    the numpy twin, MAGNIFY_TPU_QUANTIFY overrides). The two backends agree
+    only to f32 summation-order rounding (numpy pairwise vs XLA reduction
+    tree), so intensities can differ in the last ulp with batch size and
+    placement; the bg MEDIAN is bit-identical on both. See docs/index.md
+    "Numerics and compatibility notes".
     """
     import concurrent.futures
 

@@ -31,15 +31,49 @@ def main():
         found = xp.roi.sizes["mark"]
         runs = 2
         t0 = time.perf_counter()
+        c0 = time.process_time()
         for _ in range(runs):
             bench.run_pipeline(data)
         elapsed = time.perf_counter() - t0
+        cpu_s = time.process_time() - c0
         mpix = bench.SHAPE[0] * bench.SHAPE[1] / 1e6
+        n_cores = os.cpu_count() or 1
         result.update({
             "cpu_anchor_mpix_per_s": round(mpix * runs / elapsed, 4),
             "seconds_per_frame": round(elapsed / runs, 2),
             "beads_found": int(found),
             "beads_true": n_true,
+            # Anchor-integrity record: how parallel is the stand-in?
+            # (The reference's numba prange uses every core; if this
+            # stand-in ran single-core, every vs_anchor multiplier would
+            # be inflated by the host's core count.)
+            "anchor_cores": n_cores,
+            "anchor_cores_used": round(cpu_s / elapsed, 2),
+            "anchor_utilization_pct": round(
+                100.0 * cpu_s / (elapsed * n_cores), 1),
+        })
+
+        # Threaded throughput anchor: independent frames processed by
+        # concurrent host threads (XLA releases the GIL inside compiled
+        # computations). This bounds what an all-core reference could do
+        # at equal per-frame work — the HARDEST anchor variant; bench.py's
+        # vs_anchor constants must cite whichever is larger.
+        import concurrent.futures
+
+        n_threads = min(n_cores, 8)
+        datasets = [bench.make_workload(seed=s)[0] for s in range(n_threads)]
+        with concurrent.futures.ThreadPoolExecutor(n_threads) as pool:
+            list(pool.map(bench.run_pipeline, datasets))  # warm per-thread
+            t0 = time.perf_counter()
+            c0 = time.process_time()
+            list(pool.map(bench.run_pipeline, datasets))
+            elapsed_t = time.perf_counter() - t0
+            cpu_t = time.process_time() - c0
+        result.update({
+            "cpu_anchor_threaded_mpix_per_s": round(
+                mpix * n_threads / elapsed_t, 4),
+            "threaded_frames": n_threads,
+            "threaded_cores_used": round(cpu_t / elapsed_t, 2),
         })
 
     if which in ("all", "mrbles"):
