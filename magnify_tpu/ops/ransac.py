@@ -7,11 +7,16 @@ its grid cell and emitting their circumcircle
 a ragged grid index doesn't map to TPUs, so this kernel re-derives the same
 sampling *distribution* with fixed shapes:
 
-* global edge sampling: inclusive cumsum over the edge mask + vectorized
-  ``searchsorted`` (one binary search per iteration),
-* per-cell neighbor sampling: a CSR view built by a single stable argsort of
-  per-pixel cell ids (the grid_array equivalent, utils.py:347-377),
+* global edge sampling: one row-gather from a cell-major CSR coordinate
+  table (edge pixels compacted at the front by a static-permutation cumsum
+  scatter),
+* per-cell neighbor sampling: CSR starts/counts interleaved into one
+  row-gathered LUT, in-cell offsets by f32 multiply (the grid_array
+  equivalent, utils.py:347-377),
 * circumcircle centers via the same perpendicular-bisector algebra.
+
+All num_iter-sized table lookups go through :func:`_gather_rows` — XLA's
+flat 1-D gather lowering is per-element bound on v5e and 3x slower.
 
 The RNG is counter-based ``jax.random`` so results are reproducible for a
 given key, unlike the reference's global numpy RNG.
@@ -26,6 +31,27 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["candidate_circles"]
+
+
+def _gather_rows(table, idx):
+    """Exact ``table[idx]`` via a 128-lane row gather + one-hot select.
+
+    XLA's flat 1-D dynamic gather is per-element bound on v5e (~33 ms per
+    5e6 int32 elements, independent of table size or index order); fetching
+    whole (8, 128)-tile rows by ``idx // 128`` and selecting the lane with
+    an iota-compare mask measures 11 ms — the win holds for row widths
+    8..128 and inverts past 256 (scripts/gather_experiments.py).
+
+    ``table`` must be 1-D with length a multiple of 128; all ``idx`` must
+    be in range (callers guarantee both).
+    """
+    rows = table.reshape(-1, 128)[idx >> 7]
+    lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    return jnp.sum(jnp.where(lane == (idx & 127)[:, None], rows, 0), axis=1)
+
+
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
 
 
 @functools.lru_cache(maxsize=None)
@@ -46,10 +72,14 @@ def _cell_major_perm(h: int, w: int, grid_length: int) -> np.ndarray:
 def candidate_circles(edges, grid_length: int, num_iter: int, key):
     """Propose ``num_iter`` candidate circles from an edge mask.
 
-    Returns (circles, any_edges): circles is (num_iter, 3) float32 rows of
-    (row, col, radius); any_edges is a scalar bool that is False when the
-    image has no edge pixels (callers must then treat all rows as invalid,
-    mirroring the empty-coords early-out at utils.py:300-301).
+    Returns ((rows, cols, radii), any_edges): three (num_iter,) float32
+    vectors — NOT a stacked (num_iter, 3) array, whose 3-wide minor dim
+    forces an awkward padded layout between this stage and the dedupe
+    (an in-frame relayout measured ~110 ms at 5e6 iters on v5e; the
+    vectors fuse straight into the dedupe's key arithmetic). ``any_edges``
+    is a scalar bool that is False when the image has no edge pixels
+    (callers must then treat all rows as invalid, mirroring the
+    empty-coords early-out at utils.py:300-301).
     """
     h, w = edges.shape
     flat = edges.reshape(-1).astype(jnp.int32)
@@ -60,12 +90,14 @@ def candidate_circles(edges, grid_length: int, num_iter: int, key):
 
     # CSR over edge pixels grouped by cell, with no runtime sort: permute the
     # edge mask into static cell-major order, then a single cumsum yields each
-    # edge pixel's slot in the flat coordinate list.
+    # edge pixel's slot in the flat coordinate list. The table is padded to a
+    # multiple of 128 for the row-gather sampler below.
     perm = jnp.asarray(_cell_major_perm(h, w, grid_length))
     e_cm = flat[perm]
     slot = jnp.cumsum(e_cm) - 1
-    order = jnp.zeros((h * w,), jnp.int32).at[
-        jnp.where(e_cm > 0, slot, h * w)
+    order_len = _pad128(h * w)
+    order = jnp.zeros((order_len,), jnp.int32).at[
+        jnp.where(e_cm > 0, slot, order_len)
     ].set(perm, mode="drop")
 
     # Per-cell counts via block reduction (grid_array equivalent).
@@ -79,25 +111,45 @@ def candidate_circles(edges, grid_length: int, num_iter: int, key):
         [jnp.zeros((1,), counts_flat.dtype), jnp.cumsum(counts_flat)[:-1]]
     )
     counts_flat = jnp.maximum(counts_flat, 1)
+    # Interleave (start, count) per cell so ONE row gather serves both
+    # lookups: lane 2*c holds starts[c], lane 2*c+1 holds counts[c] (2*c is
+    # even, so the pair never straddles a 128-lane row boundary).
+    n_cells = counts_flat.shape[0]
+    sc = jnp.zeros((_pad128(2 * n_cells),), jnp.int32)
+    sc = sc.at[0 : 2 * n_cells : 2].set(starts)
+    sc = sc.at[1 : 2 * n_cells : 2].set(counts_flat)
 
     # Uniform edge-pixel sampling: the CSR ``order`` array already holds all
     # edge pixels compacted at the front, so one gather replaces a binary
     # search over a cumsum (20x fewer random reads per sample).
     k0, k1, k2 = jax.random.split(key, 3)
     u0 = jax.random.randint(k0, (num_iter,), 0, jnp.maximum(total, 1))
-    p0_flat = order[u0]
+    p0_flat = _gather_rows(order, u0)
     p0r = p0_flat // w
     p0c = p0_flat % w
 
     # Cell id from the sampled coordinates directly — arithmetic instead of
     # another num_iter-sized random gather from a cell-id raster.
     c0 = (p0r // grid_length) * n_grid_cols + p0c // grid_length
-    u1 = jax.random.randint(k1, (num_iter,), 0, jnp.iinfo(jnp.int32).max)
-    u2 = jax.random.randint(k2, (num_iter,), 0, jnp.iinfo(jnp.int32).max)
-    j1 = starts[c0] + u1 % counts_flat[c0]
-    j2 = starts[c0] + u2 % counts_flat[c0]
-    p1_flat = order[j1]
-    p2_flat = order[j2]
+    sc_rows = sc.reshape(-1, 128)[c0 >> 6]  # row containing lanes 2c, 2c+1
+    lane = jax.lax.broadcasted_iota(jnp.int32, sc_rows.shape, 1)
+    lane0 = ((c0 & 63) << 1)[:, None]
+    c_starts = jnp.sum(jnp.where(lane == lane0, sc_rows, 0), axis=1)
+    c_counts = jnp.sum(jnp.where(lane == lane0 + 1, sc_rows, 0), axis=1)
+
+    # In-cell offsets by float multiply instead of `u % count`: an integer
+    # mod with a VECTOR divisor costs ~17 ms per 5e6 elements on v5e (no
+    # integer-divide unit; scalar/constant divisors strength-reduce and stay
+    # cheap). counts <= grid_length^2, so the f32 sampler's bias is
+    # < grid_length^2 / 2^24 (~2e-5 at the default grid) — the reference's
+    # own modulo sampling is similarly biased at the last count.
+    cf = c_counts.astype(jnp.float32)
+    u1 = jax.random.uniform(k1, (num_iter,), jnp.float32)
+    u2 = jax.random.uniform(k2, (num_iter,), jnp.float32)
+    off1 = jnp.minimum((u1 * cf).astype(jnp.int32), c_counts - 1)
+    off2 = jnp.minimum((u2 * cf).astype(jnp.int32), c_counts - 1)
+    p1_flat = _gather_rows(order, c_starts + off1)
+    p2_flat = _gather_rows(order, c_starts + off2)
 
     # Center the coordinate frame on p0 (float32 algebra mirrors
     # utils.py:323-342, eps guards vertical bisectors and parallel pairs).
@@ -114,8 +166,5 @@ def candidate_circles(edges, grid_length: int, num_iter: int, key):
     col = (b1 - b2) / (m2 - m1 + eps)
     row = m1 * col + b1
     radius = jnp.sqrt(row * row + col * col)
-    circles = jnp.stack(
-        [row + p0r.astype(jnp.float32), col + p0c.astype(jnp.float32), radius],
-        axis=1,
-    )
-    return circles, any_edges
+    return (row + p0r.astype(jnp.float32), col + p0c.astype(jnp.float32),
+            radius), any_edges

@@ -5,9 +5,9 @@ circle's Bresenham perimeter and summing gradient/radial alignment at edge
 pixels (/root/reference/src/magnify/utils.py:225-251, driven per radius at
 utils.py:183-188). The score depends only on the *rounded* (row, col, radius)
 triple, so this implementation first collapses proposals to unique rounded
-triples (two stable sorts — no 64-bit keys needed) and scores each unique
-circle once: an exact optimization that typically cuts the gather volume by
-orders of magnitude.
+triples (a presence scatter over the key raster — no sort, no per-candidate
+gather) and scores each unique circle once: an exact optimization that
+typically cuts the gather volume by orders of magnitude.
 
 Scoring itself is a fixed-shape gather: per-radius perimeter offset tables
 (padded to the longest perimeter) + one (K, L) gather from the padded
@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from magnify_tpu.ops.geom import perimeter_tables
+from magnify_tpu.ops.ransac import _gather_rows, _pad128
 
 __all__ = ["dedupe_circles", "score_circles"]
 
@@ -49,14 +50,32 @@ def dedupe_circles(circles, valid, *, height: int, width: int, min_radius: int,
     Scoring depends only on the rounded triple, so collapsing duplicates here
     is an exact optimization over the reference's score-everything loop.
 
-    Uniqueness is computed without any sort: a scatter-min "first owner"
-    raster over the (row, col, radius) key space marks first occurrences, a
-    cumsum ranks them, and a scatter compacts. Returns (unique_circles int32
-    (cap, 3), unique_valid bool (cap,), n_unique int32). ``n_unique`` may
-    exceed ``cap``; callers detect overflow and retry with a larger cap.
+    ``circles`` is a 3-tuple of (N,) row/col/radius vectors (the hot path —
+    a stacked (N, 3) array is also accepted but its 3-wide minor dim costs a
+    relayout at N=5e6) and uniqueness is computed without any sort or
+    per-candidate gather: a presence scatter over the (row, col, radius) key
+    raster marks occupied triples, the raster is packed into 32-bit bitmask
+    words whose popcounts rank them, and one row gather + popcount bisection
+    per output slot compacts — the triples are then decoded arithmetically
+    from their keys. (The first-owner formulation gathered owner[key] back
+    per candidate and cumsummed over the candidate axis — 3 extra
+    5e6-element passes, ~2.2x slower in-frame on v5e; a raster-wide cumsum
+    + index scatter still paid ~37 ms for the key_space-sized scatter.)
+
+    Returns (unique_circles int32 (cap, 3), unique_valid bool (cap,),
+    n_unique int32), the uniques in key-raster (row, col, radius) order —
+    the same order the dense detector emits. ``n_unique`` may exceed
+    ``cap``; callers detect overflow and retry with a larger cap. Rows past
+    ``n_unique`` hold decoded garbage — callers must mask by
+    ``unique_valid``.
     """
-    rc = jnp.round(circles).astype(jnp.int32)
-    row, col, rad = rc[:, 0], rc[:, 1], rc[:, 2]
+    if isinstance(circles, (tuple, list)):
+        rowf, colf, radf = circles
+    else:
+        rowf, colf, radf = circles[:, 0], circles[:, 1], circles[:, 2]
+    row = jnp.round(rowf).astype(jnp.int32)
+    col = jnp.round(colf).astype(jnp.int32)
+    rad = jnp.round(radf).astype(jnp.int32)
     ok = valid
     ok &= (rad >= min_radius) & (rad <= max_radius)
     ok &= (row + rad >= 0) & (col + rad >= 0)
@@ -69,24 +88,59 @@ def dedupe_circles(circles, valid, *, height: int, width: int, min_radius: int,
     if key_space > RASTER_KEY_LIMIT:
         return _dedupe_sorted(row, col, rad, ok, max_radius, cap)
 
-    n = row.shape[0]
     key = ((row + max_radius) * kw + (col + max_radius)) * kr_range + (
         rad - min_radius
     )
-    key = jnp.where(ok, key, 0)
-    ids = jnp.arange(n, dtype=jnp.int32)
-    owner = jnp.full((key_space,), _INT32_MAX, jnp.int32).at[
-        jnp.where(ok, key, key_space)
-    ].min(ids, mode="drop")
-    uniq = ok & (owner[key] == ids)
-    rank = jnp.cumsum(uniq) - 1
-    n_unique = uniq.sum()
+    # Presence raster, padded to whole 128-lane blocks, then packed into
+    # 32-bit bitmask words. Compaction avoids any key_space-sized scatter
+    # (a 5.5M-element index scatter measured ~37 ms at 1024^2 — XLA
+    # scatters are per-INPUT-element bound like gathers) AND any
+    # (cap, 128)-shaped intermediate (a block-granular variant paid ~31 ms
+    # in cumsum/select traffic): per-WORD popcounts give each word's
+    # output offset (one cumsum over key_space/32 words), a scatter-max +
+    # running max assigns each output slot its source word, and one row
+    # gather + 5-step popcount bisection picks the slot's bit. Measured
+    # 75 -> 50 ms in-frame at 5e6 candidates (scripts/
+    # dedupe_substage_time.py: presence scatter 41, rank + compact ~8.5).
+    nb = -(-key_space // 128)
+    live = jnp.zeros((nb * 128,), jnp.bool_).at[
+        jnp.where(ok, key, nb * 128)
+    ].set(True, mode="drop")
+    blocks = live.reshape(nb, 128)
+    nw = nb * 4
+    lanes = jax.lax.broadcasted_iota(jnp.uint32, (nb, 128), 1)
+    bits = jnp.where(blocks, jnp.uint32(1) << (lanes & 31), jnp.uint32(0))
+    words = bits.reshape(nb, 4, 32).sum(axis=2, dtype=jnp.uint32).reshape(nw)
+    wsum = jax.lax.population_count(words).astype(jnp.int32)
+    wcsum = jnp.cumsum(wsum)
+    n_unique = wcsum[-1]
+    wstart = wcsum - wsum
 
-    dest = jnp.where(uniq, rank, cap)
-    out = jnp.zeros((cap, 3), dtype=jnp.int32)
-    out = out.at[dest, 0].set(row, mode="drop")
-    out = out.at[dest, 1].set(col, mode="drop")
-    out = out.at[dest, 2].set(rad, mode="drop")
+    # Output slot r lives in the last word whose start is <= r; empty
+    # words share their successor's start, so scatter-max of word ids at
+    # wstart positions followed by a running max resolves ties to the
+    # correct (non-empty) owner.
+    wid = jnp.zeros((cap,), jnp.int32).at[wstart].max(
+        jnp.arange(nw, dtype=jnp.int32), mode="drop")
+    wid = jax.lax.associative_scan(jnp.maximum, wid)
+
+    wstart_pad = jnp.pad(wstart, (0, _pad128(nw) - nw))
+    q = jnp.arange(cap, dtype=jnp.int32) - _gather_rows(wstart_pad, wid)
+    words_pad = jnp.pad(words, (0, _pad128(nw) - nw))
+    w = _gather_rows(words_pad.astype(jnp.int32), wid).astype(jnp.uint32)
+    # Position of the q-th set bit: bisect on prefix popcount (the mask
+    # wraps to all-ones at pos+b = 32, which is exactly right).
+    pos = jnp.zeros((cap,), jnp.int32)
+    for b in (16, 8, 4, 2, 1):
+        mask = (jnp.uint32(1) << (pos + b).astype(jnp.uint32)) - 1
+        c = jax.lax.population_count(w & mask).astype(jnp.int32)
+        pos = jnp.where(c <= q, pos + b, pos)
+    out_key = wid * 32 + pos
+    rad_u = out_key % kr_range + min_radius
+    yx = out_key // kr_range
+    col_u = yx % kw - max_radius
+    row_u = yx // kw - max_radius
+    out = jnp.stack([row_u, col_u, rad_u], axis=1)
     out_valid = jnp.arange(cap) < n_unique
     return out, out_valid, n_unique
 

@@ -103,7 +103,7 @@ def main():
                 cands, any_e = candidate_circles(
                     e, grid_length=GRID, num_iter=NUM_ITER,
                     key=jax.random.fold_in(k, i))
-                s = cands[0, 0] + any_e
+                s = cands[0][0] + cands[2][-1] + any_e
                 return carry + s * 1e-20, s
             _, outs = jax.lax.scan(body, e.sum().astype(jnp.float32),
                                    jnp.arange(reps))
@@ -119,23 +119,23 @@ def main():
 
     def dedupe(reps):
         @jax.jit
-        def run(c):
+        def run(cr, cc, crad):
             def body(carry, _):
                 uniq, uvalid, n_unique = dedupe_circles(
-                    carry, valid, height=H, width=W, min_radius=MIN_R,
-                    max_radius=MAX_R, cap=UNIQUE_CAP)
+                    (carry, cc, crad), valid, height=H, width=W,
+                    min_radius=MIN_R, max_radius=MAX_R, cap=UNIQUE_CAP)
                 return carry + n_unique.astype(jnp.float32) * 1e-20, n_unique
-            _, outs = jax.lax.scan(body, c, None, length=reps)
+            _, outs = jax.lax.scan(body, cr, None, length=reps)
             return outs.sum()
         return run
 
-    out["dedupe_ms"] = round(time_chained(dedupe, cands), 2)
+    out["dedupe_ms"] = round(time_chained(dedupe, *cands), 2)
 
     # --- score uniques (conv + gather over UNIQUE_CAP rows) ----------------
     uniq, uvalid, n_unique = jax.jit(
         lambda c: dedupe_circles(c, valid, height=H, width=W,
                                  min_radius=MIN_R, max_radius=MAX_R,
-                                 cap=UNIQUE_CAP))(cands)
+                                 cap=UNIQUE_CAP))(tuple(cands))
     out["n_unique"] = int(n_unique)
 
     from magnify_tpu.ops.detect import _score_uniques
