@@ -257,6 +257,46 @@ def _s2d_ring_kernel(min_radius: int, max_radius: int, s: int):
     return w2, q0
 
 
+@functools.lru_cache(maxsize=None)
+def _ring_conv_kernel_q8(min_radius: int, max_radius: int):
+    """Symmetric per-output-channel int8 quantization of the ring kernel.
+
+    Returns (q int8 (n_radii, C, K, K), scale f32 (n_radii,)) with
+    ``w ~= q * scale / 127``. Quantization error is bounded by half a
+    quantization step per tap: |score error| <= sum_taps |feat| * s_r/254
+    <= C * c_1 / 254 ~= 2.5% worst-case (every tap error aligned and every
+    feature at magnitude 1) and ~0.1% RMS in practice — the same order as
+    the bf16 input rounding it replaces and well under the k<=7 harmonic
+    truncation bound (~2.4%); the int8 MXU path runs at 2x the bf16 rate
+    on v5e and its int32 accumulation is EXACT (no reduction-order
+    rounding at all).
+    """
+    k = _ring_conv_kernel(min_radius, max_radius)
+    amax = np.abs(k).max(axis=(1, 2, 3))
+    scale = np.where(amax > 0, amax, 1.0).astype(np.float32)
+    q = np.round(k / scale[:, None, None, None] * 127.0).astype(np.int8)
+    return q, scale
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_ring_kernel_q8(min_radius: int, max_radius: int, s: int):
+    """int8 quantization of the folded ring kernel.
+
+    The fold only REDISTRIBUTES taps — output channel (r, u, v) holds
+    exactly the taps of unfolded channel r — so quantizing the folded
+    kernel with the UNFOLDED per-radius scales makes the folded int8 conv
+    bit-identical to the unfolded one (int32 accumulation is exact, the
+    dequant multiplies by the same scalar): the same fold-fungibility the
+    bf16 path relies on, but now exact by construction. Returns
+    (q int8 (n_r*s*s, C*s*s, nq, nq), scale f32 (n_r*s*s,), q0).
+    """
+    w2, q0 = _s2d_ring_kernel(min_radius, max_radius, s)
+    _, rscale = _ring_conv_kernel_q8(min_radius, max_radius)
+    scale = np.repeat(rscale, s * s).astype(np.float32)
+    q = np.round(w2 / scale[:, None, None, None] * 127.0).astype(np.int8)
+    return q, scale, q0
+
+
 def _space_to_depth(x, s):
     c, h, w = x.shape
     x = x.reshape(c, h // s, s, w // s, s)
@@ -268,6 +308,27 @@ def _depth_to_space(x, s):
     c = cs // (s * s)
     x = x.reshape(c, s, s, h, w)
     return x.transpose(0, 3, 1, 4, 2).reshape(c, h * s, w * s)
+
+
+# MAGNIFY_TPU_SCORE_QUANT is snapshotted at import for the same reason as
+# MAGNIFY_TPU_S2D below (the resolution runs at trace time). "int8" routes
+# the score conv through the MXU's 2x int8 path; "bf16" is the prior
+# behavior. Default: int8 on TPU (gate evidence: identical detection sets
+# on the full suite and both noisy bench fixtures, see CHANGELOG 0.5.0),
+# bf16 elsewhere.
+_SCORE_QUANT_ENV = os.environ.get("MAGNIFY_TPU_SCORE_QUANT")
+
+
+def _resolve_qmode(qdtype=None) -> str:
+    if qdtype is not None:
+        mode = qdtype
+    elif _SCORE_QUANT_ENV:
+        mode = _SCORE_QUANT_ENV
+    else:
+        mode = "int8" if jax.default_backend() == "tpu" else "bf16"
+    if mode not in ("int8", "bf16"):
+        raise ValueError(f"unknown score quantization mode {mode!r}")
+    return mode
 
 
 # MAGNIFY_TPU_S2D is snapshotted at import: _resolve_s2d runs inside
@@ -312,11 +373,15 @@ def _cs2_from_grads(dx, dy):
     return c1, s1
 
 
-def _alignment_features(grad_angles, edges, grads=None):
+def _alignment_features(grad_angles, edges, grads=None, qdtype="bf16"):
     """Per-harmonic (edge*cos(2ka), edge*sin(2ka)) channel stack.
 
     ``grads=(dx, dy)`` supplies the gradient fields directly and skips the
     angle transcendentals entirely (``grad_angles`` may then be None).
+    ``qdtype="int8"`` emits ``round(127 * feature)`` int8 values (the
+    features live in [-1, 1]; a global 1/127 dequant factor is folded into
+    the kernel scales) — one byte per element also halves the
+    space-to-depth reshuffle traffic vs bf16.
     """
     e = edges.astype(jnp.float32)
     # Base cos/sin(2a) + a complex-product recurrence generate all
@@ -340,11 +405,15 @@ def _alignment_features(grad_angles, edges, grads=None):
     # are in [-1, 1] and ring sums have ~L terms, so bf16's ~0.4% relative
     # error is far below the harmonic-truncation bound. Casting BEFORE the
     # space-to-depth transpose halves that reshuffle's HBM traffic.
-    return jnp.stack(feats).astype(jnp.bfloat16)  # (C, Hp, Wp)
+    stacked = jnp.stack(feats)  # (C, Hp, Wp)
+    if qdtype == "int8":
+        return jnp.round(stacked * 127.0).astype(jnp.int8)
+    return stacked.astype(jnp.bfloat16)
 
 
 def score_maps_folded(grad_angles, edges, *, min_radius: int,
-                      max_radius: int, s2d: int | None = None, grads=None):
+                      max_radius: int, s2d: int | None = None, grads=None,
+                      qdtype: str | None = None):
     """Score maps in the space-to-depth FOLDED layout — no unfold transpose.
 
     Returns (folded, s) where ``folded`` has shape (n_radii * s * s, Hq, Wq)
@@ -360,12 +429,23 @@ def score_maps_folded(grad_angles, edges, *, min_radius: int,
     s2d = _resolve_s2d(s2d, edges.shape)
     if s2d <= 1:
         raise ValueError("score_maps_folded requires an s2d fold > 1")
-    feats = _alignment_features(grad_angles, edges, grads=grads)
+    qmode = _resolve_qmode(qdtype)
+    feats = _alignment_features(grad_angles, edges, grads=grads,
+                                qdtype=qmode)
     c, hp, wp = feats.shape
     hpad = (-hp) % s2d
     wpad = (-wp) % s2d
     x = jnp.pad(feats, ((0, 0), (0, hpad), (0, wpad)))
     x = _space_to_depth(x, s2d)[None]
+    if qmode == "int8":
+        qw, scale, q0 = _s2d_ring_kernel_q8(min_radius, max_radius, s2d)
+        out = jax.lax.conv_general_dilated(
+            x, jnp.asarray(qw), window_strides=(1, 1),
+            padding="SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.int32,
+        )
+        dq = jnp.asarray(scale / (127.0 * 127.0))[:, None, None]
+        return out[0].astype(jnp.float32) * dq, s2d
     w2, q0 = _s2d_ring_kernel(min_radius, max_radius, s2d)
     out = jax.lax.conv_general_dilated(
         x, jnp.asarray(w2, jnp.bfloat16), window_strides=(1, 1),
@@ -376,7 +456,8 @@ def score_maps_folded(grad_angles, edges, *, min_radius: int,
 
 
 def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
-               s2d: int | None = None, grads=None):
+               s2d: int | None = None, grads=None,
+               qdtype: str | None = None):
     """Roundness score for every (center, radius) as one MXU convolution.
 
     ``grad_angles``/``edges`` must be padded by 2*max_radius (the caller's
@@ -395,11 +476,22 @@ def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
     if s2d > 1:
         folded, s2d = score_maps_folded(
             grad_angles, edges, min_radius=min_radius,
-            max_radius=max_radius, s2d=s2d, grads=grads)
+            max_radius=max_radius, s2d=s2d, grads=grads, qdtype=qdtype)
         maps = _depth_to_space(folded, s2d)
         return maps[:, :hp, :wp]
 
-    x = _alignment_features(grad_angles, edges, grads=grads)[None]
+    qmode = _resolve_qmode(qdtype)
+    x = _alignment_features(grad_angles, edges, grads=grads,
+                            qdtype=qmode)[None]
+    if qmode == "int8":
+        qk, scale = _ring_conv_kernel_q8(min_radius, max_radius)
+        out = jax.lax.conv_general_dilated(
+            x, jnp.asarray(qk), window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.int32,
+        )
+        dq = jnp.asarray(scale / (127.0 * 127.0))[:, None, None]
+        return out[0].astype(jnp.float32) * dq
     kernel = jnp.asarray(_ring_conv_kernel(min_radius, max_radius),
                          jnp.bfloat16)
     out = jax.lax.conv_general_dilated(

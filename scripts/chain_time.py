@@ -33,9 +33,9 @@ from magnify_tpu.ops.detect import (  # noqa: E402
 )
 from magnify_tpu.ops.score import score_maps_folded  # noqa: E402
 
-H = W = 1024
+H = W = int(os.environ.get("CHAIN_SIZE", "1024"))
 MIN_R, MAX_R = 8, 12
-REPS = 32
+REPS = int(os.environ.get("CHAIN_REPS", "32"))
 
 
 def fixture_plane():

@@ -349,6 +349,62 @@ def test_s2d_conv_matches_plain_conv():
     np.testing.assert_allclose(folded, plain, atol=5e-3)
 
 
+def _quant_fixture():
+    rng = np.random.default_rng(11)
+    img = draw_beads((96, 128), [[40, 40], [60, 90]], diameters=20)
+    img = img + rng.normal(0, 3, img.shape)
+    edges, _, _, ga = jax.jit(edge_ops.edge_pipeline)(
+        jnp.asarray(img, jnp.float32), 0.1, 0.9
+    )
+    pad = 24
+    return jnp.pad(ga, pad), jnp.pad(edges, pad)
+
+
+def test_int8_score_maps_close_to_bf16():
+    """int8 quantization error stays well under the k<=7 harmonic
+    truncation bound (the TPU default routes the score conv through the
+    2x int8 MXU path; see score._ring_conv_kernel_q8)."""
+    from magnify_tpu.ops.score import score_maps
+
+    gap, egp = _quant_fixture()
+    ref = np.asarray(score_maps(gap, egp, min_radius=8, max_radius=12,
+                                s2d=1, qdtype="bf16"))
+    q = np.asarray(score_maps(gap, egp, min_radius=8, max_radius=12,
+                              s2d=1, qdtype="int8"))
+    assert np.abs(ref - q).max() < 0.015
+
+
+def test_int8_fold_fungibility_bit_identical():
+    """Folded and unfolded int8 score maps are BIT-identical: the folded
+    kernel is quantized with the unfolded per-radius scales (the fold only
+    redistributes taps) and int32 accumulation is exact — the property the
+    mesh path's single-chip parity relies on (parallel/mesh.py uses
+    s2d=1 while the single-chip dense detector runs folded)."""
+    from magnify_tpu.ops.score import score_maps
+
+    gap, egp = _quant_fixture()
+    plain = np.asarray(score_maps(gap, egp, min_radius=8, max_radius=12,
+                                  s2d=1, qdtype="int8"))
+    folded = np.asarray(score_maps(gap, egp, min_radius=8, max_radius=12,
+                                   s2d=4, qdtype="int8"))
+    np.testing.assert_array_equal(plain, folded)
+
+
+def test_int8_survivor_set_matches_bf16():
+    """The detection-relevant property: at the bench threshold the int8
+    and bf16 score maps keep the SAME survivor set on a noisy fixture
+    (the TPU-side gate script scripts/score_quant_gate.py asserts the
+    same identity end-to-end on the full bench pipelines)."""
+    from magnify_tpu.ops.score import score_maps
+
+    gap, egp = _quant_fixture()
+    ref = np.asarray(score_maps(gap, egp, min_radius=8, max_radius=12,
+                                s2d=1, qdtype="bf16"))
+    q = np.asarray(score_maps(gap, egp, min_radius=8, max_radius=12,
+                              s2d=1, qdtype="int8"))
+    np.testing.assert_array_equal(ref >= 0.3, q >= 0.3)
+
+
 def test_pallas_hysteresis_matches_xla_loop():
     from magnify_tpu.ops.edge import dilate8
     from magnify_tpu.ops.pallas_kernels import hysteresis
