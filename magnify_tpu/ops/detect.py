@@ -254,6 +254,23 @@ def _stage_ransac_packed(image, low_q, high_q, min_roundness, key, *,
         cands, valid, height=h, width=w, min_radius=min_radius,
         max_radius=max_radius, cap=unique_cap,
     )
+    return ransac_score_pack(
+        edges, dx, dy, grad_angles, uniq, uvalid, n_unique, min_roundness,
+        min_radius=min_radius, max_radius=max_radius, nms_cap=nms_cap,
+        min_dist=min_dist, pull_cap=pull_cap, use_conv=use_conv,
+    )
+
+
+def ransac_score_pack(edges, dx, dy, grad_angles, uniq, uvalid, n_unique,
+                      min_roundness, *, min_radius, max_radius, nms_cap,
+                      min_dist, pull_cap, use_conv):
+    """Score deduped uniques, rank/sort survivors, NMS, and pack the result.
+
+    The tail of :func:`_stage_ransac_packed`, shared with the mesh-sharded
+    RANSAC path (parallel/mesh.sharded_ransac_packed) so both routes are
+    the same program after the dedupe merge.
+    """
+    h, w = edges.shape
     scores = _score_uniques(grad_angles, edges, uniq, uvalid,
                             min_radius=min_radius, max_radius=max_radius,
                             use_conv=use_conv, grads=(dx, dy))
@@ -713,6 +730,24 @@ def find_circles(
         # RANSAC mode gets the same first-class treatment as dense: one
         # dispatch (sampling through NMS fused, caps memoized with
         # grow-retry) and one packed pull, instead of per-stage host syncs.
+        from magnify_tpu.parallel.mesh import (active_mesh,
+                                               sharded_ransac_find_circles)
+        from magnify_tpu.ops.score import RASTER_KEY_LIMIT
+
+        mesh = active_mesh()
+        key_space = ((h + 2 * max_radius + 1) * (w + 2 * max_radius + 1)
+                     * (int(max_radius) - int(min_radius) + 1))
+        if mesh is not None and mesh.size > 1 and key_space <= RASTER_KEY_LIMIT:
+            # Multi-chip: the Monte-Carlo iterations shard across the mesh
+            # (presence-bitmask OR merge); byte-identical to single-chip.
+            return sharded_ransac_find_circles(
+                np.asarray(image) if host_image is None else host_image,
+                mesh, low_edge_quantile, high_edge_quantile,
+                grid_length=int(grid_length), num_iter=int(num_iter),
+                min_radius=int(min_radius), max_radius=int(max_radius),
+                min_roundness=float(min_roundness), min_dist=int(min_dist),
+                seed=int(seed),
+            )
         if host_image is not None:
             image = jnp.asarray(host_image)
         key = jax.random.PRNGKey(seed)

@@ -81,6 +81,27 @@ def candidate_circles(edges, grid_length: int, num_iter: int, key):
     (callers must then treat all rows as invalid, mirroring the
     empty-coords early-out at utils.py:300-301).
     """
+    return _candidate_circles_impl(edges, grid_length, num_iter, key,
+                                   jnp.int32(0), num_iter)
+
+
+def _candidate_circles_impl(edges, grid_length: int, num_iter: int, key,
+                            start, count: int):
+    """Core of :func:`candidate_circles`, computing only iterations
+    ``start .. start + count`` of the ``num_iter``-long counter-based
+    stream.
+
+    The random streams are always generated at the FULL ``num_iter`` shape
+    and then dynamically sliced, so the candidates a slice produces are
+    byte-identical to the corresponding rows of the full run — that is
+    what lets a device mesh split the Monte-Carlo iterations across chips
+    (each chip takes a disjoint slice) while the union of proposals stays
+    exactly the single-chip proposal set
+    (:func:`magnify_tpu.parallel.mesh.sharded_ransac_find_circles`).
+    Stream generation is cheap (counter-based threefry, ~0.4 ms at 5e6);
+    the expensive parts — the row gathers and circumcircle algebra — run
+    at the ``count`` shape only.
+    """
     h, w = edges.shape
     flat = edges.reshape(-1).astype(jnp.int32)
     total = flat.sum()
@@ -123,7 +144,10 @@ def candidate_circles(edges, grid_length: int, num_iter: int, key):
     # edge pixels compacted at the front, so one gather replaces a binary
     # search over a cumsum (20x fewer random reads per sample).
     k0, k1, k2 = jax.random.split(key, 3)
-    u0 = jax.random.randint(k0, (num_iter,), 0, jnp.maximum(total, 1))
+    start = jnp.asarray(start, jnp.int32)
+    u0 = jax.lax.dynamic_slice(
+        jax.random.randint(k0, (num_iter,), 0, jnp.maximum(total, 1)),
+        (start,), (count,))
     p0_flat = _gather_rows(order, u0)
     p0r = p0_flat // w
     p0c = p0_flat % w
@@ -144,8 +168,10 @@ def candidate_circles(edges, grid_length: int, num_iter: int, key):
     # < grid_length^2 / 2^24 (~2e-5 at the default grid) — the reference's
     # own modulo sampling is similarly biased at the last count.
     cf = c_counts.astype(jnp.float32)
-    u1 = jax.random.uniform(k1, (num_iter,), jnp.float32)
-    u2 = jax.random.uniform(k2, (num_iter,), jnp.float32)
+    u1 = jax.lax.dynamic_slice(
+        jax.random.uniform(k1, (num_iter,), jnp.float32), (start,), (count,))
+    u2 = jax.lax.dynamic_slice(
+        jax.random.uniform(k2, (num_iter,), jnp.float32), (start,), (count,))
     off1 = jnp.minimum((u1 * cf).astype(jnp.int32), c_counts - 1)
     off2 = jnp.minimum((u2 * cf).astype(jnp.int32), c_counts - 1)
     p1_flat = _gather_rows(order, c_starts + off1)

@@ -69,6 +69,28 @@ def dedupe_circles(circles, valid, *, height: int, width: int, min_radius: int,
     ``n_unique`` hold decoded garbage — callers must mask by
     ``unique_valid``.
     """
+    row, col, rad, ok = _round_filter(circles, valid, height=height,
+                                      width=width, min_radius=min_radius,
+                                      max_radius=max_radius)
+
+    kh = height + 2 * max_radius + 1
+    kw = width + 2 * max_radius + 1
+    kr_range = max_radius - min_radius + 1
+    key_space = kh * kw * kr_range
+    if key_space > RASTER_KEY_LIMIT:
+        return _dedupe_sorted(row, col, rad, ok, max_radius, cap)
+
+    words = _presence_words(row, col, rad, ok, height=height, width=width,
+                            min_radius=min_radius, max_radius=max_radius)
+    return compact_from_words(words, height=height, width=width,
+                              min_radius=min_radius, max_radius=max_radius,
+                              cap=cap)
+
+
+def _round_filter(circles, valid, *, height: int, width: int,
+                  min_radius: int, max_radius: int):
+    """Round candidates to int triples and apply the reference's radius and
+    off-image bound filters (utils.py:155-166)."""
     if isinstance(circles, (tuple, list)):
         rowf, colf, radf = circles
     else:
@@ -80,28 +102,37 @@ def dedupe_circles(circles, valid, *, height: int, width: int, min_radius: int,
     ok &= (rad >= min_radius) & (rad <= max_radius)
     ok &= (row + rad >= 0) & (col + rad >= 0)
     ok &= (row - rad < height) & (col - rad < width)
+    return row, col, rad, ok
 
-    kh = height + 2 * max_radius + 1
+
+def _presence_words(row, col, rad, ok, *, height: int, width: int,
+                    min_radius: int, max_radius: int):
+    """Presence bitmask over the (row, col, radius) key raster.
+
+    Presence raster, padded to whole 128-lane blocks, then packed into
+    32-bit bitmask words. Compaction avoids any key_space-sized scatter
+    (a 5.5M-element index scatter measured ~37 ms at 1024^2 — XLA
+    scatters are per-INPUT-element bound like gathers) AND any
+    (cap, 128)-shaped intermediate (a block-granular variant paid ~31 ms
+    in cumsum/select traffic): per-WORD popcounts give each word's
+    output offset (one cumsum over key_space/32 words), a scatter-max +
+    running max assigns each output slot its source word, and one row
+    gather + 5-step popcount bisection picks the slot's bit. Measured
+    75 -> 50 ms in-frame at 5e6 candidates (scripts/
+    dedupe_substage_time.py: presence scatter 41, rank + compact ~8.5).
+
+    Split from :func:`compact_from_words` so a device mesh can build
+    per-chip presence words over disjoint candidate slices and bitwise-OR
+    them before one replicated compaction — set union is exactly OR on
+    the bitmask, which is what makes the mesh RANSAC path bit-identical
+    to single-chip by construction.
+    """
     kw = width + 2 * max_radius + 1
     kr_range = max_radius - min_radius + 1
-    key_space = kh * kw * kr_range
-    if key_space > RASTER_KEY_LIMIT:
-        return _dedupe_sorted(row, col, rad, ok, max_radius, cap)
-
+    key_space = (height + 2 * max_radius + 1) * kw * kr_range
     key = ((row + max_radius) * kw + (col + max_radius)) * kr_range + (
         rad - min_radius
     )
-    # Presence raster, padded to whole 128-lane blocks, then packed into
-    # 32-bit bitmask words. Compaction avoids any key_space-sized scatter
-    # (a 5.5M-element index scatter measured ~37 ms at 1024^2 — XLA
-    # scatters are per-INPUT-element bound like gathers) AND any
-    # (cap, 128)-shaped intermediate (a block-granular variant paid ~31 ms
-    # in cumsum/select traffic): per-WORD popcounts give each word's
-    # output offset (one cumsum over key_space/32 words), a scatter-max +
-    # running max assigns each output slot its source word, and one row
-    # gather + 5-step popcount bisection picks the slot's bit. Measured
-    # 75 -> 50 ms in-frame at 5e6 candidates (scripts/
-    # dedupe_substage_time.py: presence scatter 41, rank + compact ~8.5).
     nb = -(-key_space // 128)
     live = jnp.zeros((nb * 128,), jnp.bool_).at[
         jnp.where(ok, key, nb * 128)
@@ -110,7 +141,20 @@ def dedupe_circles(circles, valid, *, height: int, width: int, min_radius: int,
     nw = nb * 4
     lanes = jax.lax.broadcasted_iota(jnp.uint32, (nb, 128), 1)
     bits = jnp.where(blocks, jnp.uint32(1) << (lanes & 31), jnp.uint32(0))
-    words = bits.reshape(nb, 4, 32).sum(axis=2, dtype=jnp.uint32).reshape(nw)
+    return bits.reshape(nb, 4, 32).sum(axis=2, dtype=jnp.uint32).reshape(nw)
+
+
+def compact_from_words(words, *, height: int, width: int, min_radius: int,
+                       max_radius: int, cap: int):
+    """Rank + compact + decode unique circles from presence bitmask words.
+
+    The second half of :func:`dedupe_circles`'s raster path; ``words`` is
+    the :func:`_presence_words` bitmask (possibly OR-merged across mesh
+    devices). Returns (unique int32 (cap, 3), valid bool (cap,), n_unique).
+    """
+    kw = width + 2 * max_radius + 1
+    kr_range = max_radius - min_radius + 1
+    nw = words.shape[0]
     wsum = jax.lax.population_count(words).astype(jnp.int32)
     wcsum = jnp.cumsum(wsum)
     n_unique = wcsum[-1]

@@ -32,6 +32,7 @@ __all__ = [
     "sharded_find_circles",
     "sharded_find_circles_batch",
     "sharded_find_circles_batch_packed",
+    "sharded_ransac_find_circles",
     "use_mesh",
 ]
 
@@ -571,6 +572,159 @@ def sharded_find_circles_batch_packed(
     )
     return _pack_accepted_batch(circles, scores, accepted, n_keep,
                                 pull_cap=pull_cap)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded RANSAC (reference-faithful sampling split across chips)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _ransac_mesh_program(mesh: Mesh, h: int, w: int, *, grid_length: int,
+                         num_iter: int, min_radius: int, max_radius: int,
+                         unique_cap: int, nms_cap: int, min_dist: int,
+                         pull_cap: int, use_conv: bool, normalized: bool):
+    """Build (and cache per static config) the sharded RANSAC program.
+
+    Parallelization: the ``num_iter`` Monte-Carlo iterations — the hot
+    axis (reference utils.py:295-344's ``prange``) — split across ALL mesh
+    devices. Each chip runs the (cheap) edge stack replicated, draws the
+    SAME counter-based random streams and takes a disjoint slice
+    (ops.ransac._candidate_circles_impl), builds presence bitmask words
+    over its slice's rounded triples, and an all_gather + bitwise-OR
+    merges them: set union is exactly OR on the presence raster, so the
+    merged words — and everything downstream (compaction order, scores,
+    sort, NMS) — are byte-identical to the single-chip
+    ops.detect._stage_ransac_packed by construction. The replicated tail
+    (compact + score + sort + NMS) is ~15% of the single-chip frame; the
+    sharded bins (proposal gathers + presence scatter, ~100 of 124 ms at
+    5e6 iters on v5e) scale with device count.
+    """
+    from magnify_tpu.ops import detect as ops_detect
+    from magnify_tpu.ops.edge import edge_pipeline
+    from magnify_tpu.ops.ransac import _candidate_circles_impl
+    from magnify_tpu.ops.score import _presence_words, _round_filter, \
+        compact_from_words
+
+    n_dev = mesh.size
+    chunk = -(-num_iter // n_dev)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    def run(img, lo, hi, thr, key):
+        dev = (jax.lax.axis_index("batch") * jax.lax.axis_size("space")
+               + jax.lax.axis_index("space"))
+        # Clamp the slice start so the tail device stays in bounds; the
+        # ownership mask below un-counts the overlap rows (they belong to
+        # the previous device's range), keeping the union an exact
+        # partition of iterations 0..num_iter.
+        start = jnp.minimum(dev * chunk, num_iter - chunk)
+        edges, dx, dy, grad_angles = edge_pipeline(
+            img, lo[0], hi[0], normalized=normalized)
+        cands, any_edges = _candidate_circles_impl(
+            edges, grid_length, num_iter, key, start, chunk)
+        gi = start + jnp.arange(chunk, dtype=jnp.int32)
+        own = (gi >= dev * chunk) & (gi < jnp.minimum(
+            (dev + 1) * chunk, num_iter))
+        row, col, rad, ok = _round_filter(
+            cands, own & any_edges, height=h, width=w,
+            min_radius=min_radius, max_radius=max_radius)
+        words = _presence_words(row, col, rad, ok, height=h, width=w,
+                                min_radius=min_radius, max_radius=max_radius)
+        # Union across the mesh: one all_gather of the packed bitmask
+        # (key_space/32 uint32 words, ~3 MB at 1024^2) + an unrolled OR.
+        gathered = jax.lax.all_gather(words, ("batch", "space"))
+        merged = gathered[0]
+        for d in range(1, n_dev):
+            merged = merged | gathered[d]
+        uniq, uvalid, n_unique = compact_from_words(
+            merged, height=h, width=w, min_radius=min_radius,
+            max_radius=max_radius, cap=unique_cap)
+        return ops_detect.ransac_score_pack(
+            edges, dx, dy, grad_angles, uniq, uvalid, n_unique, thr[0],
+            min_radius=min_radius, max_radius=max_radius, nms_cap=nms_cap,
+            min_dist=min_dist, pull_cap=pull_cap, use_conv=use_conv,
+        )
+
+    return jax.jit(run)
+
+
+def sharded_ransac_find_circles(
+    image,
+    mesh: Mesh,
+    low_edge_quantile: float,
+    high_edge_quantile: float,
+    *,
+    grid_length: int,
+    num_iter: int,
+    min_radius: int,
+    max_radius: int,
+    min_roundness: float,
+    min_dist: int,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Mesh-sharded RANSAC detection with the single-chip contract.
+
+    Drop-in for the ransac branch of :func:`magnify_tpu.ops.detect.
+    find_circles` when a multi-device mesh is active: same inputs, same
+    (circles, scores) outputs — byte-identical to single-chip (the
+    Monte-Carlo iterations shard; the candidate SET, not the RNG, is what
+    detection depends on, and the set is preserved exactly). Falls back to
+    caps grow-retry exactly like the single-chip path.
+    """
+    from magnify_tpu.ops import detect as ops_detect
+    from magnify_tpu.ops.score import RASTER_KEY_LIMIT
+
+    h, w = image.shape
+    key_space = ((h + 2 * max_radius + 1) * (w + 2 * max_radius + 1)
+                 * (max_radius - min_radius + 1))
+    if key_space > RASTER_KEY_LIMIT:
+        raise ValueError(
+            "sharded RANSAC requires the raster dedupe (key space "
+            f"{key_space} > {RASTER_KEY_LIMIT}); use the dense detector or "
+            "a single chip for planes this large."
+        )
+
+    mesh_id = tuple(sorted(mesh.shape.items()))
+    memo_key = ("ransac_mesh", h, w, int(min_radius), int(max_radius),
+                mesh_id)
+    keep_key = ("ransac_mesh_keep", h, w, int(min_radius), int(max_radius),
+                mesh_id)
+    ucap = ops_detect._cap_memo.get(memo_key, 4096)
+    ncap = ops_detect._cap_memo.get(keep_key, 4096)
+    pull_cap = 511
+    img = jnp.asarray(np.ascontiguousarray(image)
+                      if not isinstance(image, jax.Array) else image)
+    lo = jnp.asarray([low_edge_quantile], jnp.float32)
+    hi = jnp.asarray([high_edge_quantile], jnp.float32)
+    thr = jnp.asarray([min_roundness], jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    while True:
+        run = _ransac_mesh_program(
+            mesh, h, w, grid_length=int(grid_length),
+            num_iter=int(num_iter), min_radius=int(min_radius),
+            max_radius=int(max_radius), unique_cap=ucap, nms_cap=ncap,
+            min_dist=int(min_dist), pull_cap=pull_cap,
+            use_conv=ops_detect._use_conv_scorer(), normalized=False)
+        packed_d, full_d = run(img, lo, hi, thr, key)
+        packed = np.asarray(packed_d)  # the single transfer + sync
+        n_acc = unpack_count(packed[0, 0])
+        n_keep = unpack_count(packed[0, 1])
+        n_unique = unpack_count(packed[0, 2])
+        if n_unique > ucap:
+            ucap = ops_detect._grow_cap(n_unique, ucap)
+            continue
+        if n_keep > ncap:
+            ncap = ops_detect._grow_cap(n_keep, ncap)
+            continue
+        ops_detect._cap_memo[memo_key] = ucap
+        ops_detect._cap_memo[keep_key] = ncap
+        break
+    rows = packed[1:1 + min(n_acc, pull_cap)]
+    if n_acc > pull_cap:
+        rows = np.concatenate([rows, np.asarray(full_d[pull_cap:n_acc])])
+    return rows[:, :3].astype(np.int32), rows[:, 3].copy()
 
 
 def sharded_find_circles(

@@ -171,6 +171,78 @@ def test_sharded_find_circles_matches_single_chip_on_noise(devices):
         assert len(ref_c) == 6
 
 
+def test_mesh_ransac_matches_single_chip(devices):
+    """detector="ransac" under an active mesh shards the Monte-Carlo
+    iterations across devices (disjoint slices of the same counter-based
+    streams; presence-bitmask OR merge) and must be BYTE-identical to the
+    single-chip fused ransac program — circles and scores — including when
+    the device count does not divide num_iter (the tail device's clamped
+    slice overlaps its neighbor and the ownership mask un-counts the
+    overlap)."""
+    from magnify_tpu.ops import detect as ops_detect
+    from magnify_tpu.parallel import make_mesh, use_mesh
+    from magnify_tpu.utils import filled_circle_points
+
+    rng = np.random.default_rng(3)
+    img = (rng.normal(0, 6, (192, 160)) + 30).astype(np.float32)
+    for (r, c, rad) in [(40, 50, 9), (100, 90, 12), (150, 30, 7),
+                        (60, 130, 10)]:
+        pts = filled_circle_points(rad)
+        img[pts[:, 0] + r, pts[:, 1] + c] += 140
+
+    kw = dict(low_edge_quantile=0.1, high_edge_quantile=0.9, grid_length=16,
+              min_radius=5, max_radius=14, min_roundness=0.25, min_dist=8,
+              seed=1)
+    mesh = make_mesh(batch=2, space=4)
+    for num_iter in (16_000, 16_001):  # 8 | 16000; 16001 exercises the clamp
+        ref_c, ref_s = ops_detect.find_circles(
+            img, detector="ransac", num_iter=num_iter, **kw)
+        with use_mesh(mesh):
+            got_c, got_s = ops_detect.find_circles(
+                img, detector="ransac", num_iter=num_iter, **kw)
+        np.testing.assert_array_equal(got_c, ref_c)
+        np.testing.assert_array_equal(got_s, ref_s)
+        # most of the drawn beads must be among the detections (Monte-Carlo
+        # sampling at this budget may miss one)
+        found = {tuple(row[:2]) for row in ref_c}
+        hits = sum(
+            any(abs(f[0] - c0) <= 2 and abs(f[1] - c1) <= 2 for f in found)
+            for (c0, c1) in [(40, 50), (100, 90), (150, 30), (60, 130)]
+        )
+        assert hits >= 3, sorted(found)
+
+
+@pytest.mark.heavy_mesh
+def test_mesh_ransac_empty_and_space_major(devices):
+    """Sharded ransac on an edge-free plane returns 0 circles (the
+    any_edges guard replicates), and a space-major (1, 8) mesh matches the
+    (2, 4) result — the iteration split depends only on the flattened
+    device index."""
+    from magnify_tpu.ops import detect as ops_detect
+    from magnify_tpu.parallel import make_mesh, use_mesh
+    from magnify_tpu.utils import filled_circle_points
+
+    flat = np.full((96, 128), 50.0, np.float32)
+    kw = dict(low_edge_quantile=0.1, high_edge_quantile=0.9, grid_length=16,
+              num_iter=8_000, min_radius=5, max_radius=12,
+              min_roundness=0.25, min_dist=8, seed=0)
+    with use_mesh(make_mesh(batch=1, space=8)):
+        c, s = ops_detect.find_circles(flat, detector="ransac", **kw)
+    assert len(c) == 0 and len(s) == 0
+
+    rng = np.random.default_rng(7)
+    img = (rng.normal(0, 5, (96, 128)) + 40).astype(np.float32)
+    pts = filled_circle_points(8)
+    img[pts[:, 0] + 48, pts[:, 1] + 64] += 120
+    with use_mesh(make_mesh(batch=2, space=4)):
+        c24, s24 = ops_detect.find_circles(img, detector="ransac", **kw)
+    with use_mesh(make_mesh(batch=1, space=8)):
+        c18, s18 = ops_detect.find_circles(img, detector="ransac", **kw)
+    np.testing.assert_array_equal(c24, c18)
+    np.testing.assert_array_equal(s24, s18)
+    assert any(abs(r - 48) <= 2 and abs(cc - 64) <= 2 for r, cc, _ in c24)
+
+
 def test_beads_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
     """mg.beads under use_mesh (detection sharded over 8 devices) returns
     the same marks as the single-device run."""
