@@ -138,27 +138,29 @@ def main():
 
     out["canny_ms"] = round(time_chained(canny_only, dx, dy), 3)
 
-    # --- folded score maps --------------------------------------------------
-    edges_d, _, _, ga_d = jax.jit(functools.partial(
+    # --- folded score maps (production form: features from grads) ----------
+    edges_d, dx_d, dy_d, _ga_d = jax.jit(functools.partial(
         edge_ops.edge_pipeline, normalized=True))(plane, 0.1, 0.9)
     pad = 2 * MAX_R
-    gap = jnp.pad(ga_d, pad)
     egp = jnp.pad(edges_d, pad)
+    dxp = jnp.pad(dx_d, pad)
+    dyp = jnp.pad(dy_d, pad)
 
     def maps(reps):
         @jax.jit
-        def run(g, e):
+        def run(e, gx, gy):
             def body(carry, _):
-                cg, ce = carry
+                ce, cx, cy = carry
                 folded, _s = score_maps_folded(
-                    cg, ce, min_radius=MIN_R, max_radius=MAX_R)
+                    None, ce, min_radius=MIN_R, max_radius=MAX_R,
+                    grads=(cx, cy))
                 s = folded[0, 0, 0]
-                return (cg + s * 1e-20, ce), s
-            _, outs = jax.lax.scan(body, (g, e), None, length=reps)
+                return (ce, cx + s * 1e-20, cy), s
+            _, outs = jax.lax.scan(body, (e, gx, gy), None, length=reps)
             return outs.sum()
         return run
 
-    out["score_maps_ms"] = round(time_chained(maps, gap, egp), 3)
+    out["score_maps_ms"] = round(time_chained(maps, egp, dxp, dyp), 3)
 
     # --- frame minus NMS (min_dist=0 skips NMS) ----------------------------
     kw0 = dict(kw, min_dist=0)
