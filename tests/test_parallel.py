@@ -1,5 +1,6 @@
 """Multi-device sharding tests (8 virtual CPU devices; see conftest)."""
 
+import os
 import time
 
 import jax
@@ -533,3 +534,58 @@ def test_multihost_skeleton_single_process(devices):
         np.testing.assert_array_equal(np.asarray(circles[b])[acc], ref_c)
         np.testing.assert_array_equal(np.asarray(scores[b])[acc], ref_s)
         assert len(ref_c) == want_n
+
+
+@pytest.mark.heavy_mesh
+def test_multihost_two_process_dcn(tmp_path):
+    """REAL multi-controller DCN run: two OS processes x 4 virtual CPU
+    devices each, joined by jax.distributed.initialize + gloo CPU
+    collectives (the loopback stand-in for DCN). Each process loads only
+    its host_shard_keys planes, assembles the global stack, runs the
+    sharded detector over the hosts-spanning mesh, asserts bit-identity
+    against its local single-chip run, and all_gathers counts across
+    hosts (tests/_dcn_worker.py drives the full docs/multihost.md
+    recipe)."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = Path(__file__).parent / "_dcn_worker.py"
+    procs, logs = [], []
+    for pid in range(2):
+        log = open(tmp_path / f"worker{pid}.log", "w")
+        logs.append(log)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(port),
+             str(tmp_path / f"out{pid}.json")],
+            stdout=log, stderr=subprocess.STDOUT, env=dict(os.environ),
+        ))
+    try:
+        codes = [p.wait(timeout=900) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for log in logs:
+            log.close()
+    tails = [
+        (tmp_path / f"worker{i}.log").read_text()[-4000:] for i in range(2)
+    ]
+    if any(codes) and any(
+        m in t for t in tails
+        for m in ("collectives implementation", "DISTRIBUTED_INIT",
+                  "Unimplemented")
+    ):
+        pytest.skip(f"multi-process CPU collectives unavailable: {tails[0]}")
+    assert codes == [0, 0], f"\n--- worker0 ---\n{tails[0]}" \
+                            f"\n--- worker1 ---\n{tails[1]}"
+    import json as _json
+
+    for pid, want in ((0, 2), (1, 1)):
+        got = _json.loads((tmp_path / f"out{pid}.json").read_text())
+        assert got == {"pid": pid, "found": want, "counts": [2, 1]}
