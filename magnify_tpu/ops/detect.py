@@ -486,6 +486,15 @@ def _stage_dense_packed(image, low_q, high_q, min_roundness, *, min_radius,
         max_radius=max_radius, cap=cap, nms_cap=nms_cap, min_dist=min_dist,
         normalized=normalized,
     )
+    return _pack_accepted(circles, scores, accepted, n_keep,
+                          pull_cap=pull_cap)
+
+
+def _pack_accepted(circles, scores, accepted, n_keep, *, pull_cap):
+    """Compact NMS-accepted circles to the front (score order preserved) and
+    pack [count header; (row, col, radius, score) rows] into a
+    (pull_cap + 1, 4) float32 block. Shared by the single-plane and batched
+    packed programs."""
     total = circles.shape[0]
     rank = jnp.cumsum(accepted) - 1
     n_acc = accepted.sum()
@@ -511,6 +520,71 @@ def _stage_dense(image, low_q, high_q, min_roundness, *, min_radius,
     return _dense_candidates(image, low_q, high_q, min_roundness,
                              min_radius=min_radius, max_radius=max_radius,
                              cap=cap)
+
+
+def _folded_survivors(folded, s, *, hp, wp, h, w, pad, min_radius,
+                      min_roundness, cap):
+    """Threshold + rank + sort survivors of one plane's FOLDED score maps.
+
+    Returns ``(neg_scores, cand_lin, n_keep)`` with ``cand_lin`` the
+    UNFOLDED row-major flat index (the layout-independent sort key).
+    Factored out of :func:`_dense_candidates` so the batched program can
+    vmap this tail around a natively batched score conv.
+    """
+    _c, hq, wq = folded.shape
+    ch = jax.lax.broadcasted_iota(jnp.int32, folded.shape, 0)
+    ri = ch // (s * s)
+    y = jax.lax.broadcasted_iota(jnp.int32, folded.shape, 1) * s \
+        + (ch // s) % s
+    x = jax.lax.broadcasted_iota(jnp.int32, folded.shape, 2) * s \
+        + ch % s
+    rows = y - pad
+    cols = x - pad
+    rads = ri + min_radius
+    ok = (y < hp) & (x < wp)  # fold padding rows/cols carry garbage
+    ok &= (rows + rads >= 0) & (cols + rads >= 0)
+    ok &= (rows - rads < h) & (cols - rads < w)
+    keep = ok & (folded >= min_roundness)
+
+    # Rank-search in the conv output's NATIVE minor dim (wq-wide rows):
+    # regrouping the flat mask into power-of-two rows reads as a free
+    # reshape but crosses the 67-wide minor-dim boundary, so XLA must
+    # materialize a physical relayout of the whole padded volume — and
+    # the flat folded.reshape(-1)[src] gather forces a second one.
+    # Prefix-chained measurement at 1024^2: the keep+rank step cost
+    # 1.57 ms in-frame vs 0.12 ms isolated until both relayouts were
+    # removed (minor-dim-preserving reshapes are views; the score read
+    # becomes a row gather + one-hot column pick). Flat indices are
+    # unchanged, so results are bit-identical.
+    k2 = keep.reshape(-1, wq)
+    src, n_keep = ranked_survivor_sources(k2, cap)
+    targets = jnp.arange(1, cap + 1, dtype=n_keep.dtype)
+    in_range = targets <= n_keep
+    frows = folded.reshape(-1, wq)[src // wq]  # (cap, wq) row gather
+    onehot = (src % wq)[:, None] == jnp.arange(wq)[None, :]
+    sel_scores = jnp.where(in_range, jnp.where(onehot, frows, 0).sum(1),
+                           -jnp.inf)
+    # Folded flat index -> unfolded row-major index (the sort key the
+    # unfolded path uses, keeping results identical across layouts).
+    fch = src // (hq * wq)
+    frem = src % (hq * wq)
+    fy = (frem // wq) * s + (fch // s) % s
+    fx = (frem % wq) * s + fch % s
+    lin = ((fch // (s * s)) * hp + fy) * wp + fx
+    neg, cand_lin = jax.lax.sort((-sel_scores, lin), num_keys=2)
+    return neg, cand_lin, n_keep
+
+
+def _candidates_from_lin(neg, cand_lin, n_keep, *, hp, wp, pad, min_radius):
+    """Decode sorted (negated score, unfolded flat index) pairs into the
+    (circles, scores, n_keep) contract of :func:`_dense_candidates`."""
+    cand_scores = -neg
+    r_idx = cand_lin // (hp * wp)
+    rem = cand_lin % (hp * wp)
+    circles = jnp.stack(
+        [rem // wp - pad, rem % wp - pad, r_idx + min_radius], axis=1
+    ).astype(jnp.int32)
+    return circles, cand_scores, n_keep
 
 
 def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
@@ -560,47 +634,9 @@ def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
         folded, s = score_maps_folded(None, eg, min_radius=min_radius,
                                       max_radius=max_radius,
                                       grads=(dxp, dyp))
-        _c, hq, wq = folded.shape
-        ch = jax.lax.broadcasted_iota(jnp.int32, folded.shape, 0)
-        ri = ch // (s * s)
-        y = jax.lax.broadcasted_iota(jnp.int32, folded.shape, 1) * s \
-            + (ch // s) % s
-        x = jax.lax.broadcasted_iota(jnp.int32, folded.shape, 2) * s \
-            + ch % s
-        rows = y - pad
-        cols = x - pad
-        rads = ri + min_radius
-        ok = (y < hp) & (x < wp)  # fold padding rows/cols carry garbage
-        ok &= (rows + rads >= 0) & (cols + rads >= 0)
-        ok &= (rows - rads < h) & (cols - rads < w)
-        keep = ok & (folded >= min_roundness)
-
-        # Rank-search in the conv output's NATIVE minor dim (wq-wide rows):
-        # regrouping the flat mask into power-of-two rows reads as a free
-        # reshape but crosses the 67-wide minor-dim boundary, so XLA must
-        # materialize a physical relayout of the whole padded volume — and
-        # the flat folded.reshape(-1)[src] gather forces a second one.
-        # Prefix-chained measurement at 1024^2: the keep+rank step cost
-        # 1.57 ms in-frame vs 0.12 ms isolated until both relayouts were
-        # removed (minor-dim-preserving reshapes are views; the score read
-        # becomes a row gather + one-hot column pick). Flat indices are
-        # unchanged, so results are bit-identical.
-        k2 = keep.reshape(-1, wq)
-        src, n_keep = ranked_survivor_sources(k2, cap)
-        targets = jnp.arange(1, cap + 1, dtype=n_keep.dtype)
-        in_range = targets <= n_keep
-        frows = folded.reshape(-1, wq)[src // wq]  # (cap, wq) row gather
-        onehot = (src % wq)[:, None] == jnp.arange(wq)[None, :]
-        sel_scores = jnp.where(in_range, jnp.where(onehot, frows, 0).sum(1),
-                               -jnp.inf)
-        # Folded flat index -> unfolded row-major index (the sort key the
-        # unfolded path uses, keeping results identical across layouts).
-        fch = src // (hq * wq)
-        frem = src % (hq * wq)
-        fy = (frem // wq) * s + (fch // s) % s
-        fx = (frem % wq) * s + fch % s
-        lin = ((fch // (s * s)) * hp + fy) * wp + fx
-        neg, cand_lin = jax.lax.sort((-sel_scores, lin), num_keys=2)
+        neg, cand_lin, n_keep = _folded_survivors(
+            folded, s, hp=hp, wp=wp, h=h, w=w, pad=pad,
+            min_radius=min_radius, min_roundness=min_roundness, cap=cap)
     else:
         maps = score_maps(None, eg, min_radius=min_radius,
                           max_radius=max_radius, grads=(dxp, dyp))
@@ -618,13 +654,8 @@ def _dense_candidates(image, low_q, high_q, min_roundness, *, min_radius,
         sel_scores = jnp.where(in_range, maps.reshape(-1)[src], -jnp.inf)
         neg, cand_lin = jax.lax.sort((-sel_scores, src), num_keys=2)
 
-    cand_scores = -neg
-    r_idx = cand_lin // (hp * wp)
-    rem = cand_lin % (hp * wp)
-    circles = jnp.stack(
-        [rem // wp - pad, rem % wp - pad, r_idx + min_radius], axis=1
-    ).astype(jnp.int32)
-    return circles, cand_scores, n_keep
+    return _candidates_from_lin(neg, cand_lin, n_keep, hp=hp, wp=wp,
+                                pad=pad, min_radius=min_radius)
 
 
 def find_circles(
@@ -860,6 +891,77 @@ def _detect_rois(rois, low_q, high_q, min_roundness, keys, *, grid_length,
     return jax.vmap(one)(rois, keys)
 
 
+def _dense_candidates_batch(images, low_q, high_q, min_roundness, *,
+                            min_radius, max_radius, cap, normalized=False):
+    """Batched :func:`_dense_candidates` over (B, H, W) planes.
+
+    The edge stack and the per-plane survivor tail run under ``jax.vmap``,
+    but the folded score conv — the #1 bin — runs NATIVELY at N=B through
+    the leading-batch form of :func:`score_maps_folded`: vmap's batched
+    transposes and B separate N=1 convs measure 2.19 ms/plane at
+    B=16/1024^2 on v5e vs 1.34 natively batched, byte-equal
+    (scripts/batch_maps_experiment.py). Results are bit-identical to the
+    vmapped single-plane program (int8 features + int32 accumulation make
+    the maps exact; the tail is the same code under vmap).
+    """
+    from magnify_tpu.ops.score import _resolve_s2d, score_maps_folded
+
+    _b, h, w = images.shape
+    pad = 2 * max_radius
+    hp, wp = h + 2 * pad, w + 2 * pad
+    if _resolve_s2d(None, (hp, wp)) <= 1:
+        # Small planes fold away: plain vmap of the single-plane program.
+        return jax.vmap(lambda img: _dense_candidates(
+            img.astype(jnp.float32), low_q, high_q, min_roundness,
+            min_radius=min_radius, max_radius=max_radius, cap=cap,
+            normalized=normalized))(images)
+
+    def edge_one(img):
+        edges, dx, dy, _ = edge_pipeline(img.astype(jnp.float32), low_q,
+                                         high_q, normalized=normalized)
+        dxp, eg, _pad = _pad_for_scoring(dx, edges, max_radius)
+        return eg, dxp, jnp.pad(dy, pad)
+
+    eg, dxp, dyp = jax.vmap(edge_one)(images)
+    folded, s = score_maps_folded(None, eg, min_radius=min_radius,
+                                  max_radius=max_radius, grads=(dxp, dyp))
+
+    def tail(f):
+        neg, cand_lin, n_keep = _folded_survivors(
+            f, s, hp=hp, wp=wp, h=h, w=w, pad=pad, min_radius=min_radius,
+            min_roundness=min_roundness, cap=cap)
+        return _candidates_from_lin(neg, cand_lin, n_keep, hp=hp, wp=wp,
+                                    pad=pad, min_radius=min_radius)
+
+    return jax.vmap(tail)(folded)
+
+
+def _stage_dense_full_batch(images, low_q, high_q, min_roundness, *,
+                            min_radius, max_radius, cap, nms_cap, min_dist,
+                            normalized=False):
+    """Batched :func:`_stage_dense_full`: natively batched candidates front,
+    vmapped per-plane NMS tail."""
+    _b, h, w = images.shape
+    circles, scores, n_keep = _dense_candidates_batch(
+        images, low_q, high_q, min_roundness, min_radius=min_radius,
+        max_radius=max_radius, cap=cap, normalized=normalized,
+    )
+
+    def nms_one(circ, sc):
+        c = circ[:nms_cap]
+        s = sc[:nms_cap]
+        if min_dist > 0:
+            accepted = parallel_greedy_nms(c, jnp.isfinite(s),
+                                           min_dist=min_dist, height=h,
+                                           width=w, max_radius=max_radius)
+        else:
+            accepted = jnp.isfinite(s)
+        return c, s, accepted
+
+    c, s, accepted = jax.vmap(nms_one)(circles, scores)
+    return c, s, accepted, n_keep
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("min_radius", "max_radius", "cap", "nms_cap",
@@ -867,14 +969,10 @@ def _detect_rois(rois, low_q, high_q, min_roundness, keys, *, grid_length,
 )
 def _stage_dense_batch(images, low_q, high_q, min_roundness, *, min_radius,
                        max_radius, cap, nms_cap, min_dist):
-    def one(img):
-        return _stage_dense_full(
-            img, low_q, high_q, min_roundness, min_radius=min_radius,
-            max_radius=max_radius, cap=cap, nms_cap=nms_cap,
-            min_dist=min_dist,
-        )
-
-    return jax.vmap(one)(images)
+    return _stage_dense_full_batch(
+        images, low_q, high_q, min_roundness, min_radius=min_radius,
+        max_radius=max_radius, cap=cap, nms_cap=nms_cap, min_dist=min_dist,
+    )
 
 
 @functools.partial(
@@ -885,16 +983,17 @@ def _stage_dense_batch(images, low_q, high_q, min_roundness, *, min_radius,
 def _stage_dense_batch_packed(images, low_q, high_q, min_roundness, *,
                               min_radius, max_radius, cap, nms_cap, min_dist,
                               pull_cap, normalized=False):
-    """Vmapped :func:`_stage_dense_packed`: one small (B, pull_cap+1, 4)
-    transfer carries every plane's accepted circles + counts."""
-    def one(img):
-        return _stage_dense_packed(
-            img, low_q, high_q, min_roundness, min_radius=min_radius,
-            max_radius=max_radius, cap=cap, nms_cap=nms_cap,
-            min_dist=min_dist, pull_cap=pull_cap, normalized=normalized,
-        )
-
-    return jax.vmap(one)(images)
+    """Batched :func:`_stage_dense_packed`: one small (B, pull_cap+1, 4)
+    transfer carries every plane's accepted circles + counts. The score
+    conv runs natively at N=B (see :func:`_dense_candidates_batch`)."""
+    c, s, accepted, n_keep = _stage_dense_full_batch(
+        images, low_q, high_q, min_roundness, min_radius=min_radius,
+        max_radius=max_radius, cap=cap, nms_cap=nms_cap, min_dist=min_dist,
+        normalized=normalized,
+    )
+    return jax.vmap(
+        functools.partial(_pack_accepted, pull_cap=pull_cap)
+    )(c, s, accepted, n_keep)
 
 
 def normalize_planes_u8(images: np.ndarray) -> np.ndarray:
