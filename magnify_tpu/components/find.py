@@ -102,22 +102,40 @@ def _multi_channel_detect(planes, low_q, high_q, min_roundness, dedupe_dist,
     within ``dedupe_dist`` of an earlier channel's circle drop, reference
     find.py:490-500 / find.py:224-227). Traced helper shared by the bead
     frame path and the fused chip step. Returns (circles (S*nms_cap, 3)
-    int32, valid bool, worst per-channel keep count)."""
-    from magnify_tpu.ops.detect import _stage_dense_full
+    int32, valid bool, worst per-channel keep count).
 
-    blocks = []
-    n_keeps = []
-    for ci in range(planes.shape[0]):
-        c, s, acc, nk = _stage_dense_full(
-            planes[ci], low_q, high_q, min_roundness,
+    Multi-channel frames run the channels through the BATCHED detector
+    (one score conv at N=S — see ops.detect._dense_candidates_batch),
+    bit-identical per channel to the single-plane program; S=1 keeps the
+    single-plane form (vmap at B=1 only adds batching overhead)."""
+    from magnify_tpu.ops.detect import (
+        _stage_dense_full,
+        _stage_dense_full_batch,
+    )
+
+    if planes.shape[0] > 1:
+        c, s, acc, nk = _stage_dense_full_batch(
+            planes, low_q, high_q, min_roundness,
             min_radius=min_radius, max_radius=max_radius, cap=cap,
             nms_cap=nms_cap, min_dist=min_dist, normalized=normalized,
         )
-        blocks.append((c, acc))
-        n_keeps.append(nk)
+        blocks = [(c[ci], acc[ci]) for ci in range(planes.shape[0])]
+        n_keep_worst = jnp.max(nk)
+    else:
+        blocks = []
+        n_keeps = []
+        for ci in range(planes.shape[0]):
+            c, s, acc, nk = _stage_dense_full(
+                planes[ci], low_q, high_q, min_roundness,
+                min_radius=min_radius, max_radius=max_radius, cap=cap,
+                nms_cap=nms_cap, min_dist=min_dist, normalized=normalized,
+            )
+            blocks.append((c, acc))
+            n_keeps.append(nk)
+        n_keep_worst = jnp.max(jnp.stack(n_keeps))
 
     circles, valid = _cross_channel_dedupe(blocks, dedupe_dist, nms_cap)
-    return circles, valid, jnp.max(jnp.stack(n_keeps))
+    return circles, valid, n_keep_worst
 
 
 def _cross_channel_dedupe(blocks, dedupe_dist, nms_cap):

@@ -1118,32 +1118,41 @@ def _detect_rois_dense(rois, low_q, high_q, min_roundness, *, min_radius,
                        max_radius):
     """Dense per-ROI detection: the best (center, radius) by exhaustive
     score-map argmax — the num_iter -> inf limit of the RANSAC chamber
-    search, with no sampling and no hill-climb needed."""
+    search, with no sampling and no hill-climb needed.
+
+    The per-ROI edge stacks run under ``jax.vmap``, but the score conv runs
+    ONCE natively at N=n_rois (leading-batch :func:`score_maps`) and the
+    argmax tail is a plain batched reduction — identical results to the
+    fully vmapped per-ROI form (first-max argmax over the same flat
+    layout)."""
     rois = rois.astype(jnp.float32)
     n, l, _ = rois.shape
+    pad = 2 * max_radius
 
-    def one(roi):
+    def edge_one(roi):
         edges, dx, dy, _grad_angles = edge_pipeline(roi, low_q, high_q)
-        dxp, eg, pad = _pad_for_scoring(dx, edges, max_radius)
-        maps = score_maps(None, eg, min_radius=min_radius,
-                          max_radius=max_radius,
-                          grads=(dxp, jnp.pad(dy, pad)))
-        _n_r, hp, wp = maps.shape
-        rows = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 1) - pad
-        cols = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 2) - pad
-        rads = jax.lax.broadcasted_iota(jnp.int32, maps.shape, 0) + min_radius
-        ok = (rows + rads >= 0) & (cols + rads >= 0)
-        ok &= (rows - rads < l) & (cols - rads < l)
-        ok &= maps >= min_roundness
-        flat = jnp.where(ok, maps, -jnp.inf).reshape(-1)
-        best = jnp.argmax(flat)
-        r_idx = best // (hp * wp)
-        rem = best % (hp * wp)
-        circle = jnp.stack([rem // wp - pad, rem % wp - pad,
-                            r_idx + min_radius]).astype(jnp.int32)
-        return circle, flat[best]
+        dxp, eg, _pad = _pad_for_scoring(dx, edges, max_radius)
+        return eg, dxp, jnp.pad(dy, pad)
 
-    return jax.vmap(one)(rois)
+    eg, dxp, dyp = jax.vmap(edge_one)(rois)
+    maps = score_maps(None, eg, min_radius=min_radius,
+                      max_radius=max_radius, grads=(dxp, dyp))
+    _n, _n_r, hp, wp = maps.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, maps.shape[1:], 1) - pad
+    cols = jax.lax.broadcasted_iota(jnp.int32, maps.shape[1:], 2) - pad
+    rads = jax.lax.broadcasted_iota(jnp.int32, maps.shape[1:], 0) \
+        + min_radius
+    ok = (rows + rads >= 0) & (cols + rads >= 0)
+    ok &= (rows - rads < l) & (cols - rads < l)
+    ok = ok[None] & (maps >= min_roundness)
+    flat = jnp.where(ok, maps, -jnp.inf).reshape(n, -1)
+    best = jnp.argmax(flat, axis=1)
+    r_idx = best // (hp * wp)
+    rem = best % (hp * wp)
+    circles = jnp.stack([rem // wp - pad, rem % wp - pad,
+                         r_idx + min_radius], axis=1).astype(jnp.int32)
+    scores = jnp.take_along_axis(flat, best[:, None], axis=1)[:, 0]
+    return circles, scores
 
 
 def detect_best_in_rois(

@@ -531,7 +531,12 @@ def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
     large planes (12*256 -> 5*256 channels; measured 4.35 ms vs s2d=8's
     4.7 ms at 1024^2 on v5e), 8 below 512^2 where the 16-fold's collapsed
     spatial extent starves the MXU's M dimension; 4 elsewhere.
+
+    Like :func:`score_maps_folded`, inputs may carry a LEADING BATCH DIM
+    ((B, Hp, Wp) -> (B, n_radii, Hp, Wp)): the conv runs natively at N=B,
+    which lowers far better than ``jax.vmap`` over the single-plane form.
     """
+    batched = edges.ndim == 3  # (B, Hp, Wp) -> (B, n_radii, Hp, Wp)
     s2d = _resolve_s2d(s2d, edges.shape)
     hp, wp = edges.shape[-2:]
 
@@ -539,12 +544,16 @@ def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
         folded, s2d = score_maps_folded(
             grad_angles, edges, min_radius=min_radius,
             max_radius=max_radius, s2d=s2d, grads=grads, qdtype=qdtype)
+        if batched:
+            maps = jax.vmap(lambda f: _depth_to_space(f, s2d))(folded)
+            return maps[..., :hp, :wp]
         maps = _depth_to_space(folded, s2d)
         return maps[:, :hp, :wp]
 
     qmode = _resolve_qmode(qdtype)
-    x = _alignment_features(grad_angles, edges, grads=grads,
-                            qdtype=qmode)[None]
+    feats = _alignment_features(grad_angles, edges, grads=grads,
+                                qdtype=qmode)
+    x = jnp.moveaxis(feats, 1, 0) if batched else feats[None]
     if qmode == "int8":
         qk, scale = _ring_conv_kernel_q8(min_radius, max_radius)
         out = jax.lax.conv_general_dilated(
@@ -552,16 +561,17 @@ def score_maps(grad_angles, edges, *, min_radius: int, max_radius: int,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             preferred_element_type=jnp.int32,
         )
-        dq = jnp.asarray(scale / (127.0 * 127.0))[:, None, None]
-        return out[0].astype(jnp.float32) * dq
-    kernel = jnp.asarray(_ring_conv_kernel(min_radius, max_radius),
-                         jnp.bfloat16)
-    out = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )
-    return out[0]
+        dq = jnp.asarray(scale / (127.0 * 127.0))[None, :, None, None]
+        out = out.astype(jnp.float32) * dq
+    else:
+        kernel = jnp.asarray(_ring_conv_kernel(min_radius, max_radius),
+                             jnp.bfloat16)
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )
+    return out if batched else out[0]
 
 
 def gather_map_scores(maps, circles, valid, *, min_radius: int):
