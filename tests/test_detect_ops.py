@@ -331,6 +331,109 @@ def test_find_circles_stack_batches_planes():
     assert tuple(c1[0][:2]) == (60, 190)
 
 
+def test_batched_dense_packed_matches_single_plane():
+    """The batched program (native N=B score conv + vmapped tail) must be
+    BIT-identical per plane to the single-plane packed program."""
+    from magnify_tpu.ops.detect import (
+        _stage_dense_batch_packed,
+        _stage_dense_packed,
+        normalize_planes_u8,
+    )
+
+    img = draw_beads((256, 256), [[80, 80], [180, 160], [60, 190]],
+                     diameters=20)
+    stack = np.stack([np.roll(img, 7 * b, axis=1) for b in range(3)])
+    planes = jnp.asarray(normalize_planes_u8(stack).astype(np.float32))
+    kw = dict(min_radius=8, max_radius=12, cap=1024, nms_cap=1024,
+              min_dist=8, pull_cap=63, normalized=True)
+    pb, fb = _stage_dense_batch_packed(planes, 0.1, 0.9, 0.3, **kw)
+    for b in range(3):
+        p1, f1 = _stage_dense_packed(planes[b], 0.1, 0.9, 0.3, **kw)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(pb)[b])
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(fb)[b])
+
+
+def test_multi_channel_detect_batched_matches_sequential():
+    """S>1 channels route through the batched detector; the result must be
+    bit-identical to the sequential per-channel form (same dedupe order)."""
+    import jax
+
+    from magnify_tpu.components.find import (
+        _cross_channel_dedupe,
+        _multi_channel_detect,
+    )
+    from magnify_tpu.ops.detect import _stage_dense_full
+
+    img0 = draw_beads((256, 256), [[80, 80], [180, 160]], diameters=20)
+    img1 = draw_beads((256, 256), [[82, 82], [60, 190]], diameters=20)
+    planes = jnp.asarray(np.stack([img0, img1]).astype(np.float32))
+    kw = dict(min_radius=8, max_radius=12, cap=1024, nms_cap=1024,
+              min_dist=8, normalized=False)
+
+    got_c, got_v, got_nk = jax.jit(
+        lambda p: _multi_channel_detect(p, 0.1, 0.9, 0.3, 16.0, **kw)
+    )(planes)
+
+    blocks, nks = [], []
+    for ci in range(2):
+        c, _s, acc, nk = _stage_dense_full(planes[ci], 0.1, 0.9, 0.3, **kw)
+        blocks.append((c, acc))
+        nks.append(nk)
+    want_c, want_v = _cross_channel_dedupe(blocks, 16.0, 1024)
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    assert int(got_nk) == int(jnp.max(jnp.stack(nks)))
+    # The dedupe must have dropped channel 1's near-duplicate of (80, 80).
+    got = np.asarray(got_c)[np.asarray(got_v)]
+    assert len(got) == 3
+
+
+def test_detect_rois_dense_batch_independent():
+    """The batched N=n_rois score conv must give each ROI the same answer
+    it gets alone (n=1): batching cannot leak across ROIs."""
+    from magnify_tpu.ops.detect import _detect_rois_dense
+
+    rois = np.stack([
+        draw_beads((72, 72), [[36, 36]], diameters=20),
+        draw_beads((72, 72), [[30, 40]], diameters=22),
+        np.zeros((72, 72), np.uint16),
+    ]).astype(np.float32)
+    cb, sb = _detect_rois_dense(jnp.asarray(rois), 0.1, 0.9, 0.2,
+                                min_radius=8, max_radius=16)
+    for i in range(3):
+        c1, s1 = _detect_rois_dense(jnp.asarray(rois[i:i + 1]), 0.1, 0.9,
+                                    0.2, min_radius=8, max_radius=16)
+        np.testing.assert_array_equal(np.asarray(c1)[0], np.asarray(cb)[i])
+        np.testing.assert_array_equal(np.asarray(s1)[0], np.asarray(sb)[i])
+
+
+def test_score_maps_leading_batch_matches_single():
+    """score_maps/score_maps_folded on (B, Hp, Wp) inputs must equal the
+    per-plane calls byte-for-byte (the native-batch conv is exact)."""
+    from magnify_tpu.ops import edge as edge_ops
+    from magnify_tpu.ops.score import score_maps
+
+    img = draw_beads((128, 128), [[40, 40], [60, 90]], diameters=20)
+    stack = np.stack([img, np.roll(img, 9, axis=0)]).astype(np.float32)
+
+    def prep(im):
+        edges, dx, dy, _ = edge_ops.edge_pipeline(jnp.asarray(im), 0.1, 0.9)
+        pad = 2 * 12
+        return (jnp.pad(edges, pad), jnp.pad(dx, pad), jnp.pad(dy, pad))
+
+    eg0, dx0, dy0 = prep(stack[0])
+    eg1, dx1, dy1 = prep(stack[1])
+    want0 = score_maps(None, eg0, min_radius=8, max_radius=12,
+                       grads=(dx0, dy0))
+    want1 = score_maps(None, eg1, min_radius=8, max_radius=12,
+                       grads=(dx1, dy1))
+    got = score_maps(None, jnp.stack([eg0, eg1]), min_radius=8,
+                     max_radius=12,
+                     grads=(jnp.stack([dx0, dx1]), jnp.stack([dy0, dy1])))
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want0))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want1))
+
+
 def test_s2d_conv_matches_plain_conv():
     from magnify_tpu.ops.score import score_maps
 
