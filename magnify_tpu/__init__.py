@@ -15,7 +15,7 @@ factories, ``save``/``load``, the ``component`` decorator, and the plot
 sublibrary ``magnify_tpu.plot``.
 """
 
-__version__ = "0.5.0"
+__version__ = "0.5.1"
 
 __all__ = [
     "parallel",
