@@ -220,19 +220,21 @@ def _dedupe_pack_beads_mesh(circles, accepted, n_keep, dedupe_dist, *,
                        jnp.max(n_keep).astype(jnp.int32), pull_cap)
 
 
-def _bead_detect_packed_mesh(planes_u8, mesh, low_q, high_q, min_roundness,
+def _bead_detect_packed_mesh(planes_q, mesh, low_q, high_q, min_roundness,
                              dedupe_dist, *, min_radius, max_radius, cap,
-                             min_dist, pull_cap):
+                             min_dist, pull_cap, normalized=True):
     """Mesh twin of :func:`_bead_detect_packed`: detection sharded over
     (batch=channels, space=rows) via the proven-bit-identical
     sharded_find_circles_batch, then the shared dedupe+pack finisher.
-    Same minimum-traffic contract: u8 planes up, one packed pull back."""
+    Same minimum-traffic contract: quantized planes up (u8 when
+    ``normalized``, u16 + on-device normalize otherwise), one packed pull
+    back."""
     from magnify_tpu.parallel.mesh import sharded_find_circles_batch
 
     circles, _scores, accepted, n_keep = sharded_find_circles_batch(
-        planes_u8, mesh, float(low_q), float(high_q), float(min_roundness),
+        planes_q, mesh, float(low_q), float(high_q), float(min_roundness),
         min_radius=min_radius, max_radius=max_radius, min_dist=min_dist,
-        cap=cap, normalized=True,
+        cap=cap, normalized=normalized,
     )
     return _dedupe_pack_beads_mesh(circles, accepted, n_keep,
                                    jnp.float32(dedupe_dist),
@@ -519,6 +521,7 @@ def _chip_mesh_finisher(mesh, n_search, num_rows, num_cols, row_dist,
     @jax.jit
     def run(planes_rep, circles, accepted, n_keep, low_q, high_q_roi,
             min_roundness, penalty, ppr, ppc):
+        planes_rep = planes_rep.astype(jnp.float32)  # u8 in, cast on device
         h, w = planes_rep.shape[-2:]
         blocks = [(circles[i], accepted[i]) for i in range(n_search)]
         flat, valid = _cross_channel_dedupe(
@@ -545,29 +548,37 @@ def _chip_mesh_finisher(mesh, n_search, num_rows, num_cols, row_dist,
     return run
 
 
-def _chip_fused_packed_mesh(planes_u8, mesh, low_q, high_q, high_q_roi,
+def _chip_fused_packed_mesh(planes_q, mesh, low_q, high_q, high_q_roi,
                             min_roundness, penalty, ppr, ppc, *, num_rows,
                             num_cols, row_dist, col_dist, top_chamber,
                             left_chamber, chamber_radius, min_radius,
-                            max_radius, cap, min_dist, roi_length):
+                            max_radius, cap, min_dist, roi_length,
+                            normalized=True):
     """Mesh twin of :func:`_chip_fused_packed`: multi-channel detection
     sharded over (batch=channels, space=rows), then the jitted finisher
     (dedupe + grid fit replicated, chamber refinement sharded over all
-    devices). Same packed pull-block contract as the single-chip program."""
+    devices). Same packed pull-block contract as the single-chip program.
+    ``planes_q`` is the host-quantized search stack (u8 when ``normalized``,
+    u16 otherwise — the device then normalizes per plane)."""
     from magnify_tpu.parallel.mesh import sharded_find_circles_batch
 
+    # ONE upload: the detector and the finisher both read the same device
+    # copy of the quantized planes (a second jnp.asarray of the host array
+    # would ship the bytes over the link twice per timestep — and per
+    # CLAUDE.md the relay client retains host RSS per uploaded byte).
+    planes_dev = jnp.asarray(planes_q)
     circles, _scores, accepted, n_keep = sharded_find_circles_batch(
-        planes_u8, mesh, float(low_q), float(high_q), float(min_roundness),
+        planes_dev, mesh, float(low_q), float(high_q), float(min_roundness),
         min_radius=min_radius, max_radius=max_radius, min_dist=min_dist,
-        cap=cap, normalized=True,
+        cap=cap, normalized=normalized,
     )
     finisher = _chip_mesh_finisher(
-        mesh, planes_u8.shape[0], num_rows, num_cols, float(row_dist),
+        mesh, planes_q.shape[0], num_rows, num_cols, float(row_dist),
         float(col_dist), top_chamber, left_chamber, int(chamber_radius),
         int(min_radius), int(max_radius), int(cap), int(roi_length),
     )
     return finisher(
-        jnp.asarray(planes_u8).astype(jnp.float32), circles, accepted,
+        planes_dev, circles, accepted,
         n_keep, jnp.float32(low_q), jnp.float32(high_q_roi),
         jnp.float32(min_roundness), jnp.float32(penalty),
         jnp.asarray(ppr), jnp.asarray(ppc),
@@ -799,15 +810,14 @@ class BeadFinder:
         h, w = image_np.shape[-2:]
 
         # Exactly ops.edge.normalize_to_u8, precomputed on host so only one
-        # byte per pixel crosses the relay.
-        planes = np.empty((len(search_idxs), h, w), np.uint8)
-        for s, ci in enumerate(search_idxs):
-            x = image_np[ci, 0].astype(np.float32)
-            x -= x.min()
-            peak = x.max()
-            if peak > 0:
-                x = 255.0 * x / peak
-            planes[s] = np.trunc(x).astype(np.uint8)
+        # byte per pixel crosses the relay. u8 here IS the reference
+        # semantics bit-for-bit — its bead detection runs on
+        # to_uint8(raw plane) (find.py:466-489 via utils.find_circles) and
+        # nothing downstream re-reads raw pixels, so unlike the chip path
+        # (see choose_upload_precision) there is no precision to recover
+        # with a wider upload.
+        raw_planes = np.ascontiguousarray(image_np[list(search_idxs), 0])
+        planes = ops_detect.normalize_planes_u8(raw_planes)
 
         from magnify_tpu.parallel.mesh import active_mesh
 
@@ -1079,22 +1089,28 @@ class ButtonFinder:
         num_rows, num_cols = tag.shape
         L = self.roi_length
         h, w = images_np.shape[-2:]
-        # Exactly ops.edge.normalize_to_u8 per plane, precomputed on host so
-        # one byte per pixel crosses the relay. Per-chamber re-detection
-        # re-normalizes each crop; on already-uint8-scaled data (and the
-        # binary-valued suite fixtures) this is bit-identical to refining on
-        # raw planes, and within one u8 level otherwise.
+        # Host-quantized search planes, precomputed so 1 B/px (u8, exactly
+        # ops.edge.normalize_to_u8) or 2 B/px (u16, when rare outliers
+        # compress the useful range — ops.detect.choose_upload_precision)
+        # crosses the relay. Per-chamber re-detection re-normalizes each
+        # crop; on already-uint8-scaled data (and the binary-valued suite
+        # fixtures) u8 is bit-identical to refining on raw planes, and the
+        # auto u16 escalation keeps crop re-normalization faithful when a
+        # crop spans only a sliver of the global range (the reference
+        # normalizes each ROI from raw data, utils.py:102-110).
         import time as _time
 
         t0 = _time.perf_counter()
-        planes_u8 = ops_detect.normalize_planes_u8(
-            np.ascontiguousarray(images_np[list(search_idxs)])
-        )
+        raw_planes = np.ascontiguousarray(images_np[list(search_idxs)])
+        precision = ops_detect.choose_upload_precision(raw_planes)
+        normalized = precision == "u8"
+        planes_q = (ops_detect.normalize_planes_u8(raw_planes) if normalized
+                    else ops_detect.normalize_planes_u16(raw_planes))
         from magnify_tpu.parallel.mesh import active_mesh
 
         mesh = active_mesh()
         on_mesh = mesh is not None and mesh.size > 1
-        planes_dev = None if on_mesh else jnp.asarray(planes_u8)
+        planes_dev = None if on_mesh else jnp.asarray(planes_q)
         t1 = _time.perf_counter()
 
         for name, chamber, total, count, dist in (
@@ -1112,7 +1128,7 @@ class ButtonFinder:
         ppc = (tag != "").sum(axis=0).astype(np.float32)
         high_q_roi = 1 - np.pi * self.min_button_radius / L**2
 
-        memo_key = ("chip_fused", planes_u8.shape,
+        memo_key = ("chip_fused", planes_q.shape, precision,
                     self.min_button_radius, self.max_button_radius)
         if on_mesh:
             memo_key += (tuple(sorted(mesh.shape.items())),)
@@ -1130,10 +1146,11 @@ class ButtonFinder:
         while True:
             if on_mesh:
                 packed_d = _chip_fused_packed_mesh(
-                    planes_u8, mesh, float(self.low_edge_quantile),
+                    planes_q, mesh, float(self.low_edge_quantile),
                     float(self.high_edge_quantile), float(high_q_roi),
                     float(self.min_roundness), float(self.cluster_penalty),
-                    jnp.asarray(ppr), jnp.asarray(ppc), cap=cap, **kw,
+                    jnp.asarray(ppr), jnp.asarray(ppc), cap=cap,
+                    normalized=normalized, **kw,
                 )
             else:
                 packed_d = _chip_fused_packed(
@@ -1141,7 +1158,7 @@ class ButtonFinder:
                     float(self.high_edge_quantile), float(high_q_roi),
                     float(self.min_roundness), float(self.cluster_penalty),
                     jnp.asarray(ppr), jnp.asarray(ppc), cap=cap,
-                    normalized=True, **kw,
+                    normalized=normalized, **kw,
                 )
             packed = np.asarray(packed_d)  # the single pull + sync
             worst = ops_detect.unpack_count(packed[0, 0])
@@ -1200,7 +1217,8 @@ class ButtonFinder:
         n_ch = images_np.shape[0]
         last_chip_timings.clear()
         last_chip_timings.update(
-            upload_bytes=int(planes_u8.nbytes),
+            upload_bytes=int(planes_q.nbytes),
+            upload_precision=precision,
             normalize_upload_s=round(t1 - t0, 6),
             dispatch_pull_s=round(t2 - t1, 6),
             host_crops_masks_s=round(_time.perf_counter() - t2, 6),

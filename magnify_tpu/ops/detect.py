@@ -304,20 +304,8 @@ def ransac_score_pack(edges, dx, dy, grad_angles, uniq, uvalid, n_unique,
     else:
         accepted = jnp.isfinite(s)
 
-    total = circles.shape[0]
-    rank = jnp.cumsum(accepted) - 1
-    n_acc = accepted.sum()
-    dest = jnp.where(accepted, rank, total)
-    rows = jnp.concatenate([circles.astype(jnp.float32), s[:, None]], axis=1)
-    compacted = jnp.zeros((total, 4), jnp.float32).at[dest].set(rows,
-                                                                mode="drop")
-    packed = jnp.zeros((pull_cap + 1, 4), jnp.float32)
-    packed = (packed.at[0, 0].set(pack_count(n_acc))
-              .at[0, 1].set(pack_count(n_keep))
-              .at[0, 2].set(pack_count(n_unique)))
-    take = min(pull_cap, total)
-    packed = packed.at[1:1 + take].set(compacted[:take])
-    return packed, compacted
+    return _pack_accepted(circles, s, accepted, n_keep, pull_cap=pull_cap,
+                          extra_counts=(n_unique,))
 
 
 def checkify_enabled() -> bool:
@@ -490,11 +478,15 @@ def _stage_dense_packed(image, low_q, high_q, min_roundness, *, min_radius,
                           pull_cap=pull_cap)
 
 
-def _pack_accepted(circles, scores, accepted, n_keep, *, pull_cap):
+def _pack_accepted(circles, scores, accepted, n_keep, *, pull_cap,
+                   extra_counts=()):
     """Compact NMS-accepted circles to the front (score order preserved) and
     pack [count header; (row, col, radius, score) rows] into a
-    (pull_cap + 1, 4) float32 block. Shared by the single-plane and batched
-    packed programs."""
+    (pull_cap + 1, 4) float32 block. The ONE copy of the packing logic:
+    shared by the single-plane and batched packed programs, the mesh twin
+    (parallel/mesh._pack_accepted_batch vmaps it), and the RANSAC tail
+    (:func:`ransac_score_pack`, which adds its unique count to the header
+    via ``extra_counts``)."""
     total = circles.shape[0]
     rank = jnp.cumsum(accepted) - 1
     n_acc = accepted.sum()
@@ -507,6 +499,8 @@ def _pack_accepted(circles, scores, accepted, n_keep, *, pull_cap):
     packed = jnp.zeros((pull_cap + 1, 4), jnp.float32)
     packed = (packed.at[0, 0].set(pack_count(n_acc))
               .at[0, 1].set(pack_count(n_keep)))
+    for i, count in enumerate(extra_counts):
+        packed = packed.at[0, 2 + i].set(pack_count(count))
     take = min(pull_cap, total)
     packed = packed.at[1:1 + take].set(compacted[:take])
     return packed, compacted
@@ -1006,6 +1000,82 @@ def normalize_planes_u8(images: np.ndarray) -> np.ndarray:
     with np.errstate(invalid="ignore", divide="ignore"):
         x = np.where(peak > 0, 255.0 * x / peak, x)
     return np.trunc(x).astype(np.uint8)
+
+
+def normalize_planes_u16(images: np.ndarray) -> np.ndarray:
+    """Per-plane min-max quantization to uint16 (2 B/px up the link).
+
+    The high-precision escalation of :func:`normalize_planes_u8` for frames
+    whose useful dynamic range is compressed by rare extreme outliers (see
+    :func:`choose_upload_precision`): 65,536 levels keep per-ROI
+    re-normalization faithful where 256 would band. Unlike the u8 twin the
+    device does NOT skip its normalization for u16 uploads (callers pass
+    ``normalized=False``) — the on-device per-plane normalize then matches
+    the reference's ``to_uint8(raw)`` semantics (utils.py:20-27) up to the
+    u16 grid. The f32 rescale is within one level of the exact affine map
+    (65535*x overflows the 24-bit f32 mantissa), so u16 inputs keep
+    ~65,000 distinguishable levels — against u8's 256.
+    """
+    x = images.astype(np.float32)
+    x -= x.min(axis=(-2, -1), keepdims=True)
+    peak = x.max(axis=(-2, -1), keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x = np.where(peak > 0, 65535.0 * x / peak, x)
+    return np.trunc(x).astype(np.uint16)
+
+
+#: 'auto' (default) picks u8 unless outliers crush the useful range;
+#: 'u8'/'u16' force a precision. Read per call (the choice keys new
+#: compiled programs via dtype/static flags, so no import-time snapshot is
+#: needed for trace consistency).
+_UPLOAD_PRECISION_KNOB = "MAGNIFY_TPU_UPLOAD_PRECISION"
+
+
+def choose_upload_precision(planes: np.ndarray) -> str:
+    """Pick the host->device quantization ('u8' or 'u16') for raw planes.
+
+    The minimum-traffic CHIP path ships host-normalized planes instead of
+    raw pixels. u8 (1 B/px) is bit-exactly the reference's own global
+    quantization (``to_uint8(raw plane)``, find.py:209/466), so it is
+    always right for detection — but the chip's per-chamber re-detection
+    then re-normalizes CROPS of the shipped planes, where the reference
+    re-normalizes crops of RAW data (``to_uint8(roi)``, find.py:342): a
+    single saturated speck (a fiducial, a hot pixel cluster) can compress
+    every chamber's contrast into a handful of u8 levels and band the
+    refinement. The bead path has no raw re-read downstream of the global
+    quantize, so it stays u8 unconditionally. Heuristic: escalate to u16
+    when the full min-max range exceeds 4x the 0.1%..99.9% range of a
+    <= 64k-px subsample — i.e. when the extremes are too rare for the
+    subsample to see, which is exactly when u8-of-the-global-range
+    starves per-crop contrast. u16 planes ship 2 B/px with
+    ``normalized=False``: global detection then device-normalizes (same
+    trunc as the reference) while refinement crops keep ~raw contrast.
+    Programs recompile once per (shape, dtype).
+    ``MAGNIFY_TPU_UPLOAD_PRECISION=u8|u16`` overrides.
+    """
+    mode = os.environ.get(_UPLOAD_PRECISION_KNOB, "auto")
+    if mode in ("u8", "u16"):
+        return mode
+    if mode != "auto":
+        raise ValueError(
+            f"{_UPLOAD_PRECISION_KNOB} must be 'auto', 'u8', or 'u16', "
+            f"got {mode!r}")
+    planes = np.asarray(planes)
+    flat = planes.reshape(-1, planes.shape[-2], planes.shape[-1])
+    for plane in flat:
+        lo = float(plane.min())
+        hi = float(plane.max())
+        if hi <= lo:
+            continue
+        stride = max(1, int(np.ceil(np.sqrt(plane.size / 65536.0))))
+        sub = plane[::stride, ::stride]
+        q_lo, q_hi = np.quantile(sub.astype(np.float32), [0.001, 0.999])
+        useful = float(q_hi - q_lo)
+        # useful == 0: the subsample saw only background — the signal is
+        # too sparse to even estimate its range; take the safe precision.
+        if useful <= 0 or (hi - lo) > 4.0 * useful:
+            return "u16"
+    return "u8"
 
 
 def find_circles_stack(

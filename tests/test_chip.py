@@ -351,3 +351,50 @@ def test_fused_timestep_ships_only_u8_search_planes(monkeypatch):
     # ROI crops of the non-uploaded channels still come from the raw stack.
     assert xp.roi.sizes["channel"] == 3
     assert xp.roi.sel(channel="gfp").values.sum() == 0
+
+
+def test_dim_chamber_recovered_under_outlier_compression():
+    """A saturated speck compresses the global u8 range so a dim button
+    quantizes to level 0 — invisible to detection AND to refinement if
+    chamber crops were taken from u8 planes. The upload-precision policy
+    (ops.detect.choose_upload_precision) escalates the fused path to u16,
+    so per-chamber re-normalization recovers the raw crop contrast exactly
+    like the reference's to_uint8(raw roi) (reference find.py:339-355);
+    the dim button's circle is then refined at its true radius. With u8
+    forced, the dim chamber falls back to the unrefined grid center at
+    max_button_radius — pinning that the escalation is what fixes it."""
+    from magnify_tpu.components.find import last_chip_timings
+
+    img = draw_chip((3, 3), value=3000).astype(np.uint16)
+    # One DIM button: full local contrast, but < 1 u8 level of the global
+    # range once the speck saturates it.
+    from magnify_tpu.utils import filled_circle_points
+
+    img[filled_circle_points(R)[:, 0] + 200,
+        filled_circle_points(R)[:, 1] + 200] = 150
+    img[2:5, 2:5] = 65535  # tiny saturated speck, far from any chamber
+
+    xp = run_chip(DataArray(img, dims=("y", "x")), (3, 3),
+                  detector="dense", num_iter=100)
+    assert last_chip_timings["upload_precision"] == "u16"
+    grid_positions_ok(xp, (3, 3))
+    for i, j in [(1, 1), (0, 0), (2, 2)]:
+        r_fg = np.sqrt(xp.fg[i, j].values.sum() / np.pi)
+        assert abs(r_fg - R) < 0.15 * R, (i, j, r_fg)
+
+    # Forced u8: the dim chamber's crop is all zeros, refinement fails,
+    # and fg falls back to the grid center at max_button_radius (16).
+    import os
+
+    os.environ["MAGNIFY_TPU_UPLOAD_PRECISION"] = "u8"
+    try:
+        xp8 = run_chip(DataArray(img, dims=("y", "x")), (3, 3),
+                       detector="dense", num_iter=100)
+    finally:
+        del os.environ["MAGNIFY_TPU_UPLOAD_PRECISION"]
+    assert last_chip_timings["upload_precision"] == "u8"
+    r_fg8 = np.sqrt(xp8.fg[1, 1].values.sum() / np.pi)
+    assert abs(r_fg8 - 16) < 2, r_fg8  # unrefined fallback radius
+    for i, j in [(0, 0), (2, 2)]:  # bright chambers refine fine either way
+        r_fg8 = np.sqrt(xp8.fg[i, j].values.sum() / np.pi)
+        assert abs(r_fg8 - R) < 0.15 * R, (i, j, r_fg8)

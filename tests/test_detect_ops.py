@@ -886,3 +886,48 @@ def test_stack_pull_cap_spill_matches_default():
         assert len(bc) > 4  # the spill branch actually engaged
         np.testing.assert_array_equal(sc, bc)
         np.testing.assert_array_equal(ss, bs)
+
+
+def test_choose_upload_precision(monkeypatch):
+    """Upload-precision policy (the chip minimum-traffic path): u8 for
+    ordinary frames where markers occupy a visible slice of the dynamic
+    range, u16 when rare extreme outliers (a saturated speck) compress the
+    useful range so far that u8-of-the-global-range would band the
+    per-chamber re-normalization (reference find.py:342 re-normalizes each
+    ROI from RAW data); env override wins."""
+    from magnify_tpu.ops.detect import (
+        choose_upload_precision,
+        normalize_planes_u16,
+    )
+    from tests.synth import draw_chip
+
+    ordinary = draw_chip((3, 3), value=1000).astype(np.uint16)[None]
+    assert choose_upload_precision(ordinary) == "u8"
+
+    speck = ordinary.copy()
+    speck[0, 2:5, 2:5] = 65535  # rare saturated outlier
+    assert choose_upload_precision(speck) == "u16"
+
+    # A flat plane has nothing to lose.
+    assert choose_upload_precision(np.zeros((1, 64, 64), np.uint16)) == "u8"
+
+    # Signal too sparse for the subsample to even see -> the safe choice.
+    sparse = np.zeros((1, 512, 512), np.uint16)
+    sparse[0, 100, 100] = 4000
+    assert choose_upload_precision(sparse) == "u16"
+
+    monkeypatch.setenv("MAGNIFY_TPU_UPLOAD_PRECISION", "u8")
+    assert choose_upload_precision(speck) == "u8"
+    monkeypatch.setenv("MAGNIFY_TPU_UPLOAD_PRECISION", "u16")
+    assert choose_upload_precision(ordinary) == "u16"
+    monkeypatch.setenv("MAGNIFY_TPU_UPLOAD_PRECISION", "bogus")
+    with pytest.raises(ValueError, match="MAGNIFY_TPU_UPLOAD_PRECISION"):
+        choose_upload_precision(ordinary)
+
+    # The u16 rescale is monotone and within one level of the exact affine
+    # map (65535*x overflows the 24-bit f32 mantissa, so exact identity is
+    # not achievable) — i.e. it preserves ~65k distinguishable levels.
+    full = np.arange(65536, dtype=np.uint16).reshape(1, 256, 256)
+    q = normalize_planes_u16(full).astype(np.int32)
+    assert np.abs(q - full.astype(np.int32)).max() <= 1
+    assert (np.diff(q.reshape(-1)) >= 0).all()
