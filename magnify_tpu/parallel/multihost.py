@@ -9,9 +9,11 @@ environment exposes exactly one host — is:
 * every host runs the SAME program (JAX multi-controller SPMD, initialized
   with ``jax.distributed.initialize``);
 * the load-key space (tiff pages / zarr chunks / (channel, time) planes)
-  is partitioned deterministically across hosts (:func:`host_shard_keys`) —
-  each host touches only its own files, so ingest bandwidth scales with
-  host count and no image bytes ever cross DCN;
+  is partitioned deterministically across hosts as equal CONTIGUOUS blocks
+  (:func:`host_shard_keys`, matching the global-batch layout
+  :func:`make_global_stack` assembles) — each host touches only its own
+  files, so ingest bandwidth scales with host count and no image bytes
+  ever cross DCN;
 * each host decodes its block and assembles the GLOBAL device array with
   :func:`make_global_stack` (``jax.make_array_from_process_local_data``) —
   placement happens host->local-HBM only, DCN carries nothing but
@@ -37,11 +39,20 @@ __all__ = ["host_shard_keys", "make_global_stack", "multihost_mesh"]
 
 def host_shard_keys(keys, process_index: int | None = None,
                     process_count: int | None = None) -> list:
-    """Deterministic strided partition of load keys across hosts.
+    """Deterministic contiguous-block partition of load keys across hosts.
 
-    Each host loads ``keys[process_index::process_count]`` — round-robin so
-    time-ordered acquisitions balance even when trailing timesteps are
-    missing. Defaults come from the live JAX distributed runtime.
+    Host ``p`` loads ``keys[p*B : (p+1)*B]`` with ``B = len(keys) //
+    process_count`` — the SAME layout :func:`make_global_stack` assembles
+    (host ``p`` owns global batch rows ``[p*B, (p+1)*B)``), so global batch
+    index ``i`` always holds the plane of ``keys[i]``. A strided
+    round-robin split would scramble that correspondence (host 0's local
+    rows would be keys 0, pc, 2*pc, ... but land at global rows 0..B-1)
+    and, when ``len(keys) % process_count != 0``, give hosts unequal block
+    sizes that ``jax.make_array_from_process_local_data`` cannot assemble.
+    Defaults come from the live JAX distributed runtime.
+
+    ``len(keys)`` must divide evenly by the host count — pad the key list
+    (e.g. repeat trailing keys) or drop the remainder before calling.
     """
     import jax
 
@@ -50,7 +61,14 @@ def host_shard_keys(keys, process_index: int | None = None,
     pc = jax.process_count() if process_count is None else int(process_count)
     if not 0 <= pi < pc:
         raise ValueError(f"process_index {pi} out of range for {pc} hosts")
-    return keys[pi::pc]
+    if len(keys) % pc:
+        raise ValueError(
+            f"len(keys) ({len(keys)}) must be a multiple of the host count "
+            f"({pc}): make_global_stack assembles equal contiguous per-host "
+            "blocks — pad the key list or drop the remainder."
+        )
+    block = len(keys) // pc
+    return keys[pi * block:(pi + 1) * block]
 
 
 def multihost_mesh(batch: int | None = None, space: int | None = None):

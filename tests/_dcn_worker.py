@@ -63,7 +63,7 @@ def main(pid: int, port: int, out_path: str) -> None:
     truth = {0: [[20, 30], [40, 90]], 1: [[32, 64]]}
     keys = [0, 1]
     mine = host_shard_keys(keys)
-    assert mine == [pid], mine  # 2 keys over 2 hosts: strided == contiguous
+    assert mine == [pid], mine  # contiguous block: host p owns keys[p*B:]
 
     def plane(k):
         rng = np.random.default_rng(100 + k)
