@@ -524,33 +524,22 @@ def sharded_find_circles_batch(images, mesh: Mesh, low_q: float,
     return circles[:b], scores[:b], accepted[:b], n_keep[:b]
 
 
-from magnify_tpu.ops.detect import pack_count, unpack_count  # noqa: E402
+from magnify_tpu.ops.detect import unpack_count  # noqa: E402
 
 
 @functools.partial(jax.jit, static_argnames=("pull_cap",))
 def _pack_accepted_batch(circles, scores, accepted, n_keep, *, pull_cap):
     """Compact each plane's accepted circles to the front and pack counts +
     (row, col, radius, score) rows into ONE (B, pull_cap + 1, 4) float32
-    block — the mesh twin of ops.detect._stage_dense_packed's packing, so
-    the host makes a single small pull instead of pulling
-    circles/scores/accepted/n_keep separately (each pull costs a full link
-    round trip)."""
-    def one(c, s, acc, nk):
-        total = c.shape[0]
-        rank = jnp.cumsum(acc) - 1
-        n_acc = acc.sum()
-        dest = jnp.where(acc, rank, total)
-        rows = jnp.concatenate([c.astype(jnp.float32), s[:, None]], axis=1)
-        compacted = jnp.zeros((total, 4), jnp.float32).at[dest].set(
-            rows, mode="drop")
-        packed = jnp.zeros((pull_cap + 1, 4), jnp.float32)
-        packed = (packed.at[0, 0].set(pack_count(n_acc))
-                  .at[0, 1].set(pack_count(nk)))
-        take = min(pull_cap, total)
-        packed = packed.at[1:1 + take].set(compacted[:take])
-        return packed, compacted
+    block — vmaps the one shared packing implementation
+    (ops.detect._pack_accepted) so the host makes a single small pull
+    instead of pulling circles/scores/accepted/n_keep separately (each pull
+    costs a full link round trip)."""
+    from magnify_tpu.ops.detect import _pack_accepted
 
-    return jax.vmap(one)(circles, scores, accepted, n_keep)
+    return jax.vmap(
+        functools.partial(_pack_accepted, pull_cap=pull_cap)
+    )(circles, scores, accepted, n_keep)
 
 
 def sharded_find_circles_batch_packed(

@@ -435,6 +435,47 @@ def test_chip_pipeline_on_mesh_matches_single_chip(monkeypatch, devices):
 
 
 @pytest.mark.heavy_mesh
+def test_chip_mesh_u16_escalation_matches_single_chip(monkeypatch, devices):
+    """The upload-precision escalation (u16 planes, device-side normalize)
+    composes with the mesh: a dim-button + saturated-speck fixture routes
+    the fused mesh chip path through normalized=False and returns exactly
+    the single-chip u16 run (incl. the dim chamber refined at its true
+    radius from the raw-contrast crop)."""
+    monkeypatch.setenv("MAGNIFY_TPU_DETECTOR", "dense")
+    from magnify_tpu.core import DataArray
+    from magnify_tpu.parallel import make_mesh, use_mesh
+    from magnify_tpu.utils import filled_circle_points
+
+    grid = (3, 3)
+    img = np.zeros((400, 400), np.uint16)
+    pts = filled_circle_points(10)
+    for i in range(grid[0]):
+        for j in range(grid[1]):
+            v = 150 if (i, j) == (1, 1) else 3000  # one DIM button
+            img[pts[:, 0] + (i + 1) * 100, pts[:, 1] + (j + 1) * 100] = v
+    img[2:5, 2:5] = 65535  # saturated speck compresses the global range
+
+    kw = dict(shape=grid, min_button_diameter=16, max_button_diameter=32,
+              overlap=0, row_dist=100, col_dist=100, num_iter=1000)
+    ref = mg.microfluidic_chip(data=DataArray(img, dims=("y", "x")), **kw)
+    from magnify_tpu.components.find import last_chip_timings
+
+    assert last_chip_timings["upload_precision"] == "u16"
+    dim_px = ref.fg.isel(mark_row=1, mark_col=1).values.sum()
+    r_fg = np.sqrt(dim_px / np.pi)
+    assert abs(r_fg - 10) < 1.5, r_fg  # dim chamber refined at true radius
+
+    with use_mesh(make_mesh(batch=2, space=4)):
+        got = mg.microfluidic_chip(data=DataArray(img, dims=("y", "x")),
+                                   **kw)
+    assert last_chip_timings["upload_precision"] == "u16"
+    np.testing.assert_array_equal(got.x.values, ref.x.values)
+    np.testing.assert_array_equal(got.y.values, ref.y.values)
+    np.testing.assert_array_equal(got.fg.values, ref.fg.values)
+    np.testing.assert_array_equal(got.roi.values, ref.roi.values)
+
+
+@pytest.mark.heavy_mesh
 def test_packed_mesh_detection_matches_unpacked(devices):
     """The minimum-traffic packed route (uint8 upload + one packed pull)
     returns exactly the unpacked mesh detection's accepted circles."""
@@ -506,11 +547,15 @@ def test_multihost_skeleton_single_process(devices):
         sharded_find_circles_batch,
     )
 
-    keys = [("c0", t) for t in range(5)]
+    keys = [("c0", t) for t in range(6)]
     assert host_shard_keys(keys) == keys  # one host owns everything
-    assert host_shard_keys(keys, 1, 3) == keys[1::3]
+    # Contiguous equal blocks, matching make_global_stack's global-batch
+    # layout (host p owns global rows [p*B, (p+1)*B) = keys[p*B:(p+1)*B]).
+    assert host_shard_keys(keys, 1, 3) == keys[2:4]
     with pytest.raises(ValueError, match="out of range"):
         host_shard_keys(keys, 3, 3)
+    with pytest.raises(ValueError, match="multiple of the host count"):
+        host_shard_keys(keys[:5], 0, 3)
 
     mesh = multihost_mesh(batch=2, space=4)
     assert dict(mesh.shape) == {"batch": 2, "space": 4}
