@@ -135,13 +135,20 @@ class InteractiveUI:
 
                 w.on_clicked(_on_check)
             elif kind == "choice":
+                labels, values = spec
                 sax.set_position([0.25, 0.1 + 0.05 * i, 0.55,
-                                  0.03 * max(1, len(spec))])
-                w = RadioButtons(sax, spec,
-                                 active=spec.index(value) if value in spec
-                                 else 0)
+                                  0.03 * max(1, len(labels))])
+                w = RadioButtons(sax, labels,
+                                 active=values.index(value)
+                                 if value in values else 0)
                 sax.set_title(name, fontsize=8, loc="left")
-                w.on_clicked(lambda lbl, name=name: on_set(name, lbl))
+                # Pass the TYPED choice value (Enum member / int literal),
+                # not the display label — magicgui's combo boxes re-invoke
+                # with the annotated type, and `mode is Mode.fast`-style
+                # checks in the callback depend on it.
+                w.on_clicked(
+                    lambda lbl, name=name, labels=labels, values=values:
+                    on_set(name, values[labels.index(lbl)]))
             elif kind == "text":
                 w = TextBox(sax, name, initial=str(value))
                 w.on_submit(lambda txt, name=name: on_set(name, txt))
@@ -220,15 +227,18 @@ def _widget_spec(func, name: str, value):
     except (ValueError, KeyError):
         ann = inspect.Parameter.empty
     if ann is not inspect.Parameter.empty:
+        # Choice specs are (display labels, typed values): the radio
+        # callback must hand the TYPED value back to the stage.
         if typing.get_origin(ann) is typing.Literal:
-            return "choice", [str(a) for a in typing.get_args(ann)]
+            args = list(typing.get_args(ann))
+            return "choice", ([str(a) for a in args], args)
         if isinstance(ann, type) and issubclass(ann, enum.Enum):
-            return "choice", [e.name for e in ann]
+            return "choice", ([e.name for e in ann], list(ann))
     if isinstance(value, (list, tuple)) and value and all(
             isinstance(v, str) for v in value):
         # A sequence-of-strings default reads as a choice set with the
         # first entry active (TuningSession then holds a plain string).
-        return "choice", list(value)
+        return "choice", (list(value), list(value))
     if isinstance(value, str):
         return "text", None
     return "slider", _slider_range(value)

@@ -172,12 +172,20 @@ def test_widget_spec_dispatch():
         pass
 
     assert _widget_spec(stage, "flag", True) == ("checkbox", None)
-    assert _widget_spec(stage, "det", "b") == ("choice", ["a", "b"])
+    # Choice specs carry (display labels, TYPED values): the radio callback
+    # hands the typed value back to the stage, like magicgui's combo boxes.
+    assert _widget_spec(stage, "det", "b") == (
+        "choice", (["a", "b"], ["a", "b"]))
     assert _widget_spec(stage, "mode", Mode.fast) == (
-        "choice", ["fast", "exact"])
+        "choice", (["fast", "exact"], [Mode.fast, Mode.exact]))
     assert _widget_spec(stage, "name", "x") == ("text", None)
     assert _widget_spec(stage, "opts", ("one", "two")) == (
-        "choice", ["one", "two"])
+        "choice", (["one", "two"], ["one", "two"]))
+
+    def int_stage(k: Literal[1, 2] = 1):
+        pass
+
+    assert _widget_spec(int_stage, "k", 1) == ("choice", (["1", "2"], [1, 2]))
     kind, (lo, hi, step) = _widget_spec(stage, "q", 0.5)
     assert kind == "slider" and (lo, hi, step) == (0.0, 1.0, None)
     kind, (lo, hi, step) = _widget_spec(stage, "n", 4)
