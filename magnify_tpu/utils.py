@@ -233,15 +233,15 @@ def circle(
     """Rasterize a circle mask into an image.
 
     ``center`` is (row, col). ``thickness=-1`` fills the disk; ``1`` draws
-    the Bresenham perimeter; ``> 1`` draws a stroke band of filled radii
-    ``radius - ceil(t/2) .. radius + ceil(t/2)`` (an annulus). Replaces the
-    reference's ``cv.circle`` call
-    (/root/reference/src/magnify/utils.py:30-40) with the framework's own
-    Bresenham-extent rasterization so fg/bg masks match the fixture geometry
-    exactly. cv.circle's thick strokes rasterize octant polylines, so the
-    band deviates from OpenCV by ~1 px at the stroke edges (same coverage
-    and pixel count to within a few percent; no reference caller passes
-    thickness > 1).
+    the Bresenham perimeter; ``t > 1`` draws a stroke band of exactly ``t``
+    filled radii, ``radius - (t-1)//2 .. radius + t//2`` (an annulus whose
+    width matches cv.circle's ``t``-px stroke). Replaces the reference's
+    ``cv.circle`` call (/root/reference/src/magnify/utils.py:30-40) with
+    the framework's own Bresenham-extent rasterization so fg/bg masks match
+    the fixture geometry exactly. cv.circle's thick strokes rasterize
+    octant polylines, so the band deviates from OpenCV by ~1 px at the
+    stroke edges (same coverage and pixel count to within a few percent;
+    no reference caller passes thickness > 1).
     """
     image = np.zeros(image_shape, dtype=np.uint8)
     radius = int(radius)
@@ -262,9 +262,14 @@ def circle(
             if thickness == -1:
                 image = filled(radius).astype(np.uint8)
             else:
-                c = -(-int(thickness) // 2)
-                image = (filled(radius + c)
-                         & ~filled(radius - c - 1)).astype(np.uint8)
+                t = int(thickness)
+                # Exactly t radii: r - (t-1)//2 .. r + t//2 (a centered
+                # band, outward-biased for even t like cv.circle's stroke;
+                # the previous ceil(t/2)-both-ways band drew t+1 or t+2
+                # radii — ~50% more pixels than cv.circle at t=2).
+                image = (filled(radius + t // 2)
+                         & ~filled(radius - (t - 1) // 2 - 1)).astype(
+                             np.uint8)
         else:
             pts = circle_points(radius) + np.asarray(center, dtype=np.int32)
             ok = (

@@ -118,25 +118,31 @@ def test_circle_and_annulus_masks():
 @pytest.mark.parametrize("r,t", [(5, 2), (6, 3), (8, 4), (4, 5)])
 def test_circle_thickness_band(r, t):
     """thickness > 1 draws the documented stroke band: the filled annulus
-    of radii r - ceil(t/2) .. r + ceil(t/2) (cv.circle honors thickness at
-    reference utils.py:38; our band deviates from cv's polyline stroke by
-    ~1 px at the edges — documented in the docstring)."""
+    of exactly t radii, r - (t-1)//2 .. r + t//2 (cv.circle honors
+    thickness at reference utils.py:38 with a t-px stroke; our band
+    deviates from cv's polyline stroke by ~1 px at the edges — documented
+    in the docstring)."""
     n = 2 * (r + t) + 5
     c = (n // 2, n // 2)
     band = utils.circle((n, n), c, r, thickness=t).astype(bool)
-    half = -(-t // 2)
-    outer = utils.circle((n, n), c, r + half).astype(bool)
-    inner = utils.circle((n, n), c, r - half - 1).astype(bool) \
-        if r - half - 1 >= 0 else np.zeros((n, n), bool)
+    lo, hi = r - (t - 1) // 2, r + t // 2
+    assert hi - lo + 1 == t  # exactly t radii, matching cv.circle's width
+    outer = utils.circle((n, n), c, hi).astype(bool)
+    inner = utils.circle((n, n), c, lo - 1).astype(bool) \
+        if lo - 1 >= 0 else np.zeros((n, n), bool)
     np.testing.assert_array_equal(band, outer & ~inner)
     # The band contains every Bresenham ring in its radius range, including
     # the thickness=1 perimeter itself.
-    for rr in range(max(0, r - half), r + half + 1):
+    for rr in range(max(0, lo), hi + 1):
         ring = utils.circle((n, n), c, rr, thickness=1).astype(bool)
         assert (band | ring).sum() == band.sum()
     # Monotone: thicker strokes are supersets.
     thicker = utils.circle((n, n), c, r, thickness=t + 2).astype(bool)
     assert (thicker | band).sum() == thicker.sum()
+    # Pixel-count sanity vs the ideal t-px stroke area 2*pi*r*t: the band
+    # must be within ~20% of it (the old ceil-both-ways band was +50-100%).
+    ideal = 2 * np.pi * r * t
+    assert abs(band.sum() - ideal) / ideal < 0.25
 
 
 def test_misc_helpers():
