@@ -111,7 +111,12 @@ class ImageViewer:
             return hit
         disp = _isel(self.xp.image, **self.index)
         full_shape = disp.shape
-        plane = _multiscale(disp.to_numpy(), limit=self._MS_LIMIT)
+        # Copy the decimated level: _multiscale returns a strided VIEW whose
+        # .base is the full-resolution plane — caching the view would pin
+        # one full plane per cache entry (256 entries x a full 8k^2 parent
+        # each), not the <= _MS_LIMIT^2 footprint the cache is sized for.
+        plane = np.ascontiguousarray(
+            _multiscale(disp.to_numpy(), limit=self._MS_LIMIT))
         scale = full_shape[-1] / plane.shape[-1]
         if len(self._plane_cache) >= self.CACHE_PLANES:
             self._plane_cache.pop(next(iter(self._plane_cache)))
