@@ -61,10 +61,11 @@ def quantify(assay, batch_timesteps: int = 8):
     # reduces on host — streaming a store that already lives in host spill
     # files through the device costs more in host->HBM transfer than the
     # reduction saves, and the result is a host-bound summary. In-RAM
-    # stores keep the device path (one fused program per batch). The numpy
-    # and device reductions are exact twins, so this is performance policy
-    # only; MAGNIFY_TPU_QUANTIFY=device|host overrides (shared with
-    # identify_mrbles and the QC filters via ops.reduce).
+    # stores keep the device path (one fused program per batch). The bg
+    # median is bit-identical across placements; the fg mean agrees only
+    # to f32 summation-order rounding (ops.reduce.fg_mean_bg_median), so
+    # intensity can move at the last ulp with MAGNIFY_TPU_QUANTIFY=
+    # device|host (shared with identify_mrbles and the QC filters).
     from magnify_tpu.ops.reduce import prefer_host_reduction
 
     prefer_host = prefer_host_reduction(assay["roi"].data)

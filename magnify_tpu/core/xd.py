@@ -318,6 +318,16 @@ class DataArray:
     def compute(self) -> "DataArray":
         return self._with(self.variable.compute())
 
+    def copy(self, deep: bool = True) -> "DataArray":
+        """A new DataArray; ``deep`` (the xarray default) materializes and
+        copies the data into a fresh writable buffer. The snapshot escape
+        hatch for constant-stride selections, which return read-only
+        zero-copy VIEWS of the parent store (see docs/architecture.md
+        "Selection aliasing")."""
+        var = (Variable(self.dims, np.array(self.variable.values),
+                        self.variable.attrs) if deep else self.variable)
+        return self._with(var)
+
     def persist(self) -> "DataArray":
         return self.compute()
 

@@ -140,8 +140,11 @@ def fg_mean_bg_median(roi: np.ndarray, fg: np.ndarray, bg: np.ndarray,
     streaming consumers whose data lives in host spill files (uploading a
     disk-resident store batch-by-batch costs more in transfer than the
     device reduction saves, and per-marker summaries are host-bound output
-    anyway). The two paths are exact twins (same inf-fill sort median and
-    f32 arithmetic), so routing is a pure performance policy.
+    anyway). The bg median is bit-identical across paths (both select the
+    same inf-fill-sorted elements); the fg MEAN agrees only to f32
+    summation-order rounding (numpy's pairwise sum vs XLA's reduction
+    tree), so intensities can differ at the last ulp with routing — same
+    caveat as :func:`masked_mean`, stated in docs/architecture.md.
     """
     if not isinstance(roi, jax.Array) and (
             prefer_host or np.asarray(roi).size < (1 << 24)):

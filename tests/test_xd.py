@@ -277,6 +277,16 @@ def test_regular_array_indexers_become_views():
                                   data[:, [2, 0]])
     np.testing.assert_array_equal(ds.v.isel(b=[0, 2]).values,
                                   data[:, [0, 2]])
+    # The documented snapshot escape hatch: .copy() (deep by default, the
+    # xarray contract) yields a private writable buffer decoupled from
+    # later parent-store mutations.
+    snap = ds.v.sel(b=["x", "y", "z"]).copy()
+    snap.values[0, 0, 0] = -1  # writable
+    assert data[0, 0, 0] == 0  # parent untouched
+    data[0, 0, 1] = 99
+    assert snap.values[0, 0, 1] == 1  # snapshot, not an alias
+    shallow = ds.v.copy(deep=False)
+    assert shallow.values.base is data.base or shallow.values is data
     # Descending uint indexer takes the (correct) advanced-indexing path.
     np.testing.assert_array_equal(
         ds.v.isel(b=np.array([2, 1, 0], np.uint32)).values,
