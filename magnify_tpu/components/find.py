@@ -823,7 +823,10 @@ class BeadFinder:
 
         mesh = active_mesh()
         on_mesh = mesh is not None and mesh.size > 1
-        planes_dev = None if on_mesh else jnp.asarray(planes)
+        # Upload ONCE, outside the cap-growth retry loop: a retry must not
+        # re-ship the stack (the relay client retains host RSS per uploaded
+        # byte, CLAUDE.md), so both branches reuse this device copy.
+        planes_dev = jnp.asarray(planes)
 
         memo_key = ("beads", planes.shape, self.min_bead_radius,
                     self.max_bead_radius)
@@ -838,7 +841,7 @@ class BeadFinder:
         while True:
             if on_mesh:
                 packed_d, beads_full = _bead_detect_packed_mesh(
-                    planes, mesh, float(self.low_edge_quantile),
+                    planes_dev, mesh, float(self.low_edge_quantile),
                     float(self.high_edge_quantile),
                     float(self.min_roundness), 2.0 * self.min_bead_radius,
                     min_radius=self.min_bead_radius,
@@ -1110,7 +1113,9 @@ class ButtonFinder:
 
         mesh = active_mesh()
         on_mesh = mesh is not None and mesh.size > 1
-        planes_dev = None if on_mesh else jnp.asarray(planes_q)
+        # One upload shared by every cap-growth retry (and by both the
+        # detector and finisher inside the mesh twin).
+        planes_dev = jnp.asarray(planes_q)
         t1 = _time.perf_counter()
 
         for name, chamber, total, count, dist in (
@@ -1146,7 +1151,7 @@ class ButtonFinder:
         while True:
             if on_mesh:
                 packed_d = _chip_fused_packed_mesh(
-                    planes_q, mesh, float(self.low_edge_quantile),
+                    planes_dev, mesh, float(self.low_edge_quantile),
                     float(self.high_edge_quantile), float(high_q_roi),
                     float(self.min_roundness), float(self.cluster_penalty),
                     jnp.asarray(ppr), jnp.asarray(ppc), cap=cap,

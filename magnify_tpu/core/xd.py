@@ -325,7 +325,8 @@ class DataArray:
         zero-copy VIEWS of the parent store (see docs/architecture.md
         "Selection aliasing")."""
         var = (Variable(self.dims, np.array(self.variable.values),
-                        self.variable.attrs) if deep else self.variable)
+                        dict(self.variable.attrs)) if deep
+               else self.variable)
         return self._with(var)
 
     def persist(self) -> "DataArray":

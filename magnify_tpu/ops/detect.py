@@ -757,11 +757,10 @@ def find_circles(
         # grow-retry) and one packed pull, instead of per-stage host syncs.
         from magnify_tpu.parallel.mesh import (active_mesh,
                                                sharded_ransac_find_circles)
-        from magnify_tpu.ops.score import RASTER_KEY_LIMIT
+        from magnify_tpu.ops.score import RASTER_KEY_LIMIT, raster_key_space
 
         mesh = active_mesh()
-        key_space = ((h + 2 * max_radius + 1) * (w + 2 * max_radius + 1)
-                     * (int(max_radius) - int(min_radius) + 1))
+        key_space = raster_key_space(h, w, int(min_radius), int(max_radius))
         if mesh is not None and mesh.size > 1 and key_space <= RASTER_KEY_LIMIT:
             # Multi-chip: the Monte-Carlo iterations shard across the mesh
             # (presence-bitmask OR merge); byte-identical to single-chip.

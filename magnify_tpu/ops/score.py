@@ -38,6 +38,21 @@ _INT32_MAX = np.iinfo(np.int32).max
 RASTER_KEY_LIMIT = 1 << 28
 
 
+def raster_key_space(height: int, width: int, min_radius: int,
+                     max_radius: int) -> int:
+    """Size of the (row, col, radius) dedupe key raster.
+
+    The single source of truth for the key layout shared by
+    :func:`dedupe_circles` / :func:`_presence_words` (which scatter into
+    it), ``ops.detect.find_circles``'s mesh-routing guard, and
+    ``parallel.mesh.sharded_ransac_find_circles``'s limit check — all
+    three must agree on when the bitmask raster applies, so none of them
+    may reimplement this formula.
+    """
+    return ((height + 2 * max_radius + 1) * (width + 2 * max_radius + 1)
+            * (max_radius - min_radius + 1))
+
+
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "min_radius", "max_radius", "cap")
 )
@@ -73,10 +88,7 @@ def dedupe_circles(circles, valid, *, height: int, width: int, min_radius: int,
                                       width=width, min_radius=min_radius,
                                       max_radius=max_radius)
 
-    kh = height + 2 * max_radius + 1
-    kw = width + 2 * max_radius + 1
-    kr_range = max_radius - min_radius + 1
-    key_space = kh * kw * kr_range
+    key_space = raster_key_space(height, width, min_radius, max_radius)
     if key_space > RASTER_KEY_LIMIT:
         return _dedupe_sorted(row, col, rad, ok, max_radius, cap)
 
@@ -129,7 +141,7 @@ def _presence_words(row, col, rad, ok, *, height: int, width: int,
     """
     kw = width + 2 * max_radius + 1
     kr_range = max_radius - min_radius + 1
-    key_space = (height + 2 * max_radius + 1) * kw * kr_range
+    key_space = raster_key_space(height, width, min_radius, max_radius)
     key = ((row + max_radius) * kw + (col + max_radius)) * kr_range + (
         rad - min_radius
     )

@@ -663,11 +663,10 @@ def sharded_ransac_find_circles(
     caps grow-retry exactly like the single-chip path.
     """
     from magnify_tpu.ops import detect as ops_detect
-    from magnify_tpu.ops.score import RASTER_KEY_LIMIT
+    from magnify_tpu.ops.score import RASTER_KEY_LIMIT, raster_key_space
 
     h, w = image.shape
-    key_space = ((h + 2 * max_radius + 1) * (w + 2 * max_radius + 1)
-                 * (max_radius - min_radius + 1))
+    key_space = raster_key_space(h, w, min_radius, max_radius)
     if key_space > RASTER_KEY_LIMIT:
         raise ValueError(
             "sharded RANSAC requires the raster dedupe (key space "

@@ -194,14 +194,27 @@ class ImageViewer:
             ax.set_title(", ".join(title), fontsize=8)
         ax.figure.canvas.draw_idle()
 
-    def set_plane(self, **indexers: int):
+    def set_plane(self, channel: int | None = None, time: int | None = None,
+                  **indexers: int):
         """Select and render another plane along ANY non-spatial dim(s) —
         the headless twin of the browsing sliders (one per extra dim, like
-        the reference napari viewer's dim sliders)."""
-        for dim, i in indexers.items():
+        the reference napari viewer's dim sliders). ``channel``/``time``
+        stay positional-friendly (the pre-extra-dims signature), and a dim
+        the image doesn't carry accepts index 0 — its implicit size."""
+        merged = dict(indexers)
+        if channel is not None:
+            merged["channel"] = channel
+        if time is not None:
+            merged["time"] = time
+        for dim, i in merged.items():
             if i is None:
                 continue
             if dim not in self.index:
+                # Dims absent from the image behave as size-1 (the old
+                # channel/time contract): index 0 is a no-op, anything
+                # else is out of range.
+                if i == 0:
+                    continue
                 raise KeyError(
                     f"{dim!r} is not a browsable dim "
                     f"(have {list(self.extra_dims)})")

@@ -105,9 +105,15 @@ class InteractiveUI:
         except Exception:
             return
 
-        n_sliders = len(session.params)
-        fig = plt.figure(figsize=(7, 6 + 0.3 * n_sliders))
-        bottom = 0.08 + 0.05 * n_sliders
+        # Resolve widget kinds up front: a radio box is taller than one
+        # slider strip (0.03 per choice), so per-widget heights drive the
+        # layout — a fixed 0.05 pitch would overlap the control above a
+        # multi-choice radio.
+        specs = [(name, value) + _widget_spec(session.func, name, value)
+                 for name, value in session.params.items()]
+        boxes, stack_h = _widget_layout(specs)
+        fig = plt.figure(figsize=(7, 6 + 6 * stack_h))
+        bottom = 0.08 + stack_h
         ax = fig.add_axes([0.08, bottom + 0.05, 0.86, 0.9 - bottom])
 
         def redraw():
@@ -124,9 +130,8 @@ class InteractiveUI:
         # on magicgui auto-generating checkboxes for bools and combo boxes
         # for choice parameters, not just sliders for numbers).
         controls = []
-        for i, (name, value) in enumerate(session.params.items()):
-            sax = fig.add_axes([0.25, 0.1 + 0.05 * i, 0.55, 0.03])
-            kind, spec = _widget_spec(session.func, name, value)
+        for (name, value, kind, spec), (y, height) in zip(specs, boxes):
+            sax = fig.add_axes([0.25, y, 0.55, height])
             if kind == "checkbox":
                 w = CheckButtons(sax, [name], [bool(value)])
 
@@ -136,8 +141,6 @@ class InteractiveUI:
                 w.on_clicked(_on_check)
             elif kind == "choice":
                 labels, values = spec
-                sax.set_position([0.25, 0.1 + 0.05 * i, 0.55,
-                                  0.03 * max(1, len(labels))])
                 w = RadioButtons(sax, labels,
                                  active=values.index(value)
                                  if value in values else 0)
@@ -208,6 +211,23 @@ class InteractiveUI:
                 # map, utils.py:137-140): nonzero pixels render yellow.
                 ax.imshow(np.ma.masked_where(data == 0, data),
                           cmap="autumn", alpha=0.8, interpolation="nearest")
+
+
+def _widget_layout(specs, base_y: float = 0.1, pad: float = 0.02):
+    """Figure-fraction (y, height) boxes for a widget stack.
+
+    Radio groups are 0.03 per choice, everything else 0.03; each widget
+    starts above the previous one's top plus ``pad``, so no two control
+    axes overlap regardless of choice counts. Returns (boxes, stack_h)
+    where stack_h is the total stacked extent above ``base_y``.
+    """
+    boxes = []
+    y = base_y
+    for _name, _value, kind, spec in specs:
+        height = 0.03 * max(1, len(spec[0])) if kind == "choice" else 0.03
+        boxes.append((y, height))
+        y += height + pad
+    return boxes, y - base_y
 
 
 def _widget_spec(func, name: str, value):

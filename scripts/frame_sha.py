@@ -41,8 +41,10 @@ def main():
         plane, 0.1, 0.9, 0.3, min_radius=8, max_radius=12, cap=2048,
         nms_cap=2048, min_dist=8, pull_cap=511, normalized=True)
     rows = np.asarray(packed)
+    from magnify_tpu.ops.detect import unpack_count
+
     print("packed sha256:", hashlib.sha256(rows.tobytes()).hexdigest()[:16],
-          "shape:", rows.shape, "n:", int(rows[1, 3]))
+          "shape:", rows.shape, "n:", unpack_count(rows[0, 0]))
 
 
 if __name__ == "__main__":

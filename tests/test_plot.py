@@ -412,3 +412,44 @@ def test_imshow_arbitrary_extra_dims_and_plane_cache(monkeypatch):
         viewer.set_plane(q=1)
     with pytest.raises(IndexError):
         viewer.set_plane(z=9)
+
+
+def test_set_plane_backward_compatible(bead_result):
+    """The pre-extra-dims set_plane contract still holds: channel/time are
+    positional, and a dim the image doesn't carry accepts index 0 (its
+    implicit size-1 axis) — only a nonzero index is an error."""
+    fig = mp.imshow(bead_result, show=False)
+    viewer = fig.magnify_viewer
+    viewer.set_plane(0, 0)  # positional (channel, time)
+    assert (viewer.channel, viewer.time) == (0, 0)
+    # bead_result's image is (channel, time, y, x) with singleton dims; a
+    # truly absent dim must also tolerate index 0.
+    from magnify_tpu.plot.image import ImageViewer
+
+    img2d = viewer.xp.image.isel(channel=0, time=0)
+    from magnify_tpu.core import Dataset
+
+    ds = Dataset({"image": (img2d.dims, img2d.values)})
+    v2 = ImageViewer(ds, viewer.ax)
+    v2.set_plane(time=0)  # no-op, documented API on single-plane assays
+    with pytest.raises(KeyError, match="browsable"):
+        v2.set_plane(time=1)
+
+
+def test_widget_layout_no_overlap():
+    """A multi-choice radio group is taller than one slider strip; the
+    stacked control axes must never overlap (each box starts above the
+    previous box's top)."""
+    from magnify_tpu.plot.vis import _widget_layout
+
+    specs = [
+        ("mode", "dense", "choice", (["dense", "ransac", "auto"],
+                                     ["dense", "ransac", "auto"])),
+        ("min_roundness", 0.3, "slider", (0.0, 1.0, 0.01)),
+        ("invert", False, "checkbox", None),
+    ]
+    boxes, stack_h = _widget_layout(specs)
+    assert boxes[0][1] == pytest.approx(0.09)  # 3 choices x 0.03
+    for (y0, h0), (y1, _h1) in zip(boxes, boxes[1:]):
+        assert y1 > y0 + h0  # strictly above the previous control
+    assert stack_h == pytest.approx(sum(h for _y, h in boxes) + 0.02 * 3)

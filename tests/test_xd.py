@@ -294,3 +294,18 @@ def test_regular_array_indexers_become_views():
     # Out-of-bounds stays a loud IndexError, not a silent empty slice.
     with pytest.raises(IndexError):
         ds.v.isel(b=[7]).values
+
+
+def test_dataarray_copy_attrs_independent():
+    """copy(deep=True) snapshots metadata too: mutating the copy's attrs
+    must not leak into the parent (the xarray deep-copy contract)."""
+    from magnify_tpu.core import DataArray
+
+    da = DataArray(np.arange(6.0).reshape(2, 3), dims=("y", "x"))
+    da.variable.attrs["k"] = "orig"
+    snap = da.copy()
+    snap.variable.attrs["k"] = "mutated"
+    assert da.variable.attrs["k"] == "orig"
+    # And the data buffer is independent + writable.
+    snap.values[0, 0] = 99.0
+    assert da.values[0, 0] == 0.0
