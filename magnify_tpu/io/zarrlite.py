@@ -101,12 +101,20 @@ def write_zarr_v2(path, dataset: Dataset, level: int = 5) -> None:
 
 
 def _lz4_block_decompress(src: bytes, max_out: int) -> bytes:
-    """Pure-Python LZ4 *block* format decoder (the codec inside blosc-lz4).
+    """LZ4 *block* format decoder (the codec inside blosc-lz4).
 
     Token = 4-bit literal length | 4-bit match length; lengths >= 15 extend
     with 255-terminated byte runs; matches copy byte-wise from the already
     produced output (overlap allowed). Stops when the input is consumed.
+
+    Routes to the native C++ decoder when available (the Python byte loop
+    below runs ~MB/s; blosc-lz4 is the zarr-v2 DEFAULT compressor, so big
+    store reads sit on this path) — parity-fuzzed in tests/test_io.py.
     """
+    from magnify_tpu import native
+
+    if native.available():
+        return native.lz4_decompress(src, max_out)
     out = bytearray()
     pos = 0
     n = len(src)
@@ -203,8 +211,9 @@ def _unshuffle_bytes(data: bytes, typesize: int) -> bytes:
 def blosc_decompress(raw: bytes) -> bytes:
     """Decode a c-blosc1 frame (the default zarr-v2 chunk compressor)
     without the blosc library: parse the 16-byte header + per-block offset
-    table, decompress each block's streams (lz4/zstd/zlib in pure Python /
-    stdlib), and undo byte shuffling."""
+    table, decompress each block's streams (lz4 via the native C++ decoder
+    when built, else pure Python; zstd/zlib via their libraries), and undo
+    byte shuffling."""
     if len(raw) < 16:
         raise ValueError("blosc frame shorter than its header")
     flags, typesize = raw[2], raw[3]

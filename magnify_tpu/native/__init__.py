@@ -2,8 +2,10 @@
 
 Provides :func:`read_regions` — thread-pooled pread + optional zlib inflate
 of many file regions into one buffer — used by the TIFF loader for batched
-page/strip decoding. Falls back cleanly to pure-Python IO when no compiler
-is available (``available()`` is False).
+page/strip decoding, and :func:`lz4_decompress` — the LZ4 block decoder
+behind blosc-lz4 zarr chunks (the zarr-v2 default compressor), replacing a
+pure-Python byte loop. Falls back cleanly to pure-Python IO when no
+compiler is available (``available()`` is False).
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "read_regions"]
+__all__ = ["available", "lz4_decompress", "read_regions"]
 
 _lib = None
 _tried = False
@@ -66,7 +68,12 @@ def _load():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ]
-        if lib.mgtpu_version() != 1:
+        lib.mgtpu_lz4_decompress.restype = ctypes.c_int64
+        lib.mgtpu_lz4_decompress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        if lib.mgtpu_version() != 2:
             return None
         _lib = lib
     except OSError:
@@ -104,3 +111,25 @@ def read_regions(path, src_offsets, src_sizes, dst_offsets, dst_sizes,
     )
     if rc != 0:
         raise IOError(f"native read_regions failed with status {rc} for {path}")
+
+
+def lz4_decompress(src: bytes, max_out: int) -> bytes:
+    """Decode one LZ4 block (the stream codec inside blosc-lz4 chunks).
+
+    ``max_out`` bounds the decoded size (blosc stores it per stream);
+    raises ValueError on a corrupt block, RuntimeError if the native
+    library is unavailable (callers check :func:`available` first).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO library unavailable")
+    out = np.empty(max_out, np.uint8)
+    src_arr = np.frombuffer(src, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.mgtpu_lz4_decompress(
+        src_arr.ctypes.data_as(u8p), len(src),
+        out.ctypes.data_as(u8p), max_out,
+    )
+    if n < 0:
+        raise ValueError(f"corrupt LZ4 block (native status {n})")
+    return out[:n].tobytes()

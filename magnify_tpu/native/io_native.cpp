@@ -105,6 +105,56 @@ int mgtpu_read_regions(const char* path, int64_t n,
     return status.load();
 }
 
-int mgtpu_version() { return 1; }
+// Decode one LZ4 *block* (the codec inside blosc-lz4 zarr chunks; see
+// magnify_tpu/io/zarrlite.py:_lz4_block_decompress for the format notes).
+// Returns the decoded size, or a negative error: -1 truncated input,
+// -2 bad match offset, -3 output overrun.
+int64_t mgtpu_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
+                             int64_t cap) {
+    int64_t pos = 0, out = 0;
+    while (pos < n) {
+        uint8_t token = src[pos++];
+        int64_t lit = token >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (pos >= n) return -1;
+                b = src[pos++];
+                lit += b;
+            } while (b == 255);
+        }
+        if (pos + lit > n) return -1;
+        if (out + lit > cap) return -3;
+        std::memcpy(dst + out, src + pos, lit);
+        pos += lit;
+        out += lit;
+        if (pos >= n) break;  // last sequence carries no match
+        if (pos + 2 > n) return -1;
+        int64_t offset = src[pos] | (int64_t(src[pos + 1]) << 8);
+        pos += 2;
+        if (offset == 0 || offset > out) return -2;
+        int64_t mlen = (token & 0xF) + 4;
+        if ((token & 0xF) == 15) {
+            uint8_t b;
+            do {
+                if (pos >= n) return -1;
+                b = src[pos++];
+                mlen += b;
+            } while (b == 255);
+        }
+        if (out + mlen > cap) return -3;
+        const uint8_t* from = dst + out - offset;
+        if (offset >= mlen) {
+            std::memcpy(dst + out, from, mlen);
+        } else {
+            // Overlapping self-copy: byte-wise semantics required.
+            for (int64_t i = 0; i < mlen; ++i) dst[out + i] = from[i];
+        }
+        out += mlen;
+    }
+    return out;
+}
+
+int mgtpu_version() { return 2; }
 
 }  // extern "C"

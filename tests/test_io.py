@@ -783,3 +783,88 @@ def test_write_zarr_v2_round_trip(tmp_path):
     assert back.image.dims == ("y", "x")
     assert "y" in back.coords
     assert back.attrs["name"] == "run1"
+
+
+def _lz4_block_build(seqs, tail):
+    """Assemble a valid LZ4 block from (literals, offset, match_len>=4)
+    sequences plus a final literal-only tail; returns (block, decoded)."""
+    out = bytearray()
+    block = bytearray()
+
+    def ext(n):
+        b = bytearray()
+        while n >= 255:
+            b.append(255)
+            n -= 255
+        b.append(n)
+        return b
+
+    for lits, off, mlen in seqs:
+        lit = len(lits)
+        tok_l = min(lit, 15)
+        tok_m = min(mlen - 4, 15)
+        block.append((tok_l << 4) | tok_m)
+        if tok_l == 15:
+            block += ext(lit - 15)
+        block += lits
+        out += lits
+        block += bytes([off & 0xFF, off >> 8])
+        if tok_m == 15:
+            block += ext(mlen - 4 - 15)
+        start = len(out) - off
+        for i in range(mlen):
+            out.append(out[start + i])
+    tok_l = min(len(tail), 15)
+    block.append(tok_l << 4)
+    if tok_l == 15:
+        block += ext(len(tail) - 15)
+    block += tail
+    out += tail
+    return bytes(block), bytes(out)
+
+
+def test_lz4_native_python_parity_fuzz(monkeypatch):
+    """The native C++ LZ4 block decoder and the pure-Python fallback decode
+    identical bytes on randomized valid blocks (short/long literal runs,
+    overlapping matches, 255-extended lengths)."""
+    from magnify_tpu import native
+    from magnify_tpu.io import zarrlite
+
+    rng = np.random.default_rng(7)
+    blocks = []
+    for _trial in range(40):
+        seqs = []
+        produced = 8
+        first = rng.integers(0, 256, produced, dtype=np.uint8).tobytes()
+        seqs.append((first, int(rng.integers(1, produced + 1)),
+                     int(rng.integers(4, 20))))
+        produced = len(first) + seqs[0][2]
+        for _s in range(int(rng.integers(0, 5))):
+            lit_len = int(rng.choice([0, 3, 15, 16, 300]))
+            lits = rng.integers(0, 256, lit_len, dtype=np.uint8).tobytes()
+            off = int(rng.integers(1, produced + lit_len + 1))
+            mlen = int(rng.choice([4, 7, 19, 20, 280]))
+            seqs.append((lits, off, mlen))
+            produced += lit_len + mlen
+        tail_len = int(rng.choice([0, 2, 15, 40, 270]))
+        tail = rng.integers(0, 256, tail_len, dtype=np.uint8).tobytes()
+        blocks.append(_lz4_block_build(seqs, tail))
+
+    for block, expect in blocks:
+        py = None
+        if native.available():
+            got_native = native.lz4_decompress(block, len(expect))
+            assert got_native == expect
+        # Force the pure-Python loop for the parity leg.
+        monkeypatch.setattr(native, "available", lambda: False)
+        py = zarrlite._lz4_block_decompress(block, len(expect))
+        monkeypatch.undo()
+        assert py == expect
+
+    # Corrupt blocks raise on both decoders: zero match offset.
+    bad = bytes([0x14]) + b"a" + bytes([0x00, 0x00])
+    with pytest.raises(ValueError):
+        zarrlite._lz4_block_decompress(bad, 64)
+    monkeypatch.setattr(native, "available", lambda: False)
+    with pytest.raises(ValueError):
+        zarrlite._lz4_block_decompress(bad, 64)
