@@ -521,7 +521,63 @@ def measure_rtt(n: int = 10) -> dict:
     return {"rtt_ms": round(float(np.median(samples)) * 1000, 1)}
 
 
+def _wait_for_relay(budget_s: float | None = None) -> float | None:
+    """Block until the TPU relay answers one trivial dispatch, or give up.
+
+    The axon remote-compile/execute service intermittently degrades
+    session-wide (CLAUDE.md): even a cached tiny dispatch can stall for
+    minutes, then the service recovers on its own in ~tens of minutes.
+    Benching through that window either hangs the process in warmup
+    (recording nothing) or records numbers that say nothing about the
+    code, so probe first on a watchdog thread and wait a sick relay out.
+    Heartbeats go to stderr — stdout stays reserved for the one JSON line.
+
+    Returns the probe's completion time in seconds, or None if the budget
+    (MAGNIFY_TPU_RELAY_WAIT_S, default 900) expired first.
+    """
+    import threading
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("MAGNIFY_TPU_RELAY_WAIT_S", "900"))
+    done = threading.Event()
+
+    def _probe():
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: (x * 2 + 1).sum())
+        np.asarray(f(jnp.full((65,), 3.0, jnp.float32)))
+        done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    t0 = time.monotonic()
+    while not done.wait(timeout=min(30.0, budget_s)):
+        waited = time.monotonic() - t0
+        if waited >= budget_s:
+            return None
+        print(f"bench: relay probe pending {int(waited)}s "
+              "(axon degradation — waiting it out)", file=sys.stderr)
+    return time.monotonic() - t0
+
+
 def main():
+    probe_s = _wait_for_relay()
+    if probe_s is None:
+        # The relay never answered: record that explicitly instead of
+        # hanging in warmup until the driver's timeout records nothing.
+        print(json.dumps({
+            "metric": "beads_pipeline_e2e_throughput",
+            "value": 0.0, "unit": "Mpix/s", "vs_baseline": 0.0,
+            "detail": {"relay_unavailable": True,
+                       "waited_s": int(float(os.environ.get(
+                           "MAGNIFY_TPU_RELAY_WAIT_S", "900")))},
+        }))
+        os._exit(0)  # the hung probe dispatch can't be cancelled; abandon it
+    if probe_s > 60:
+        print(f"bench: relay answered after {probe_s:.0f}s — degraded "
+              "session; numbers below may understate the code",
+              file=sys.stderr)
+
     data, n_true = make_workload()
 
     # Warmup: compile everything once (cached across runs by the persistent
