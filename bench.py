@@ -70,6 +70,63 @@ def run_pipeline(data):
     )
 
 
+def measure_beads_pipelined(n_frames: int = 10, n_runs: int = 3) -> dict:
+    """Headline metric: pipelined FULL-pipeline beads throughput.
+
+    ``mg.beads_stream`` over ``n_frames`` distinct noisy frames (same bead
+    field, independent noise), producing the COMPLETE per-frame output
+    (marks, fg/bg masks, ROI stacks) for every frame — not detection only.
+    The stream overlaps host pre-stages + u8 upload (k+2), device
+    detection (k+1), and host mask/ROI assembly (k), so steady state pays
+    max(stage) + one small pull per frame instead of the single-frame
+    path's 2 relay round trips + upload. The CPU anchor (1.89 s/frame) is
+    itself a steady-state number, so this is the like-for-like
+    throughput comparison; single-frame latency stays as a secondary row.
+
+    Bit-identity spot check: one streamed frame is compared against the
+    single-frame pipeline on the same data (counts, positions, ROI bytes,
+    fg masks) and reported as ``pipelined_match_single``.
+    """
+    import magnify_tpu as mg
+
+    frames = [make_workload(seed=s)[0] for s in range(n_frames)]
+    kw = dict(min_bead_diameter=16, max_bead_diameter=24, overlap=0,
+              num_iter=NUM_ITER, min_roundness=0.3)
+    outs = list(mg.beads_stream(frames, **kw))  # warmup: compile + cap memo
+    found = [int(o.roi.sizes["mark"]) for o in outs]
+    per_run = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        outs = list(mg.beads_stream(frames, **kw))
+        per_run.append(time.perf_counter() - t0)
+    dt = float(np.median(per_run))
+    mpix = n_frames * SHAPE[0] * SHAPE[1] / 1e6
+
+    spot = n_frames // 2
+    ref = run_pipeline(frames[spot])
+    o = outs[spot]
+    match = (
+        o.roi.sizes["mark"] == ref.roi.sizes["mark"]
+        and np.array_equal(o.x.values, ref.x.values)
+        and np.array_equal(o.y.values, ref.y.values)
+        and np.array_equal(np.asarray(o.roi.values),
+                           np.asarray(ref.roi.values))
+        and np.array_equal(np.asarray(o.fg.values),
+                           np.asarray(ref.fg.values))
+        and np.array_equal(np.asarray(o.bg.values),
+                           np.asarray(ref.bg.values))
+    )
+    return {
+        "pipelined_mpix_per_s": round(mpix / dt, 3),
+        "pipelined_frames": n_frames,
+        "pipelined_ms_per_frame": round(dt / n_frames * 1000, 1),
+        "pipelined_per_run_s": [round(t, 3) for t in per_run],
+        "pipelined_found_min": int(min(found)),
+        "pipelined_found_max": int(max(found)),
+        "pipelined_match_single": bool(match),
+    }
+
+
 def measure_stream(data, n_planes: int = 16) -> dict:
     """Streaming 4D-stack detection throughput (BASELINE.json config 5):
     a (time x channel) plane stack batch-detected on device."""
@@ -532,8 +589,9 @@ def _wait_for_relay(budget_s: float | None = None) -> float | None:
     code, so probe first on a watchdog thread and wait a sick relay out.
     Heartbeats go to stderr — stdout stays reserved for the one JSON line.
 
-    Returns the probe's completion time in seconds, or None if the budget
-    (MAGNIFY_TPU_RELAY_WAIT_S, default 900) expired first.
+    Returns ``(elapsed_s, answered)``: the time actually waited and whether
+    the probe completed within the budget (MAGNIFY_TPU_RELAY_WAIT_S,
+    default 900).
     """
     import threading
 
@@ -554,25 +612,31 @@ def _wait_for_relay(budget_s: float | None = None) -> float | None:
     while not done.wait(timeout=min(30.0, budget_s)):
         waited = time.monotonic() - t0
         if waited >= budget_s:
-            return None
+            return waited, False
         print(f"bench: relay probe pending {int(waited)}s "
               "(axon degradation — waiting it out)", file=sys.stderr)
-    return time.monotonic() - t0
+    return time.monotonic() - t0, True
 
 
 def main():
-    probe_s = _wait_for_relay()
-    if probe_s is None:
+    probe_s, answered = _wait_for_relay()
+    if not answered:
         # The relay never answered: record that explicitly instead of
         # hanging in warmup until the driver's timeout records nothing.
+        # A DISTINCT metric name + null value so trend tooling cannot
+        # mistake the outage for a 0 Mpix/s code regression.
         print(json.dumps({
-            "metric": "beads_pipeline_e2e_throughput",
-            "value": 0.0, "unit": "Mpix/s", "vs_baseline": 0.0,
+            "metric": "beads_pipeline_relay_unavailable",
+            "value": None, "unit": "Mpix/s", "vs_baseline": None,
             "detail": {"relay_unavailable": True,
-                       "waited_s": int(float(os.environ.get(
-                           "MAGNIFY_TPU_RELAY_WAIT_S", "900")))},
+                       "waited_s": round(probe_s, 1)},
         }))
-        os._exit(0)  # the hung probe dispatch can't be cancelled; abandon it
+        # The hung probe dispatch can't be cancelled; abandon the process.
+        # os._exit skips stdio teardown, so flush the marker line first
+        # (stdout is a pipe under driver capture — fully buffered).
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
     if probe_s > 60:
         print(f"bench: relay answered after {probe_s:.0f}s — degraded "
               "session; numbers below may understate the code",
@@ -585,6 +649,8 @@ def main():
     xp = run_pipeline(data)
     found = xp.roi.sizes["mark"]
 
+    # Secondary row: single-frame LATENCY (upload + 1 dispatch + 1 pull +
+    # host assembly, serial — ~95% relay round-trip tax on 1024^2 frames).
     # Per-run timing with the median reported: the dev environment reaches
     # the TPU through a relay whose transfer throughput fluctuates 2-3x
     # between runs, and the median is robust to those spikes.
@@ -596,21 +662,37 @@ def main():
     sec_frame = float(np.median(per_run))
 
     mpix = SHAPE[0] * SHAPE[1] / 1e6
-    value = mpix / sec_frame
+    single_value = mpix / sec_frame
+    detail = {
+        "beads_found": int(found),
+        "beads_true": int(n_true),
+        "num_iter": NUM_ITER,
+        "runs": N_RUNS,
+        "single_frame_mpix_per_s": round(single_value, 3),
+        "single_frame_vs_anchor": round(single_value / CPU_ANCHOR_MPIX_S, 2),
+        "seconds_per_frame": round(sec_frame, 3),
+        "per_run_s": [round(t, 3) for t in per_run],
+        "beads_per_s": round(found / sec_frame, 1),
+    }
+
+    # HEADLINE: pipelined full-pipeline throughput (complete per-frame
+    # outputs, stages overlapped across frames) — the steady-state number
+    # a multi-frame run sees, measured like the steady-state CPU anchor.
+    # Falls back to the single-frame value if the stream measurement fails.
+    try:
+        pipelined = measure_beads_pipelined()
+        detail.update(pipelined)
+        value = pipelined["pipelined_mpix_per_s"]
+    except Exception as e:
+        detail["pipelined_error"] = str(e)[:200]
+        value = single_value
+
     result = {
         "metric": "beads_pipeline_e2e_throughput",
         "value": round(value, 3),
         "unit": "Mpix/s",
         "vs_baseline": round(value / CPU_ANCHOR_MPIX_S, 2),
-        "detail": {
-            "beads_found": int(found),
-            "beads_true": int(n_true),
-            "num_iter": NUM_ITER,
-            "runs": N_RUNS,
-            "seconds_per_frame": round(sec_frame, 3),
-            "per_run_s": [round(t, 3) for t in per_run],
-            "beads_per_s": round(found / sec_frame, 1),
-        },
+        "detail": detail,
     }
     # mrbles24 runs LAST: its decode8k leg uploads ~334 MB (warmup + timed)
     # and the axon client leaks host RSS per uploaded byte, which degrades

@@ -24,6 +24,7 @@ __all__ = [
     "Pipeline",
     "beads",
     "beads_pipe",
+    "beads_stream",
     "component",
     "components",
     "filter",
@@ -65,6 +66,7 @@ from magnify_tpu.io.file import load, save
 from magnify_tpu.registry import (
     beads,
     beads_pipe,
+    beads_stream,
     component,
     components,
     image,

@@ -795,6 +795,81 @@ class BeadFinder:
         assay.cache(["roi", "fg", "bg"])
         return assay
 
+    def _normalize_search_planes(self, image_np, search_idxs):
+        """Host-normalized uint8 search planes (t=0) for the fused path.
+
+        Exactly ops.edge.normalize_to_u8, precomputed on host so only one
+        byte per pixel crosses the relay. u8 here IS the reference
+        semantics bit-for-bit — its bead detection runs on
+        to_uint8(raw plane) (find.py:466-489 via utils.find_circles) and
+        nothing downstream re-reads raw pixels, so unlike the chip path
+        (see choose_upload_precision) there is no precision to recover
+        with a wider upload.
+        """
+        raw_planes = np.ascontiguousarray(image_np[list(search_idxs), 0])
+        return ops_detect.normalize_planes_u8(raw_planes)
+
+    def _memo_keys(self, planes_shape, mesh):
+        memo_key = ("beads", planes_shape, self.min_bead_radius,
+                    self.max_bead_radius)
+        if mesh is not None and mesh.size > 1:
+            memo_key += (tuple(sorted(mesh.shape.items())),)
+        # One pull covers the live beads when the packed block is sized from
+        # the last observed count (pow2-bucketed; overflow falls back to a
+        # second small pull).
+        return memo_key, memo_key + ("pull",)
+
+    def _dispatch_detect(self, planes_dev, n_search, mesh, cap, pull_cap):
+        """Enqueue the fused detection dispatch (no sync): one device
+        program covering per-channel dense detect + NMS + cross-channel
+        dedupe + compaction. Returns (packed device block, full bead rows)."""
+        if mesh is not None and mesh.size > 1:
+            return _bead_detect_packed_mesh(
+                planes_dev, mesh, float(self.low_edge_quantile),
+                float(self.high_edge_quantile),
+                float(self.min_roundness), 2.0 * self.min_bead_radius,
+                min_radius=self.min_bead_radius,
+                max_radius=self.max_bead_radius, cap=cap,
+                min_dist=self.min_bead_radius, pull_cap=pull_cap,
+            )
+        return _bead_detect_packed(
+            planes_dev, float(self.low_edge_quantile),
+            float(self.high_edge_quantile),
+            float(self.min_roundness), 2.0 * self.min_bead_radius,
+            search_channels=n_search,
+            min_radius=self.min_bead_radius,
+            max_radius=self.max_bead_radius, cap=cap, nms_cap=cap,
+            min_dist=self.min_bead_radius, pull_cap=pull_cap,
+        )
+
+    def _collect_detect(self, planes_dev, packed_d, beads_full, n_search,
+                        mesh, memo_key, pull_key, cap, pull_cap):
+        """Pull the packed detection block (the sync point) and return the
+        live (n, 3) int32 bead rows. On cap overflow, re-dispatch on the
+        SAME device copy of the planes (a retry must not re-ship the stack:
+        the relay client retains host RSS per uploaded byte, CLAUDE.md)."""
+        while True:
+            packed = np.asarray(packed_d)
+            n, worst = int(packed[0, 0]), int(packed[0, 1])
+            if worst <= cap:
+                ops_detect._cap_memo[memo_key] = cap
+                break
+            cap = ops_detect._grow_cap(worst, cap)
+            packed_d, beads_full = self._dispatch_detect(
+                planes_dev, n_search, mesh, cap, pull_cap
+            )
+
+        beads_i = packed[1:1 + min(n, pull_cap)]
+        if n > pull_cap:
+            beads_i = np.concatenate(
+                [beads_i, np.asarray(beads_full[pull_cap:n])]
+            )
+            ops_detect._cap_memo[pull_key] = min(
+                ops_detect._pow2_at_least(n + 1, 512, 1 << 20) - 1,
+                n_search * cap - 1,
+            )
+        return beads_i
+
     def _fused_dense(self, assay, image_np, search_idxs):
         """Minimum-traffic single-frame bead step (dense detector).
 
@@ -804,77 +879,33 @@ class BeadFinder:
         Masks, ROI crops, and memmap writes all happen on the host from the
         image copy already in RAM — the device does detection only.
         """
+        from magnify_tpu.parallel.mesh import active_mesh
+
+        planes = self._normalize_search_planes(image_np, search_idxs)
+        mesh = active_mesh()
+        # Upload ONCE, outside the cap-growth retry loop: both the first
+        # dispatch and any retry reuse this device copy.
+        planes_dev = jnp.asarray(planes)
+        memo_key, pull_key = self._memo_keys(planes.shape, mesh)
+        cap = ops_detect._cap_memo.get(memo_key, 1024)
+        pull_cap = ops_detect._cap_memo.get(pull_key, 511)
+        packed_d, beads_full = self._dispatch_detect(
+            planes_dev, len(search_idxs), mesh, cap, pull_cap
+        )
+        beads_i = self._collect_detect(
+            planes_dev, packed_d, beads_full, len(search_idxs), mesh,
+            memo_key, pull_key, cap, pull_cap,
+        )
+        return self._assemble_fused(assay, image_np, beads_i)
+
+    def _assemble_fused(self, assay, image_np, beads_i):
+        """Host finalize of the fused bead step: ownership masks, ROI crops,
+        output allocation, and coordinate assembly from the pulled bead
+        rows (all numpy — no device round trips)."""
         sizes = assay.sizes
         n_ch, n_t = sizes["channel"], sizes["time"]
         L = self.roi_length
-        h, w = image_np.shape[-2:]
-
-        # Exactly ops.edge.normalize_to_u8, precomputed on host so only one
-        # byte per pixel crosses the relay. u8 here IS the reference
-        # semantics bit-for-bit — its bead detection runs on
-        # to_uint8(raw plane) (find.py:466-489 via utils.find_circles) and
-        # nothing downstream re-reads raw pixels, so unlike the chip path
-        # (see choose_upload_precision) there is no precision to recover
-        # with a wider upload.
-        raw_planes = np.ascontiguousarray(image_np[list(search_idxs), 0])
-        planes = ops_detect.normalize_planes_u8(raw_planes)
-
-        from magnify_tpu.parallel.mesh import active_mesh
-
-        mesh = active_mesh()
-        on_mesh = mesh is not None and mesh.size > 1
-        # Upload ONCE, outside the cap-growth retry loop: a retry must not
-        # re-ship the stack (the relay client retains host RSS per uploaded
-        # byte, CLAUDE.md), so both branches reuse this device copy.
-        planes_dev = jnp.asarray(planes)
-
-        memo_key = ("beads", planes.shape, self.min_bead_radius,
-                    self.max_bead_radius)
-        if on_mesh:
-            memo_key += (tuple(sorted(mesh.shape.items())),)
-        cap = ops_detect._cap_memo.get(memo_key, 1024)
-        # One pull covers the live beads when the packed block is sized from
-        # the last observed count (pow2-bucketed; overflow falls back to a
-        # second small pull).
-        pull_key = memo_key + ("pull",)
-        pull_cap = ops_detect._cap_memo.get(pull_key, 511)
-        while True:
-            if on_mesh:
-                packed_d, beads_full = _bead_detect_packed_mesh(
-                    planes_dev, mesh, float(self.low_edge_quantile),
-                    float(self.high_edge_quantile),
-                    float(self.min_roundness), 2.0 * self.min_bead_radius,
-                    min_radius=self.min_bead_radius,
-                    max_radius=self.max_bead_radius, cap=cap,
-                    min_dist=self.min_bead_radius, pull_cap=pull_cap,
-                )
-            else:
-                packed_d, beads_full = _bead_detect_packed(
-                    planes_dev, float(self.low_edge_quantile),
-                    float(self.high_edge_quantile),
-                    float(self.min_roundness), 2.0 * self.min_bead_radius,
-                    search_channels=len(search_idxs),
-                    min_radius=self.min_bead_radius,
-                    max_radius=self.max_bead_radius, cap=cap, nms_cap=cap,
-                    min_dist=self.min_bead_radius, pull_cap=pull_cap,
-                )
-            packed = np.asarray(packed_d)
-            n, worst = int(packed[0, 0]), int(packed[0, 1])
-            if worst > cap:
-                cap = ops_detect._grow_cap(worst, cap)
-                continue
-            ops_detect._cap_memo[memo_key] = cap
-            break
-
-        beads_i = packed[1:1 + min(n, pull_cap)]
-        if n > pull_cap:
-            beads_i = np.concatenate(
-                [beads_i, np.asarray(beads_full[pull_cap:n])]
-            )
-            ops_detect._cap_memo[pull_key] = min(
-                ops_detect._pow2_at_least(n + 1, 512, 1 << 20) - 1,
-                len(search_idxs) * cap - 1,
-            )
+        n = len(beads_i)
         beads = beads_i.astype(float)
 
         fg1, bg1, rois, _tops, _lefts = _bead_finalize_host(
@@ -900,6 +931,162 @@ class BeadFinder:
         if n > 0:
             assay.cache(["roi", "fg", "bg"])
         return assay
+
+    def _prepare_frame(self, assay, fused_ok):
+        """Producer-thread half of one streamed frame: materialize the
+        image, host-normalize the search planes, and start the async
+        upload. Returns (assay, image_np, planes_dev, search_idxs);
+        image_np/planes_dev are None when the frame must take the serial
+        (non-fused) path."""
+        if not fused_ok:
+            return (assay, None, None, None)
+        img_var = assay["image"]
+        stack_bytes = (np.prod(img_var.shape)
+                       * np.dtype(img_var.dtype).itemsize)
+        if stack_bytes > MAX_RESIDENT_BYTES:
+            return (assay, None, None, None)
+        search_channels = self.search_channels or _channel_values(assay)
+        search_idxs = tuple(
+            _channel_index(assay, c) if not isinstance(c, int) else c
+            for c in search_channels
+        )
+        image_np = np.ascontiguousarray(assay.image.to_numpy())
+        planes = self._normalize_search_planes(image_np, search_idxs)
+        planes_dev = jax.device_put(planes)
+        return (assay, image_np, planes_dev, search_idxs)
+
+    def stream(self, inputs, *, reader, pre, post, depth: int = 2):
+        """Pipelined multi-frame bead pipeline (generator).
+
+        Yields one finished Dataset per input frame — each bit-identical
+        to running the single-frame pipeline on that frame alone — with
+        the per-frame stages overlapped across consecutive frames:
+
+        * host pre-stages (read/standardize/flatfield/stitch) + uint8
+          normalize + async upload run up to ``depth`` frames ahead on a
+          background thread (the DevicePrefetcher pattern);
+        * the fused detection dispatch for frames k+1..k+depth is enqueued
+          on the in-order device stream BEFORE frame k's packed pull, so
+          the device computes ahead while the host blocks on the pull;
+        * frame k's host mask/ROI assembly then overlaps the device's work
+          on frame k+1 and the upload of frame k+depth.
+
+        Steady-state per-frame cost is max(upload, device, host work) plus
+        one small pull, instead of their serial sum — the single-frame
+        path through a relay pays ~2 round trips + the upload serially
+        per frame (BASELINE.md "environment tax"). Frames that cannot
+        take the fused path (interactive GUI, ransac detector, or an
+        out-of-core stack) drain the pipeline and run the ordinary serial
+        component path, preserving output order.
+
+        Replaces: dask's lazy chunk scheduling across frames
+        (/root/reference/src/magnify/reader.py:284-292, find.py:445-629 run
+        frame-serially) with an explicitly double-buffered host->HBM
+        pipeline.
+        """
+        import collections
+        import threading
+
+        from magnify_tpu.parallel.mesh import active_mesh
+
+        depth = max(1, int(depth))
+        mesh = active_mesh()
+        fused_ok = (self.gui is None
+                    and ops_detect.resolve_detector(self.detector)
+                    == "dense")
+
+        def produce_assays():
+            for data in inputs:
+                for assay in reader(data=data):
+                    for _name, comp in pre:
+                        assay = comp(assay)
+                    yield assay
+
+        queue: collections.deque = collections.deque()
+        cv = threading.Condition()
+        done = object()
+        failure: list = []
+        cancelled = threading.Event()
+
+        def produce():
+            try:
+                for assay in produce_assays():
+                    if cancelled.is_set():
+                        return
+                    item = self._prepare_frame(assay, fused_ok)
+                    with cv:
+                        while len(queue) > depth:
+                            if cancelled.is_set():
+                                return
+                            cv.wait()
+                        queue.append(item)
+                        cv.notify_all()
+            except BaseException as e:  # propagate to the consumer
+                failure.append(e)
+            finally:
+                with cv:
+                    queue.append(done)
+                    cv.notify_all()
+
+        def finish(entry):
+            (assay, image_np, planes_dev, search_idxs, packed_d, full_d,
+             memo_key, pull_key, cap, pull_cap) = entry
+            beads_i = self._collect_detect(
+                planes_dev, packed_d, full_d, len(search_idxs), mesh,
+                memo_key, pull_key, cap, pull_cap,
+            )
+            out = self._assemble_fused(assay, image_np, beads_i)
+            for _name, comp in post:
+                out = comp(out)
+            return out
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        inflight: collections.deque = collections.deque()
+        try:
+            while True:
+                with cv:
+                    while not queue:
+                        cv.wait()
+                    item = queue.popleft()
+                    cv.notify_all()
+                if item is done:
+                    break
+                assay, image_np, planes_dev, search_idxs = item
+                if planes_dev is None:
+                    # Serial frame: drain in-flight work first so outputs
+                    # stay in input order, then run the ordinary path.
+                    while inflight:
+                        yield finish(inflight.popleft())
+                    out = self(assay)
+                    for _name, comp in post:
+                        out = comp(out)
+                    yield out
+                    continue
+                memo_key, pull_key = self._memo_keys(
+                    tuple(planes_dev.shape), mesh)
+                cap = ops_detect._cap_memo.get(memo_key, 1024)
+                pull_cap = ops_detect._cap_memo.get(pull_key, 511)
+                packed_d, full_d = self._dispatch_detect(
+                    planes_dev, len(search_idxs), mesh, cap, pull_cap,
+                )
+                inflight.append((assay, image_np, planes_dev, search_idxs,
+                                 packed_d, full_d, memo_key, pull_key, cap,
+                                 pull_cap))
+                if len(inflight) > depth:
+                    yield finish(inflight.popleft())
+            while inflight:
+                yield finish(inflight.popleft())
+            thread.join()
+            if failure:
+                raise failure[0]
+        finally:
+            # The consumer may abandon the generator mid-stream: release
+            # the producer so it doesn't block forever holding buffers.
+            cancelled.set()
+            with cv:
+                queue.clear()
+                cv.notify_all()
 
     @components.register("find_beads")
     def make(

@@ -478,6 +478,44 @@ def beads(
     )(data=data)
 
 
+def beads_stream(frames, *, stream_depth: int = 2, **kwargs):
+    """Pipelined multi-frame bead pipeline (generator).
+
+    ``frames`` is an iterable of per-frame inputs (each anything
+    :func:`beads` accepts: path/glob, DataArray/Dataset, ...); ``kwargs``
+    are the :func:`beads` parameters. Yields one finished Dataset per
+    frame, bit-identical to ``beads(frame, **kwargs)`` run alone, but with
+    consecutive frames' stages overlapped: the host pre-stages and uint8
+    upload of frame k+depth, the device detection of frame k+1, and the
+    host ROI/mask assembly of frame k all run concurrently (the device
+    dispatch stream is in-order, so detection results arrive exactly when
+    the pipeline reaches them). ``stream_depth`` frames are kept in
+    flight (2 = classic double buffering).
+
+    Steady-state throughput is set by the slowest stage instead of the
+    serial per-frame sum — on relay-attached TPUs this hides the ~2
+    round trips + upload the single-frame path pays per frame
+    (BASELINE.md "environment tax").
+
+    The reference has no multi-frame pipelining: it processes assays
+    strictly serially (/root/reference/src/magnify/pipeline.py:14-39),
+    overlapping only dask-chunk decode within one frame
+    (/root/reference/src/magnify/reader.py:284-292). This is the
+    TPU-native replacement at the whole-pipeline level (SURVEY §7.9).
+    """
+    pipe = beads_pipe(**kwargs)
+    names = pipe.component_names
+    split = names.index("find_beads")
+    finder = pipe.components[split][1]
+    return finder.stream(
+        frames,
+        reader=pipe.reader,
+        pre=pipe.components[:split],
+        post=pipe.components[split + 1:],
+        depth=stream_depth,
+    )
+
+
 def image_pipe(
     overlap: int = 102,
     rotation: float = 0,
