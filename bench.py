@@ -90,8 +90,13 @@ def measure_beads_pipelined(n_frames: int = 10, n_runs: int = 3) -> dict:
     import magnify_tpu as mg
 
     frames = [make_workload(seed=s)[0] for s in range(n_frames)]
+    # depth 4 keeps the device dispatched-ahead across the batched pull;
+    # pull_batch 4 amortizes the pull round trip over 4 frames. Steady
+    # state on the dev relay is then bound by the 1 MB/frame u8 upload
+    # (serialized on the link), not by round trips or host work.
     kw = dict(min_bead_diameter=16, max_bead_diameter=24, overlap=0,
-              num_iter=NUM_ITER, min_roundness=0.3)
+              num_iter=NUM_ITER, min_roundness=0.3, stream_depth=4,
+              stream_pull_batch=4)
     outs = list(mg.beads_stream(frames, **kw))  # warmup: compile + cap memo
     found = [int(o.roi.sizes["mark"]) for o in outs]
     per_run = []

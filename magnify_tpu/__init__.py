@@ -15,7 +15,7 @@ factories, ``save``/``load``, the ``component`` decorator, and the plot
 sublibrary ``magnify_tpu.plot``.
 """
 
-__version__ = "0.5.1"
+__version__ = "0.6.0"
 
 __all__ = [
     "parallel",

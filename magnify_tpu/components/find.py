@@ -246,6 +246,13 @@ def _bead_detect_packed_mesh(planes_q, mesh, low_q, high_q, min_roundness,
 _PAIR_CHUNK_BYTES = 32 << 20
 
 
+@jax.jit
+def _stack_packed(*packed):
+    """Stack per-frame packed pull blocks so one host sync covers a batch
+    of frames (jit caches one tiny program per batch arity)."""
+    return jnp.stack(packed)
+
+
 def _bead_ownership_host(beads, h, w, roi_length, max_radius):
     """Host fg/bg ownership masks + ROI windows (numpy).
 
@@ -842,14 +849,13 @@ class BeadFinder:
             min_dist=self.min_bead_radius, pull_cap=pull_cap,
         )
 
-    def _collect_detect(self, planes_dev, packed_d, beads_full, n_search,
-                        mesh, memo_key, pull_key, cap, pull_cap):
-        """Pull the packed detection block (the sync point) and return the
-        live (n, 3) int32 bead rows. On cap overflow, re-dispatch on the
-        SAME device copy of the planes (a retry must not re-ship the stack:
-        the relay client retains host RSS per uploaded byte, CLAUDE.md)."""
+    def _collect_from_packed(self, packed, planes_dev, beads_full, n_search,
+                             mesh, memo_key, pull_key, cap, pull_cap):
+        """Interpret an already-pulled packed block and return the live
+        (n, 3) int32 bead rows. On cap overflow, re-dispatch on the SAME
+        device copy of the planes (a retry must not re-ship the stack: the
+        relay client retains host RSS per uploaded byte, CLAUDE.md)."""
         while True:
-            packed = np.asarray(packed_d)
             n, worst = int(packed[0, 0]), int(packed[0, 1])
             if worst <= cap:
                 ops_detect._cap_memo[memo_key] = cap
@@ -858,6 +864,7 @@ class BeadFinder:
             packed_d, beads_full = self._dispatch_detect(
                 planes_dev, n_search, mesh, cap, pull_cap
             )
+            packed = np.asarray(packed_d)
 
         beads_i = packed[1:1 + min(n, pull_cap)]
         if n > pull_cap:
@@ -869,6 +876,15 @@ class BeadFinder:
                 n_search * cap - 1,
             )
         return beads_i
+
+    def _collect_detect(self, planes_dev, packed_d, beads_full, n_search,
+                        mesh, memo_key, pull_key, cap, pull_cap):
+        """Pull the packed detection block (the sync point) and return the
+        live (n, 3) int32 bead rows."""
+        return self._collect_from_packed(
+            np.asarray(packed_d), planes_dev, beads_full, n_search, mesh,
+            memo_key, pull_key, cap, pull_cap,
+        )
 
     def _fused_dense(self, assay, image_np, search_idxs):
         """Minimum-traffic single-frame bead step (dense detector).
@@ -955,7 +971,8 @@ class BeadFinder:
         planes_dev = jax.device_put(planes)
         return (assay, image_np, planes_dev, search_idxs)
 
-    def stream(self, inputs, *, reader, pre, post, depth: int = 2):
+    def stream(self, inputs, *, reader, pre, post, depth: int = 2,
+               pull_batch: int = 4):
         """Pipelined multi-frame bead pipeline (generator).
 
         Yields one finished Dataset per input frame — each bit-identical
@@ -968,8 +985,13 @@ class BeadFinder:
         * the fused detection dispatch for frames k+1..k+depth is enqueued
           on the in-order device stream BEFORE frame k's packed pull, so
           the device computes ahead while the host blocks on the pull;
-        * frame k's host mask/ROI assembly then overlaps the device's work
-          on frame k+1 and the upload of frame k+depth.
+        * frame k's host mask/ROI assembly runs on its own worker thread,
+          overlapping the device's work on frame k+1 and the upload of
+          frame k+depth;
+        * packed pulls are amortized: ``pull_batch`` consecutive frames'
+          packed blocks are stacked by one tiny device op and pulled with
+          ONE host sync, so the per-frame link cost is RTT/pull_batch
+          (each pull round trip costs ~25-40 ms through the dev relay).
 
         Steady-state per-frame cost is max(upload, device, host work) plus
         one small pull, instead of their serial sum — the single-frame
@@ -990,6 +1012,7 @@ class BeadFinder:
         from magnify_tpu.parallel.mesh import active_mesh
 
         depth = max(1, int(depth))
+        pull_batch = max(1, int(pull_batch))
         mesh = active_mesh()
         fused_ok = (self.gui is None
                     and ops_detect.resolve_detector(self.detector)
@@ -1028,13 +1051,7 @@ class BeadFinder:
                     queue.append(done)
                     cv.notify_all()
 
-        def finish(entry):
-            (assay, image_np, planes_dev, search_idxs, packed_d, full_d,
-             memo_key, pull_key, cap, pull_cap) = entry
-            beads_i = self._collect_detect(
-                planes_dev, packed_d, full_d, len(search_idxs), mesh,
-                memo_key, pull_key, cap, pull_cap,
-            )
+        def assemble(assay, image_np, beads_i):
             out = self._assemble_fused(assay, image_np, beads_i)
             for _name, comp in post:
                 out = comp(out)
@@ -1043,6 +1060,35 @@ class BeadFinder:
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
         inflight: collections.deque = collections.deque()
+        pending: collections.deque = collections.deque()
+        import concurrent.futures
+
+        # Assembly runs on its own worker so the main thread's steady-state
+        # cost is just the packed pull: pull(k+1) starts while frame k's
+        # masks/crops are still being built (one worker keeps yield order).
+        assembler = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+        def flush(k):
+            """Pull the oldest ``k`` in-flight frames with ONE host sync
+            (a tiny jitted stack of their packed blocks when k > 1) and
+            hand each frame's host assembly to the worker. Runs on the
+            main thread — the cap memo is main-thread state."""
+            entries = [inflight.popleft() for _ in range(k)]
+            if len(entries) == 1:
+                packed_list = [np.asarray(entries[0][4])]
+            else:
+                packed_list = list(np.asarray(
+                    _stack_packed(*[e[4] for e in entries])))
+            for entry, packed in zip(entries, packed_list):
+                (assay, image_np, planes_dev, search_idxs, _packed_d,
+                 full_d, memo_key, pull_key, cap, pull_cap) = entry
+                beads_i = self._collect_from_packed(
+                    packed, planes_dev, full_d, len(search_idxs), mesh,
+                    memo_key, pull_key, cap, pull_cap,
+                )
+                pending.append(
+                    assembler.submit(assemble, assay, image_np, beads_i))
+
         try:
             while True:
                 with cv:
@@ -1056,8 +1102,10 @@ class BeadFinder:
                 if planes_dev is None:
                     # Serial frame: drain in-flight work first so outputs
                     # stay in input order, then run the ordinary path.
-                    while inflight:
-                        yield finish(inflight.popleft())
+                    if inflight:
+                        flush(len(inflight))
+                    while pending:
+                        yield pending.popleft().result()
                     out = self(assay)
                     for _name, comp in post:
                         out = comp(out)
@@ -1073,10 +1121,17 @@ class BeadFinder:
                 inflight.append((assay, image_np, planes_dev, search_idxs,
                                  packed_d, full_d, memo_key, pull_key, cap,
                                  pull_cap))
-                if len(inflight) > depth:
-                    yield finish(inflight.popleft())
+                # Keep ``depth`` frames dispatched-ahead beyond the batch
+                # being accumulated, so the device never drains while the
+                # batched pull blocks.
+                if len(inflight) >= pull_batch + depth:
+                    flush(pull_batch)
+                while len(pending) > 1:
+                    yield pending.popleft().result()
             while inflight:
-                yield finish(inflight.popleft())
+                flush(min(pull_batch, len(inflight)))
+            while pending:
+                yield pending.popleft().result()
             thread.join()
             if failure:
                 raise failure[0]
@@ -1087,6 +1142,7 @@ class BeadFinder:
             with cv:
                 queue.clear()
                 cv.notify_all()
+            assembler.shutdown(wait=False)
 
     @components.register("find_beads")
     def make(

@@ -478,7 +478,8 @@ def beads(
     )(data=data)
 
 
-def beads_stream(frames, *, stream_depth: int = 2, **kwargs):
+def beads_stream(frames, *, stream_depth: int = 2, stream_pull_batch: int = 4,
+                 **kwargs):
     """Pipelined multi-frame bead pipeline (generator).
 
     ``frames`` is an iterable of per-frame inputs (each anything
@@ -489,8 +490,11 @@ def beads_stream(frames, *, stream_depth: int = 2, **kwargs):
     upload of frame k+depth, the device detection of frame k+1, and the
     host ROI/mask assembly of frame k all run concurrently (the device
     dispatch stream is in-order, so detection results arrive exactly when
-    the pipeline reaches them). ``stream_depth`` frames are kept in
-    flight (2 = classic double buffering).
+    the pipeline reaches them). ``stream_depth`` frames are kept
+    dispatched-ahead (2 = classic double buffering), and the small packed
+    detection results of ``stream_pull_batch`` consecutive frames are
+    pulled with one host sync so the per-frame link cost is one round
+    trip divided by the batch.
 
     Steady-state throughput is set by the slowest stage instead of the
     serial per-frame sum — on relay-attached TPUs this hides the ~2
@@ -513,6 +517,7 @@ def beads_stream(frames, *, stream_depth: int = 2, **kwargs):
         pre=pipe.components[:split],
         post=pipe.components[split + 1:],
         depth=stream_depth,
+        pull_batch=stream_pull_batch,
     )
 
 
