@@ -205,19 +205,61 @@ def _pack_beads(circles, valid, worst_keep, pull_cap):
     return packed, beads
 
 
-@functools.partial(jax.jit, static_argnames=("pull_cap",))
-def _dedupe_pack_beads_mesh(circles, accepted, n_keep, dedupe_dist, *,
-                            pull_cap):
-    """Mesh finisher for the fused bead step: takes the sharded detector's
-    per-channel (circles (S, cap, 3), accepted (S, cap), n_keep (S,)) —
-    replicated outputs bit-identical to _stage_dense_full per channel — and
-    applies the SAME cross-channel dedupe + compaction as
-    :func:`_bead_detect_packed`, so mesh and single-chip pulls are equal."""
-    blocks = [(circles[i], accepted[i]) for i in range(circles.shape[0])]
-    flat, valid = _cross_channel_dedupe(blocks, dedupe_dist,
-                                        circles.shape[1])
-    return _pack_beads(flat.astype(jnp.int32), valid,
-                       jnp.max(n_keep).astype(jnp.int32), pull_cap)
+@functools.lru_cache(maxsize=64)
+def _dedupe_pack_beads_mesh_fn(mesh, pull_cap):
+    """Mesh finisher for the fused bead step (built once per mesh): takes
+    the sharded detector's per-channel (circles (S, cap, 3), accepted
+    (S, cap), n_keep (S,)) — replicated outputs bit-identical to
+    _stage_dense_full per channel — and applies the SAME cross-channel
+    dedupe + compaction as :func:`_bead_detect_packed`, so mesh and
+    single-chip pulls are equal. Outputs are explicitly REPLICATED over
+    the mesh: under a multi-controller job every host must be able to
+    pull the packed block directly (np.asarray of a global array needs an
+    addressable replica on every process)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+
+    def run(circles, accepted, n_keep, dedupe_dist):
+        blocks = [(circles[i], accepted[i])
+                  for i in range(circles.shape[0])]
+        flat, valid = _cross_channel_dedupe(blocks, dedupe_dist,
+                                            circles.shape[1])
+        return _pack_beads(flat.astype(jnp.int32), valid,
+                           jnp.max(n_keep).astype(jnp.int32), pull_cap)
+
+    return jax.jit(run, out_shardings=(rep, rep))
+
+
+def _upload_search_planes(planes, mesh):
+    """Place the host-normalized search planes on device.
+
+    Single-controller: one plain upload (the mesh programs reshard as
+    needed). Multi-controller (``jax.process_count() > 1``): each host
+    uploads ONLY its own contiguous block of the channel axis
+    (:func:`magnify_tpu.parallel.multihost.host_shard_keys`) and the
+    global (S, H, W) array is assembled in place by
+    :func:`make_global_stack` — ingest bandwidth scales with hosts and no
+    image bytes cross DCN (docs/multihost.md; SURVEY §2.12). Requires the
+    search-channel count to divide the host count evenly.
+    """
+    n_proc = jax.process_count()
+    if mesh is not None and mesh.size > 1 and n_proc > 1:
+        from magnify_tpu.parallel.multihost import (
+            host_shard_keys,
+            make_global_stack,
+        )
+
+        if planes.shape[0] % n_proc:
+            raise ValueError(
+                f"multi-controller mg.beads needs the search-channel count "
+                f"({planes.shape[0]}) to be a multiple of the host count "
+                f"({n_proc}) so each host ingests an equal plane block; "
+                "pass an explicit search_channel list or run single-host."
+            )
+        mine = host_shard_keys(list(range(planes.shape[0])))
+        return make_global_stack(planes[mine], mesh)
+    return jnp.asarray(planes)
 
 
 def _bead_detect_packed_mesh(planes_q, mesh, low_q, high_q, min_roundness,
@@ -236,9 +278,9 @@ def _bead_detect_packed_mesh(planes_q, mesh, low_q, high_q, min_roundness,
         min_radius=min_radius, max_radius=max_radius, min_dist=min_dist,
         cap=cap, normalized=normalized,
     )
-    return _dedupe_pack_beads_mesh(circles, accepted, n_keep,
-                                   jnp.float32(dedupe_dist),
-                                   pull_cap=pull_cap)
+    return _dedupe_pack_beads_mesh_fn(mesh, int(pull_cap))(
+        circles, accepted, n_keep, jnp.float32(dedupe_dist)
+    )
 
 
 # Budget for the (pairs, L, L) ownership temporaries; module-level so the
@@ -900,8 +942,9 @@ class BeadFinder:
         planes = self._normalize_search_planes(image_np, search_idxs)
         mesh = active_mesh()
         # Upload ONCE, outside the cap-growth retry loop: both the first
-        # dispatch and any retry reuse this device copy.
-        planes_dev = jnp.asarray(planes)
+        # dispatch and any retry reuse this device copy. Multi-controller
+        # jobs assemble the global stack from per-host plane blocks.
+        planes_dev = _upload_search_planes(planes, mesh)
         memo_key, pull_key = self._memo_keys(planes.shape, mesh)
         cap = ops_detect._cap_memo.get(memo_key, 1024)
         pull_cap = ops_detect._cap_memo.get(pull_key, 511)
@@ -968,7 +1011,13 @@ class BeadFinder:
         )
         image_np = np.ascontiguousarray(assay.image.to_numpy())
         planes = self._normalize_search_planes(image_np, search_idxs)
-        planes_dev = jax.device_put(planes)
+        from magnify_tpu.parallel.mesh import active_mesh
+
+        mesh = active_mesh()
+        if mesh is not None and mesh.size > 1:
+            planes_dev = _upload_search_planes(planes, mesh)
+        else:
+            planes_dev = jax.device_put(planes)
         return (assay, image_np, planes_dev, search_idxs)
 
     def stream(self, inputs, *, reader, pre, post, depth: int = 2,

@@ -631,6 +631,18 @@ def test_multihost_two_process_dcn(tmp_path):
                             f"\n--- worker1 ---\n{tails[1]}"
     import json as _json
 
+    receipts = []
     for pid, want in ((0, 2), (1, 1)):
         got = _json.loads((tmp_path / f"out{pid}.json").read_text())
-        assert got == {"pid": pid, "found": want, "counts": [2, 1]}
+        assert got["pid"] == pid
+        assert got["found"] == want
+        assert got["counts"] == [2, 1]
+        receipts.append(got)
+    # mg.beads itself ran under the 2-host mesh: each host uploaded ONE
+    # plane (host-sharded ingest), matched its local single-device run
+    # bit-for-bit, and both hosts' finished outputs are identical.
+    b0, b1 = receipts[0]["beads"], receipts[1]["beads"]
+    assert b0 == b1
+    assert b0["found"] == 3
+    assert b0["match_local"] is True
+    assert b0["upload_shapes"] == [[1, 64, 128]]
