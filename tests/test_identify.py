@@ -196,6 +196,71 @@ def test_identify_mrbles_24_codes_4_lanthanides():
     assert accuracy > 0.95, f"accuracy {accuracy}"
 
 
+def test_mrbles_panel_noise_detections_become_outliers():
+    """Panel-scale false-positive bound (round-4 verdict weak #6 / task 5):
+    on a noisy 24-code field whose detector surfaces spectrally-implausible
+    junk blobs alongside the real beads, the decode's outlier stages (kNN
+    trim + GMM outlier component, reference identify.py:90-100,161-233)
+    must tag exactly the junk as "outlier": every true bead stays coded,
+    post-QC noise detections are zero."""
+    from magnify_tpu.utils import filled_circle_points
+
+    rng = np.random.default_rng(7)
+    shape = (768, 768)
+    planes = np.zeros((len(CHANNELS5),) + shape, np.float32)
+    disk = filled_circle_points(10)
+    centers, truth = [], []
+
+    def place(intensity, name):
+        while True:
+            pos = rng.integers(40, shape[0] - 40, 2)
+            if all(abs(pos[0] - c[0]) >= 34 or abs(pos[1] - c[1]) >= 34
+                   for c in centers):
+                break
+        centers.append(pos)
+        truth.append(name)
+        pts = disk + pos
+        for ci in range(len(CHANNELS5)):
+            planes[ci, pts[:, 0], pts[:, 1]] = intensity[ci]
+
+    for name, code in CODES24.items():
+        for _ in range(4):
+            eu = rng.uniform(80, 120)
+            vols = eu * np.concatenate([[1.0], np.asarray(code)])
+            place(vols @ SPECTRA4, name)
+    n_true = len(truth)
+    # Junk blobs: round enough to detect, spectral ratios in the GAPS of
+    # the 4 x 3 x 2 lattice (levels 1.5/2.0/2.5 apart, cluster sigma
+    # ~0.04) — many sigma from every code cluster, like real
+    # autofluorescent debris, without the absurd off-scale ratios that no
+    # affine lattice fit could survive.
+    n_junk = 6
+    for _ in range(n_junk):
+        eu = rng.uniform(80, 120)
+        vols = eu * np.array([1.0, rng.uniform(0.5, 1.0),
+                              rng.uniform(0.7, 1.3), rng.uniform(0.8, 1.7)])
+        place(vols @ SPECTRA4, "junk")
+
+    planes = np.maximum(
+        planes + rng.normal(10.0, 2.5, planes.shape).astype(np.float32), 0.0)
+    data = DataArray(planes, dims=("channel", "y", "x"),
+                     coords={"channel": CHANNELS5})
+    xp = mg.mrbles(
+        data=data, spectra=spectra4_csv(), codes=codes24_csv(),
+        overlap=0, min_bead_diameter=16, max_bead_diameter=24,
+        num_iter=20000, min_roundness=0.3, search_channel="c435",
+        detector="dense",
+    )
+    tags = xp.tag.values
+    found = int(xp.roi.sizes["mark"])
+    n_outlier = int((tags == "outlier").sum())
+    assert found >= n_true + n_junk  # the junk was actually detected
+    # Every extra detection (junk + any marginal noise hit) is rejected by
+    # the outlier stages; every true bead keeps a real code.
+    assert found - n_outlier == n_true, (found, n_outlier, n_true)
+    assert len(np.unique(tags[tags != "outlier"])) == 24
+
+
 def test_identify_mrbles_missing_reference():
     ds, _ = synthetic_bead_assay(n_per_code=4)
     with pytest.raises(ValueError, match="Reference lanthanide"):
