@@ -9,6 +9,7 @@ per-marker scalars return to host.
 from __future__ import annotations
 
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -18,22 +19,83 @@ __all__ = [
     "fg_mean_bg_median",
     "masked_median",
     "masked_mean",
+    "measured_transfer_rate",
     "prefer_host_reduction",
 ]
 
 
+# Effective host-twin reduction rate (bytes/s) for the cost model below:
+# the chunked numpy twins process a 167 MB ROI store in ~1.3-1.5 s on the
+# dev VM (page-fault bound, BASELINE.md decode8k_spilled) — ~120 MB/s.
+_HOST_REDUCE_RATE = 120e6
+# Probe stores at least this big; smaller ones route by the existing
+# element-count rule in masked_*/fg_mean_bg_median.
+_PROBE_MIN_BYTES = 32 << 20
+_transfer_probe = {"t": -1e9, "rate": None}
+
+
+def measured_transfer_rate(sample_bytes: int = 2 << 20,
+                           ttl_s: float = 60.0) -> float | None:
+    """Effective host<->device transfer rate (bytes/s), measured by a tiny
+    timed round trip (device_put + full pull — no compilation involved)
+    and cached for ``ttl_s``.
+
+    This is the signal the auto reduction-placement policy routes big
+    uploads on: link throughput is a PROCESS property, not a constant —
+    on relay-attached setups it degrades with the process's RSS watermark
+    (the documented high-RSS upload penalty that made the 8k-mark decode
+    7 s device-routed vs 1.5 s on the host twin inside the bench
+    process), while directly-attached TPUs measure GB/s and keep the
+    device route. Returns None if the probe fails (no device, etc.).
+    """
+    now = time.monotonic()
+    if now - _transfer_probe["t"] < ttl_s:
+        return _transfer_probe["rate"]
+    rate = None
+    try:
+        buf = np.ones(sample_bytes, np.uint8)  # pre-faulted pages
+        t0 = time.monotonic()
+        arr = jax.device_put(buf)
+        np.asarray(arr)  # the pull is the only reliable sync on relays
+        dt = max(time.monotonic() - t0, 1e-6)
+        rate = 2.0 * sample_bytes / dt  # bytes crossed the link twice
+    except Exception:
+        rate = None
+    _transfer_probe["t"] = now
+    _transfer_probe["rate"] = rate
+    return rate
+
+
 def prefer_host_reduction(store) -> bool:
     """Shared reduction-placement policy (quantify, identify_mrbles, the
-    QC filters): host when the backing store is a disk spill — uploading
-    data that already lives in host spill files costs more in host->HBM
-    transfer than the device reduction saves — device otherwise;
-    MAGNIFY_TPU_QUANTIFY=host|device overrides."""
-    policy = os.environ.get("MAGNIFY_TPU_QUANTIFY", "auto")
-    if policy == "auto":
-        from magnify_tpu.core.lazy import is_memmap_backed
+    QC filters). MAGNIFY_TPU_QUANTIFY=host|device overrides; auto routes
 
-        return is_memmap_backed(store)
-    return policy == "host"
+    * host when the backing store is a disk spill (uploading data that
+      already lives in host spill files costs more in host->HBM transfer
+      than the device reduction saves);
+    * for big in-RAM stores (>= 32 MB), by a measured cost model: the
+      store's upload time at the probed link rate
+      (:func:`measured_transfer_rate`) vs the host twin's ~120 MB/s —
+      so a degraded or RSS-penalized link falls back to the exact host
+      twin instead of paying a multi-second upload, while attached
+      hardware (GB/s) keeps the device route;
+    * device otherwise.
+    """
+    policy = os.environ.get("MAGNIFY_TPU_QUANTIFY", "auto")
+    if policy != "auto":
+        return policy == "host"
+    from magnify_tpu.core.lazy import is_memmap_backed
+
+    if is_memmap_backed(store):
+        return True
+    nbytes = getattr(store, "nbytes", 0)
+    if nbytes < _PROBE_MIN_BYTES:
+        return False
+    rate = measured_transfer_rate()
+    if not rate:
+        return False
+    device_cost = nbytes / rate + 0.05  # + a dispatch round trip
+    return device_cost > nbytes / _HOST_REDUCE_RATE
 
 
 def _row_chunk(shape, itemsize: int = 4, budget: int = 32 << 20) -> int:

@@ -297,3 +297,57 @@ def test_quantify_host_device_policy_parity(monkeypatch):
     assert q_mod._is_memmap_backed(mm.transpose(0, 2, 1, 3, 4))
     out_auto = q_mod.quantify(build(mm), batch_timesteps=3).intensity.values
     np.testing.assert_allclose(out_auto, outs["host"], rtol=1e-6, atol=1e-4)
+
+
+def test_prefer_host_reduction_rate_model(monkeypatch):
+    """Auto reduction placement routes big in-RAM stores by the MEASURED
+    link rate (round-4 verdict weak #5): a degraded/RSS-penalized link
+    (MB/s) sends the store to the exact host twin; attached-hardware
+    rates (GB/s) keep the device route; small stores and explicit
+    policies are unaffected."""
+    from magnify_tpu.ops import reduce as reduce_mod
+
+    big = np.zeros((64 << 20) // 4, np.float32)   # 64 MB
+    small = np.zeros(1024, np.float32)
+
+    monkeypatch.setattr(reduce_mod, "measured_transfer_rate",
+                        lambda *a, **k: 2e6)      # 2 MB/s: sick relay
+    assert reduce_mod.prefer_host_reduction(big) is True
+    assert reduce_mod.prefer_host_reduction(small) is False
+
+    monkeypatch.setattr(reduce_mod, "measured_transfer_rate",
+                        lambda *a, **k: 8e9)      # 8 GB/s: attached TPU
+    assert reduce_mod.prefer_host_reduction(big) is False
+
+    monkeypatch.setattr(reduce_mod, "measured_transfer_rate",
+                        lambda *a, **k: None)     # probe failed: device
+    assert reduce_mod.prefer_host_reduction(big) is False
+
+    # Spilled stores route host regardless of link rate.
+    from magnify_tpu.core.lazy import alloc_output
+
+    monkeypatch.setattr("magnify_tpu.core.lazy.RESIDENT_BYTES_LIMIT", 1)
+    mm = alloc_output("rate_model_test", (256, 256), np.float32)
+    monkeypatch.setattr(reduce_mod, "measured_transfer_rate",
+                        lambda *a, **k: 8e9)
+    assert reduce_mod.prefer_host_reduction(mm) is True
+
+    # Explicit overrides beat the model.
+    monkeypatch.setenv("MAGNIFY_TPU_QUANTIFY", "device")
+    assert reduce_mod.prefer_host_reduction(mm) is False
+    monkeypatch.setenv("MAGNIFY_TPU_QUANTIFY", "host")
+    assert reduce_mod.prefer_host_reduction(small) is True
+
+
+def test_measured_transfer_rate_probe_caches(monkeypatch):
+    """The real probe returns a plausible rate and honors its TTL cache."""
+    from magnify_tpu.ops import reduce as reduce_mod
+
+    monkeypatch.setattr(reduce_mod, "_transfer_probe",
+                        {"t": -1e9, "rate": None})
+    r1 = reduce_mod.measured_transfer_rate(sample_bytes=1 << 20)
+    assert r1 is not None and r1 > 0
+    # Within the TTL the cached value comes back without re-probing.
+    monkeypatch.setattr(reduce_mod.jax, "device_put",
+                        lambda *a, **k: pytest.fail("re-probed inside TTL"))
+    assert reduce_mod.measured_transfer_rate(sample_bytes=1 << 20) == r1

@@ -1,5 +1,8 @@
 """Kernel-level detection tests: OpenCV parity and NMS semantics."""
 
+import os
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -931,3 +934,50 @@ def test_choose_upload_precision(monkeypatch):
     q = normalize_planes_u16(full).astype(np.int32)
     assert np.abs(q - full.astype(np.int32)).max() <= 1
     assert (np.diff(q.reshape(-1)) >= 0).all()
+
+
+def test_harmonics_7_vs_11_detection_set_identity(tmp_path):
+    """Contract guardrail for the k<=7 score-harmonics default (advisor
+    round 3; documented in docs/index.md "Numerics and compatibility
+    notes"): on noisy fixtures — the marginal-detection-sensitive case —
+    MAGNIFY_TPU_HARMONICS=7 and =11 must produce IDENTICAL detection sets.
+    The knob is read once at import, so each setting runs in a fresh
+    subprocess via the real env path."""
+    import json
+    import subprocess
+    import sys
+
+    worker = r"""
+import json, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+sys.path.insert(0, os.environ["MAGNIFY_TPU_TEST_REPO"])
+from magnify_tpu.ops.detect import find_circles, normalize_planes_u8
+from tests.synth import draw_beads
+
+out = []
+for seed, positions in ((0, [[60, 60], [60, 150], [150, 100], [200, 200]]),
+                        (5, [[80, 120], [170, 60]])):
+    rng = np.random.default_rng(seed)
+    img = (draw_beads((256, 256), positions, diameters=20)
+           + rng.normal(0, 6, (256, 256))).astype(np.float32)
+    plane = normalize_planes_u8(img[None])[0]
+    circles, _ = find_circles(plane, 0.1, 0.9, 20, 1000, 8, 12, 0.3, 8,
+                              detector="dense")
+    out.append(sorted(map(tuple, np.asarray(circles).tolist())))
+print(json.dumps(out))
+"""
+    results = {}
+    for k in ("7", "11"):
+        env = dict(
+            os.environ, MAGNIFY_TPU_HARMONICS=k, JAX_PLATFORMS="cpu",
+            MAGNIFY_TPU_TEST_REPO=str(
+                pathlib.Path(__file__).resolve().parents[1]),
+        )
+        proc = subprocess.run([sys.executable, "-c", worker], env=env,
+                              capture_output=True, text=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        results[k] = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert results["7"] == results["11"]
+    assert sum(len(fixture) for fixture in results["7"]) >= 6
