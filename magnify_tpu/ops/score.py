@@ -89,14 +89,62 @@ def dedupe_circles(circles, valid, *, height: int, width: int, min_radius: int,
                                       max_radius=max_radius)
 
     key_space = raster_key_space(height, width, min_radius, max_radius)
-    if key_space > RASTER_KEY_LIMIT:
+    if key_space >= _INT32_MAX:
         return _dedupe_sorted(row, col, rad, ok, max_radius, cap)
 
-    words = _presence_words(row, col, rad, ok, height=height, width=width,
-                            min_radius=min_radius, max_radius=max_radius)
-    return compact_from_words(words, height=height, width=width,
-                              min_radius=min_radius, max_radius=max_radius,
-                              cap=cap)
+    return _dedupe_sort_compact(row, col, rad, ok, height=height,
+                                width=width, min_radius=min_radius,
+                                max_radius=max_radius, cap=cap)
+
+
+def _dedupe_sort_compact(row, col, rad, ok, *, height: int, width: int,
+                         min_radius: int, max_radius: int, cap: int):
+    """Two-VALUE-sort unique compaction over the (row, col, radius) keys.
+
+    Replaces the presence-scatter + bitmask ranking for the single-chip
+    path (round-5 task 4: the 41 ms scatter floor). XLA's TPU scatter is
+    per-element bound (~122M elem/s: 41 ms for 5e6 candidates,
+    scripts/scatter_experiments.py), but a VALUE sort of the same 5e6
+    int32 keys runs at 9.4 ms — so uniqueness is computed sort-first:
+
+    1. sort the int32 keys (invalid candidates -> INT32_MAX sentinel);
+    2. flag first occurrences elementwise (s[i] != s[i-1]);
+    3. replace duplicates with the sentinel and sort AGAIN — the unique
+       keys compact to the front IN KEY ORDER, so the (cap,) result is a
+       free slice, and no scatter (per-element bound) ever runs.
+
+    Measured chained at 5e6 candidates / 1024^2: 42.7 -> 9.9 ms for the
+    whole dedupe, outputs byte-identical to the bitmask path including
+    order (both emit ascending key-raster order). The bitmask variant
+    (:func:`_presence_words` + :func:`compact_from_words`) remains the
+    mesh path — set union is a bitwise OR on presence words, which is
+    what makes the sharded RANSAC merge bit-identical by construction.
+    ``n_unique`` may exceed ``cap`` (callers grow + retry); rows past
+    ``n_unique`` decode the sentinel and must be masked by ``valid``.
+    """
+    kw = width + 2 * max_radius + 1
+    kr_range = max_radius - min_radius + 1
+    key = ((row + max_radius) * kw + (col + max_radius)) * kr_range + (
+        rad - min_radius
+    )
+    key = jnp.where(ok, key, _INT32_MAX)
+    s = jnp.sort(key)
+    uniq = jnp.ones(s.shape, jnp.bool_).at[1:].set(s[1:] != s[:-1])
+    uniq &= s < _INT32_MAX
+    n_unique = uniq.sum()
+    out_key = jnp.sort(jnp.where(uniq, s, _INT32_MAX))
+    if out_key.shape[0] < cap:  # fewer candidates than output capacity
+        out_key = jnp.pad(out_key, (0, cap - out_key.shape[0]),
+                          constant_values=_INT32_MAX)
+    else:
+        out_key = out_key[:cap]
+    rad_u = out_key % kr_range + min_radius
+    yx = out_key // kr_range
+    col_u = yx % kw - max_radius
+    row_u = yx // kw - max_radius
+    out = jnp.stack([row_u, col_u, rad_u], axis=1)
+    out_valid = jnp.arange(cap) < n_unique
+    return out, out_valid, n_unique
 
 
 def _round_filter(circles, valid, *, height: int, width: int,
