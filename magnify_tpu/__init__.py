@@ -38,6 +38,7 @@ __all__ = [
     "microfluidic_chip_pipe",
     "mrbles",
     "mrbles_pipe",
+    "mrbles_stream",
     "ops",
     "postprocess",
     "preprocess",
@@ -75,5 +76,6 @@ from magnify_tpu.registry import (
     microfluidic_chip_pipe,
     mrbles,
     mrbles_pipe,
+    mrbles_stream,
     readers,
 )

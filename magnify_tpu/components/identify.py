@@ -28,6 +28,21 @@ from magnify_tpu.ops.reduce import fg_mean_bg_median
 __all__ = ["identify_buttons", "identify_mrbles"]
 
 
+def _read_csv(src):
+    """pd.read_csv that REWINDS file-like sources first.
+
+    Pipelines re-run their identify component per assay (and per frame in
+    the ``*_stream`` APIs) with the same spectra/codes/pinlist argument; a
+    StringIO/file handle consumed by the first frame must not come back
+    empty for the second. (The reference consumes the handle and fails on
+    multi-assay inputs, identify.py:53-70 — paths are unaffected either
+    way.)
+    """
+    if hasattr(src, "seek"):
+        src.seek(0)
+    return pd.read_csv(src)
+
+
 def _tags_from_pinlist(pinlist, blank) -> np.ndarray:
     """Parse a pinlist CSV into a (rows, cols) tag grid.
 
@@ -35,7 +50,7 @@ def _tags_from_pinlist(pinlist, blank) -> np.ndarray:
     column of "(col, row)" strings (1-indexed) and a ``MutantID`` name
     column; names in ``blank`` (and missing names) become the empty tag.
     """
-    table = pd.read_csv(pinlist)
+    table = _read_csv(pinlist)
     positions = np.array([
         [int(part) for part in re.findall(r"-?\d+", cell)]
         for cell in table["Indices"]
@@ -222,7 +237,7 @@ def _identify_mrbles_impl(assay, spectra, codes, reference):
         _t0 = now
 
     last_decode_timings.clear()
-    spectra_df = pd.read_csv(spectra)
+    spectra_df = _read_csv(spectra)
     ref_matches = spectra_df[spectra_df["name"] == reference].index
     if len(ref_matches) == 0:
         raise ValueError(
@@ -234,7 +249,7 @@ def _identify_mrbles_impl(assay, spectra, codes, reference):
     lns = spectra_df["name"].to_list()
     num_lns = len(lns)
 
-    codes_df = pd.read_csv(codes)
+    codes_df = _read_csv(codes)
     tag_names = codes_df["name"].to_numpy()
     code_lns = set(codes_df.columns) - {"name"}
     if code_lns != set(lns):
@@ -242,6 +257,16 @@ def _identify_mrbles_impl(assay, spectra, codes, reference):
             f"Lanthanide names in {codes} do not match lanthanide names in "
             f"{spectra}."
         )
+
+    if assay.sizes.get("mark", 0) == 0:
+        # Empty field (mg.beads found nothing): nothing to decode. The
+        # lattice fit / GMM need >= 1 point; return the empty-but-valid
+        # schema instead of crashing (the reference's fit_1d would index
+        # an empty array here, identify.py:118).
+        assay = assay.assign_coords(ln=(("ln",), np.asarray(lns)))
+        assay["ln_vol"] = (("mark", "ln"), np.zeros((0, num_lns)))
+        assay["ln_ratio"] = (("mark", "ln"), np.zeros((0, num_lns)))
+        return assay.assign_coords(tag=(("mark",), np.zeros(0, dtype="<U64")))
 
     # Step 1: lanthanide volumes from SV = I least squares.
     channels = [c for c in _coord_list(assay, "channel")

@@ -507,17 +507,42 @@ def beads_stream(frames, *, stream_depth: int = 2, stream_pull_batch: int = 4,
     (/root/reference/src/magnify/reader.py:284-292). This is the
     TPU-native replacement at the whole-pipeline level (SURVEY §7.9).
     """
-    pipe = beads_pipe(**kwargs)
-    names = pipe.component_names
-    split = names.index("find_beads")
+    return _stream_from_pipe(beads_pipe(**kwargs), frames, stream_depth,
+                             stream_pull_batch)
+
+
+def mrbles_stream(frames, *, spectra, codes, stream_depth: int = 2,
+                  stream_pull_batch: int = 4, **kwargs):
+    """Pipelined multi-frame MRBLEs pipeline (generator).
+
+    The :func:`beads_stream` overlap machinery applied to the full MRBLEs
+    chain: detection pipelines across frames exactly as in
+    ``beads_stream``, and each frame's spectral decoding
+    (``identify_mrbles``) runs on the assembly worker, overlapping the
+    next frames' uploads and device detection. Yields one decoded Dataset
+    per frame, bit-identical to ``mrbles(frame, ...)`` run alone.
+    ``spectra``/``codes`` file-likes are rewound per frame.
+    """
+    return _stream_from_pipe(
+        mrbles_pipe(spectra=spectra, codes=codes, **kwargs), frames,
+        stream_depth, stream_pull_batch,
+    )
+
+
+def _stream_from_pipe(pipe, frames, depth, pull_batch):
+    """Split a bead-finding pipeline at find_beads and run its streaming
+    executor (BeadFinder.stream): pre components feed the producer thread,
+    post components (drop/restore, and identify_mrbles for the mrbles
+    pipe) run per frame on the assembly worker."""
+    split = pipe.component_names.index("find_beads")
     finder = pipe.components[split][1]
     return finder.stream(
         frames,
         reader=pipe.reader,
         pre=pipe.components[:split],
         post=pipe.components[split + 1:],
-        depth=stream_depth,
-        pull_batch=stream_pull_batch,
+        depth=depth,
+        pull_batch=pull_batch,
     )
 
 

@@ -12,8 +12,11 @@ from magnify_tpu.core import DataArray
 from magnify_tpu.ops import detect as ops_detect
 from tests.synth import draw_beads
 
+# detector="dense" explicitly: on the CPU test backend "auto" resolves to
+# ransac, which would silently route every frame through the serial
+# fallback instead of the fused overlap path under test.
 KW = dict(min_bead_diameter=16, max_bead_diameter=24, overlap=0,
-          num_iter=20000, min_roundness=0.3)
+          num_iter=20000, min_roundness=0.3, detector="dense")
 
 
 def make_frame(seed, n_beads):
@@ -65,8 +68,10 @@ def test_stream_depths(depth):
 
 
 def test_stream_empty_frame_mid_stream():
-    rng = np.random.default_rng(0)
-    empty = DataArray(rng.normal(100, 3, (340, 340)).astype(np.float32),
+    # Featureless constant frame: zero detections (noise-only frames can
+    # legitimately surface marginal circles under the exhaustive dense
+    # detector — identically in stream and single-frame runs).
+    empty = DataArray(np.full((340, 340), 100, np.float32),
                       dims=("y", "x"))
     f1, _ = make_frame(1, 5)
     f2, _ = make_frame(2, 3)
@@ -78,8 +83,9 @@ def test_stream_empty_frame_mid_stream():
 def test_stream_ransac_serial_fallback():
     """detector='ransac' cannot take the fused path: the stream must fall
     back to the ordinary serial component chain, same outputs, same order."""
+    kw = dict(KW, detector="ransac")
     frames = [make_frame(s, n)[0] for s, n in zip(range(2), (3, 5))]
-    outs = list(mg.beads_stream(frames, detector="ransac", **KW))
+    outs = list(mg.beads_stream(frames, **kw))
     assert [o.roi.sizes["mark"] for o in outs] == [3, 5]
     assert_streams_match_single(frames, outs, detector="ransac")
 
@@ -130,3 +136,66 @@ def test_stream_consumes_lazy_iterable():
     outs = list(mg.beads_stream(gen_frames(), **KW))
     assert [o.roi.sizes["mark"] for o in outs] == [2, 4, 3]
     assert produced == [0, 1, 2]
+
+
+def test_mrbles_stream_bit_identical_with_shared_csv_handles():
+    """mrbles_stream runs the full decode per frame on the stream's
+    assembly worker: per-frame outputs (tags included) must equal the
+    single-frame pipeline, and the SAME spectra/codes StringIO handles
+    must serve every frame (identify rewinds file-likes)."""
+    import io
+
+    spectra = io.StringIO(
+        "name,c1,c2\neu,1.0,0.1\ndy,0.1,1.0\n")
+    codes = io.StringIO(
+        "name,eu,dy\ncode_a,1.0,0.0\ncode_b,1.0,1.0\n")
+
+    def frame(seed):
+        rng = np.random.default_rng(seed)
+        spectra_m = np.array([[1.0, 0.1], [0.1, 1.0]])
+        chans = np.zeros((2, 300, 300), np.float32)
+        for k, dy in enumerate([0.0, 1.0, 0.0, 1.0, 0.0]):
+            pos = [[60 + 50 * k, 60 + 40 * k]]
+            vols = np.array([100.0, 100.0 * dy])
+            inten = vols @ spectra_m
+            for ci in range(2):
+                chans[ci] += draw_beads((300, 300), pos, diameters=20,
+                                        values=float(inten[ci]) + 1)
+        chans += rng.normal(8.0, 1.5, chans.shape).astype(np.float32)
+        return DataArray(np.maximum(chans, 0), dims=("channel", "y", "x"),
+                         coords={"channel": ["c1", "c2"]})
+
+    kw = dict(overlap=0, min_bead_diameter=16, max_bead_diameter=24,
+              num_iter=20000, min_roundness=0.3, search_channel="c1",
+              detector="dense")
+    frames = [frame(s) for s in range(3)]
+    outs = list(mg.mrbles_stream(frames, spectra=spectra, codes=codes,
+                                 **kw))
+    assert len(outs) == 3
+    for k, (f, o) in enumerate(zip(frames, outs)):
+        ref = mg.mrbles(data=f, spectra=spectra, codes=codes, **kw)
+        assert o.roi.sizes["mark"] == ref.roi.sizes["mark"] >= 5, k
+        assert (o.tag.values == ref.tag.values).all()
+        assert {"code_a", "code_b"} <= set(o.tag.values)
+        np.testing.assert_array_equal(o.x.values, ref.x.values)
+        np.testing.assert_array_equal(o.ln_ratio.values,
+                                      ref.ln_ratio.values)
+
+
+def test_mrbles_empty_field_decodes_to_zero_marks():
+    """An empty frame through the full MRBLEs pipeline returns the valid
+    zero-mark schema instead of crashing the lattice fit."""
+    import io
+
+    rng = np.random.default_rng(0)
+    empty = DataArray(
+        np.stack([rng.normal(10, 2, (300, 300)).astype(np.float32)] * 2),
+        dims=("channel", "y", "x"), coords={"channel": ["c1", "c2"]})
+    spectra = io.StringIO("name,c1,c2\neu,1.0,0.1\ndy,0.1,1.0\n")
+    codes = io.StringIO("name,eu,dy\ncode_a,1.0,0.0\ncode_b,1.0,1.0\n")
+    xp = mg.mrbles(data=empty, spectra=spectra, codes=codes, overlap=0,
+                   min_bead_diameter=16, max_bead_diameter=24,
+                   num_iter=20000, search_channel="c1", detector="dense")
+    assert xp.roi.sizes["mark"] == 0
+    assert xp.tag.values.shape == (0,)
+    assert xp.ln_ratio.values.shape == (0, 2)
