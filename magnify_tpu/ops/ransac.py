@@ -44,7 +44,15 @@ def _gather_rows(table, idx):
 
     ``table`` must be 1-D with length a multiple of 128; all ``idx`` must
     be in range (callers guarantee both).
+
+    Backend-routed: the CPU backend has real random access — its native
+    flat gather is cache-speed while the row trick inflates traffic 128x
+    ((5e6, 128) intermediates = GBs per lookup; measured ~15x on the
+    whole anchor frame, 1.9 -> 29 s, before this guard). Same values
+    gathered either way, so results are bit-identical across backends.
     """
+    if jax.default_backend() == "cpu":
+        return table[idx]
     rows = table.reshape(-1, 128)[idx >> 7]
     lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
     return jnp.sum(jnp.where(lane == (idx & 127)[:, None], rows, 0), axis=1)
@@ -155,11 +163,17 @@ def _candidate_circles_impl(edges, grid_length: int, num_iter: int, key,
     # Cell id from the sampled coordinates directly — arithmetic instead of
     # another num_iter-sized random gather from a cell-id raster.
     c0 = (p0r // grid_length) * n_grid_cols + p0c // grid_length
-    sc_rows = sc.reshape(-1, 128)[c0 >> 6]  # row containing lanes 2c, 2c+1
-    lane = jax.lax.broadcasted_iota(jnp.int32, sc_rows.shape, 1)
-    lane0 = ((c0 & 63) << 1)[:, None]
-    c_starts = jnp.sum(jnp.where(lane == lane0, sc_rows, 0), axis=1)
-    c_counts = jnp.sum(jnp.where(lane == lane0 + 1, sc_rows, 0), axis=1)
+    if jax.default_backend() == "cpu":
+        # Native random access beats the row trick off-TPU (see
+        # _gather_rows): two cache-speed flat gathers, same values.
+        c_starts = sc[2 * c0]
+        c_counts = sc[2 * c0 + 1]
+    else:
+        sc_rows = sc.reshape(-1, 128)[c0 >> 6]  # row with lanes 2c, 2c+1
+        lane = jax.lax.broadcasted_iota(jnp.int32, sc_rows.shape, 1)
+        lane0 = ((c0 & 63) << 1)[:, None]
+        c_starts = jnp.sum(jnp.where(lane == lane0, sc_rows, 0), axis=1)
+        c_counts = jnp.sum(jnp.where(lane == lane0 + 1, sc_rows, 0), axis=1)
 
     # In-cell offsets by float multiply instead of `u % count`: an integer
     # mod with a VECTOR divisor costs ~17 ms per 5e6 elements on v5e (no

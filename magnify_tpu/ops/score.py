@@ -92,6 +92,19 @@ def dedupe_circles(circles, valid, *, height: int, width: int, min_radius: int,
     if key_space >= _INT32_MAX:
         return _dedupe_sorted(row, col, rad, ok, max_radius, cap)
 
+    # Backend-routed, byte-identical either way: TPU scatters are
+    # per-element bound (~41 ms per 5e6) while its VALUE sort runs 9.4 ms,
+    # so TPU takes the two-sort compaction; the CPU backend is the exact
+    # opposite (cache-resident random scatter 35 ms, XLA CPU sort 659 ms
+    # at 5e6 — measured on the anchor host), so CPU keeps the presence-
+    # bitmask path.
+    if jax.default_backend() == "cpu":
+        words = _presence_words(row, col, rad, ok, height=height,
+                                width=width, min_radius=min_radius,
+                                max_radius=max_radius)
+        return compact_from_words(words, height=height, width=width,
+                                  min_radius=min_radius,
+                                  max_radius=max_radius, cap=cap)
     return _dedupe_sort_compact(row, col, rad, ok, height=height,
                                 width=width, min_radius=min_radius,
                                 max_radius=max_radius, cap=cap)
