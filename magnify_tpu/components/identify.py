@@ -100,15 +100,20 @@ def _fit_affine_1d(points_sorted, codes, counts, n_grid: int = 100):
     """
     n_codes = codes.shape[0]
     n_pts = points_sorted.shape[0]
-    scale = (points_sorted[-1] - points_sorted[0]) / jnp.maximum(
-        codes[-1] - codes[0], 1e-30
-    )
+    # Grid anchors from the 5th/95th order statistics, not min/max: the
+    # reference anchors to the extremes (identify.py:118-125), but the
+    # exhaustive dense detector surfaces more noise detections than its
+    # sampled RANSAC, and a handful of extreme ratio outliers surviving
+    # the kNN trim would otherwise drag the scale search window entirely
+    # off the true lattice (observed: search [3, 5]x while the true scale
+    # was 1 — the decode then tags everything "outlier"). Clusters are
+    # tight and the outer levels hold >= 1/levels of the points, so the
+    # 5-95% span tracks the full lattice span on clean data.
+    lo = points_sorted[(n_pts - 1) * 5 // 100]          # floor 5th pct
+    hi = points_sorted[-(-(n_pts - 1) * 95 // 100)]     # ceil 95th pct
+    scale = (hi - lo) / jnp.maximum(codes[-1] - codes[0], 1e-30)
     a_grid = jnp.linspace(0.75 * scale, 1.25 * scale, n_grid)
-    p_grid = jnp.linspace(
-        points_sorted[0],
-        0.25 * points_sorted[-1] + 0.75 * points_sorted[0],
-        n_grid,
-    )
+    p_grid = jnp.linspace(lo, 0.25 * hi + 0.75 * lo, n_grid)
 
     p1 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(points_sorted)])
     p2 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(points_sorted**2)])
@@ -340,6 +345,16 @@ def _identify_mrbles_impl(assay, spectra, codes, reference):
         if len(members) > 1:
             covs[i] += np.cov(members, rowvar=False).reshape(d, d)
     covs[:] = np.median(covs, axis=0)
+    # The ELEMENTWISE median of PSD matrices need not be PSD: with noise
+    # members inflating cross terms, med(c00)*med(c11) can fall below
+    # med(c01)^2 (observed det = -2.4e-6 on a bench fixture), and a
+    # non-PD init kills EM at iteration 0 — the nearest-code fallback
+    # then codes every noise detection. Regularize like the in-loop
+    # update; if still not PD, drop the cross terms (the diagonal of
+    # variances is PD by construction).
+    covs += np.eye(d) * np.abs(np.diagonal(covs[0])).mean() / 10
+    if np.linalg.eigvalsh(covs[0]).min() <= 0:
+        covs[:] = np.diag(np.maximum(np.diagonal(covs[0]), 1e-10))
     proportions[-1] = 1e-10
     proportions /= proportions.sum()
     span = np.log(X_r.max(axis=0) - X_r.min(axis=0)).sum()

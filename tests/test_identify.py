@@ -370,3 +370,59 @@ def test_identify_mrbles_48_codes():
     assert len(decoded) == 48, f"only {len(decoded)} codes decoded"
     accuracy = (tags == truth).mean()
     assert accuracy > 0.9, f"accuracy {accuracy}"
+
+
+def test_decode_robust_to_extreme_ratio_outliers():
+    """Extreme ratio outliers (near-zero reference volume blows the ratio
+    up 30-100x) must not drag the lattice-fit search window off the true
+    lattice: the affine anchors are 5-95% order statistics, not min/max
+    (observed on a bench fixture: the min/max-anchored search locked onto
+    scale ~3x and tagged ALL 108 true beads "outlier")."""
+    ds, truth = synthetic_bead_assay(n_per_code=24, seed=2)
+    roi = ds.roi.values.copy()
+    # Corrupt 4 marks into "tiny eu volume" noise detections: intensities
+    # near zero in the reference-dominated channel, junk elsewhere.
+    rng = np.random.default_rng(0)
+    for i in rng.choice(len(truth), 4, replace=False):
+        vols = np.array([1.0, rng.uniform(40, 120), rng.uniform(-60, 60)])
+        roi[i, :, 0, 3:6, 3:6] = (vols @ SPECTRA)[:, None, None]
+        truth[i] = "outlier"
+    ds["roi"] = (("mark", "channel", "time", "roi_y", "roi_x"), roi)
+    out = identify_mrbles(ds, spectra=spectra_csv(), codes=codes_csv(),
+                          reference="eu")
+    tags = out.tag.values
+    real = truth != "outlier"
+    # The lattice must LOCK: pre-fix, the corrupted scale window tagged
+    # every real bead "outlier" (0% here). A few fringe beads may still
+    # fall to the outlier component — that's the QC working, not a miss.
+    assert (tags[real] == truth[real]).mean() > 0.9
+    assert len(np.unique(tags[real])) >= len(CODES)
+    assert (tags[~real] == "outlier").all()
+
+
+def test_decode_gmm_init_survives_correlated_clusters():
+    """The EM's shared initial covariance is the ELEMENTWISE median of
+    per-code covariances, which for correlated clusters need not be
+    positive definite — a non-PD init killed EM at iteration 0 and the
+    nearest-code fallback then coded every noise detection. The init is
+    now regularized/projected; strongly diagonal-correlated clusters must
+    still decode with EM converging (no blanket fallback)."""
+    ds, truth = synthetic_bead_assay(n_per_code=30, seed=3)
+    roi = ds.roi.values.copy()
+    # Re-synthesize intensities with strongly CORRELATED per-cluster
+    # scatter: each bead's dy/sm volumes move together along y=x.
+    rng = np.random.default_rng(1)
+    i = 0
+    for name, (dy_r, sm_r) in CODES.items():
+        for _ in range(30):
+            eu = rng.uniform(90, 110)
+            c = rng.normal(0, 6.0)          # shared (correlated) component
+            e = rng.normal(0, 0.2, 2)       # tiny orthogonal noise
+            vols = np.array([eu, dy_r * eu + c + e[0], sm_r * eu + c + e[1]])
+            roi[i, :, 0, 3:6, 3:6] = (vols @ SPECTRA)[:, None, None]
+            i += 1
+    ds["roi"] = (("mark", "channel", "time", "roi_y", "roi_x"), roi)
+    out = identify_mrbles(ds, spectra=spectra_csv(), codes=codes_csv(),
+                          reference="eu")
+    tags = out.tag.values
+    assert (tags == truth).mean() > 0.95, (tags != truth).sum()
