@@ -337,8 +337,9 @@ def measure_mrbles_pipelined(n_frames: int = 6, n_runs: int = 3) -> dict:
     to session relay health)."""
     import magnify_tpu as mg
 
-    frames = [make_mrbles_workload(seed=s)[0] for s in range(n_frames)]
-    n_true = [make_mrbles_workload(seed=s)[1] for s in range(1)][0]
+    built = [make_mrbles_workload(seed=s) for s in range(n_frames)]
+    frames = [d for d, _ in built]
+    n_true = built[0][1]
     kw = dict(overlap=0, min_bead_diameter=16, max_bead_diameter=24,
               num_iter=NUM_ITER, min_roundness=0.3, search_channel="620",
               stream_depth=4, stream_pull_batch=4)
