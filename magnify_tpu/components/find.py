@@ -739,7 +739,12 @@ class BeadFinder:
         mesh = active_mesh()
         if (image_np is None and self.gui is None
                 and ops_detect.resolve_detector(self.detector) == "dense"
-                and mesh is not None and mesh.size > 1):
+                and mesh is not None and mesh.size > 1
+                # Multi-controller host-sharded ingest needs equal
+                # per-host channel blocks; otherwise fall through to the
+                # working serial per-channel path instead of raising.
+                and (jax.process_count() == 1
+                     or len(search_channels) % jax.process_count() == 0)):
             # Out-of-core x multi-chip (round-4 verdict weak #3): the lazy
             # stack's search planes stream through host normalization one
             # at a time and feed the BATCHED mesh detector directly
@@ -932,7 +937,13 @@ class BeadFinder:
         while True:
             n, worst = int(packed[0, 0]), int(packed[0, 1])
             if worst <= cap:
-                ops_detect._cap_memo[memo_key] = cap
+                # Max-write: in a batched stream, a neighbor frame in the
+                # same flush may have grown the memo after this entry was
+                # dispatched with a stale cap — writing the stale value
+                # back would re-shrink it and every later frame would pay
+                # an overflow re-dispatch.
+                if cap > ops_detect._cap_memo.get(memo_key, 0):
+                    ops_detect._cap_memo[memo_key] = cap
                 break
             cap = ops_detect._grow_cap(worst, cap)
             packed_d, beads_full = self._dispatch_detect(
@@ -945,10 +956,12 @@ class BeadFinder:
             beads_i = np.concatenate(
                 [beads_i, np.asarray(beads_full[pull_cap:n])]
             )
-            ops_detect._cap_memo[pull_key] = min(
+            grown_pull = min(
                 ops_detect._pow2_at_least(n + 1, 512, 1 << 20) - 1,
                 n_search * cap - 1,
             )
+            if grown_pull > ops_detect._cap_memo.get(pull_key, 0):
+                ops_detect._cap_memo[pull_key] = grown_pull
         return beads_i
 
     def _collect_detect(self, planes_dev, packed_d, beads_full, n_search,
@@ -1161,13 +1174,27 @@ class BeadFinder:
             """Pull the oldest ``k`` in-flight frames with ONE host sync
             (a tiny jitted stack of their packed blocks when k > 1) and
             hand each frame's host assembly to the worker. Runs on the
-            main thread — the cap memo is main-thread state."""
+            main thread — the cap memo is main-thread state.
+
+            Packed blocks are (pull_cap + 1, 3), and pull_cap can change
+            mid-stream (memo growth after an overflow, or heterogeneous
+            frame shapes with different memo entries) — jnp.stack needs
+            equal shapes, so the batch is stacked per run of equal shape
+            (a transition costs one extra sync, then the stream re-settles
+            on the grown cap)."""
             entries = [inflight.popleft() for _ in range(k)]
-            if len(entries) == 1:
-                packed_list = [np.asarray(entries[0][4])]
-            else:
-                packed_list = list(np.asarray(
-                    _stack_packed(*[e[4] for e in entries])))
+            packed_list = []
+            run_start = 0
+            for i in range(1, len(entries) + 1):
+                if (i == len(entries)
+                        or entries[i][4].shape != entries[run_start][4].shape):
+                    run = entries[run_start:i]
+                    if len(run) == 1:
+                        packed_list.append(np.asarray(run[0][4]))
+                    else:
+                        packed_list.extend(np.asarray(
+                            _stack_packed(*[e[4] for e in run])))
+                    run_start = i
             for entry, packed in zip(entries, packed_list):
                 (assay, image_np, planes_dev, search_idxs, _packed_d,
                  full_d, memo_key, pull_key, cap, pull_cap) = entry

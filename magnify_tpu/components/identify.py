@@ -97,23 +97,25 @@ def _fit_affine_1d(points_sorted, codes, counts, n_grid: int = 100):
     Vmapped version of the reference's numba grid search (identify.py:107-147):
     points are assigned to the nearest lattice cluster by midpoint boundaries,
     cost = 100 * mean per-cluster MSE + mean squared cluster-size mismatch.
+
+    TWO search windows are evaluated and the lower-cost fit wins:
+
+    * min/max anchors — the reference's window (identify.py:118-125),
+      which covers unbalanced panels whose extreme code level holds very
+      few points, but which a handful of extreme ratio outliers (noise
+      detections with near-zero reference volume; the exhaustive dense
+      detector surfaces more of them than the reference's sampled
+      RANSAC) can drag entirely off the true lattice (observed: search
+      [3, 5]x while the true scale was 1 — the decode then tagged every
+      real bead "outlier");
+    * 5th/95th order-statistic anchors — robust to those outliers, since
+      the outer levels of a balanced panel hold >= 1/levels of points.
+
+    The true fit minimizes the cost under either window, so taking the
+    minimum over both grids is exact whenever either window covers it.
     """
     n_codes = codes.shape[0]
     n_pts = points_sorted.shape[0]
-    # Grid anchors from the 5th/95th order statistics, not min/max: the
-    # reference anchors to the extremes (identify.py:118-125), but the
-    # exhaustive dense detector surfaces more noise detections than its
-    # sampled RANSAC, and a handful of extreme ratio outliers surviving
-    # the kNN trim would otherwise drag the scale search window entirely
-    # off the true lattice (observed: search [3, 5]x while the true scale
-    # was 1 — the decode then tags everything "outlier"). Clusters are
-    # tight and the outer levels hold >= 1/levels of the points, so the
-    # 5-95% span tracks the full lattice span on clean data.
-    lo = points_sorted[(n_pts - 1) * 5 // 100]          # floor 5th pct
-    hi = points_sorted[-(-(n_pts - 1) * 95 // 100)]     # ceil 95th pct
-    scale = (hi - lo) / jnp.maximum(codes[-1] - codes[0], 1e-30)
-    a_grid = jnp.linspace(0.75 * scale, 1.25 * scale, n_grid)
-    p_grid = jnp.linspace(lo, 0.25 * hi + 0.75 * lo, n_grid)
 
     p1 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(points_sorted)])
     p2 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(points_sorted**2)])
@@ -137,11 +139,26 @@ def _fit_affine_1d(points_sorted, codes, counts, n_grid: int = 100):
         size_term = ((n / n_pts - counts / counts.sum()) ** 2).mean()
         return 100 * mse.mean() + size_term
 
-    costs = jax.vmap(
-        lambda a: jax.vmap(lambda p: cost_fn(a, p))(p_grid)
-    )(a_grid)
-    idx = jnp.argmin(costs)
-    return a_grid[idx // n_grid], p_grid[idx % n_grid]
+    code_span = jnp.maximum(codes[-1] - codes[0], 1e-30)
+
+    def search(lo, hi):
+        scale = (hi - lo) / code_span
+        a_grid = jnp.linspace(0.75 * scale, 1.25 * scale, n_grid)
+        p_grid = jnp.linspace(lo, 0.25 * hi + 0.75 * lo, n_grid)
+        costs = jax.vmap(
+            lambda a: jax.vmap(lambda p: cost_fn(a, p))(p_grid)
+        )(a_grid)
+        idx = jnp.argmin(costs)
+        return costs.reshape(-1)[idx], a_grid[idx // n_grid], \
+            p_grid[idx % n_grid]
+
+    c_mm, a_mm, p_mm = search(points_sorted[0], points_sorted[-1])
+    c_q, a_q, p_q = search(
+        points_sorted[(n_pts - 1) * 5 // 100],       # floor 5th pct
+        points_sorted[-(-(n_pts - 1) * 95 // 100)],  # ceil 95th pct
+    )
+    use_q = c_q < c_mm
+    return jnp.where(use_q, a_q, a_mm), jnp.where(use_q, p_q, p_mm)
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters",))

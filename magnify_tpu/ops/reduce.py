@@ -53,11 +53,26 @@ def measured_transfer_rate(sample_bytes: int = 2 << 20,
         return _transfer_probe["rate"]
     rate = None
     try:
-        buf = np.ones(sample_bytes, np.uint8)  # pre-faulted pages
-        t0 = time.monotonic()
-        arr = jax.device_put(buf)
-        np.asarray(arr)  # the pull is the only reliable sync on relays
-        dt = max(time.monotonic() - t0, 1e-6)
+        def round_trip(n):
+            buf = np.ones(n, np.uint8)  # pre-faulted pages
+            t0 = time.monotonic()
+            arr = jax.device_put(buf)
+            np.asarray(arr)  # the pull is the only reliable sync on relays
+            return max(time.monotonic() - t0, 1e-6)
+
+        # Subtract a tiny round trip so latency doesn't masquerade as low
+        # bandwidth: a 2 MiB probe through a 35 ms-RTT link measures
+        # ~115 MB/s regardless of true throughput — which would wrongly
+        # route every big store to the host twin on high-latency
+        # high-bandwidth links. dt_big - dt_small isolates the per-byte
+        # transfer cost. The first transfer of a session pays one-time
+        # setup (observed 425 ms for 4 KB cold vs 30 ms warm — enough to
+        # make dt_small exceed dt_big and fabricate a GB/s link), so one
+        # untimed warmup precedes the measurements.
+        round_trip(4096)
+        dt_small = round_trip(4096)
+        dt_big = round_trip(sample_bytes)
+        dt = max(dt_big - dt_small, 1e-4)
         rate = 2.0 * sample_bytes / dt  # bytes crossed the link twice
     except Exception:
         rate = None

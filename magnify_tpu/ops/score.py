@@ -99,6 +99,11 @@ def dedupe_circles(circles, valid, *, height: int, width: int, min_radius: int,
     # at 5e6 — measured on the anchor host), so CPU keeps the presence-
     # bitmask path.
     if jax.default_backend() == "cpu":
+        if key_space > RASTER_KEY_LIMIT:
+            # The presence raster (1 B/slot bool + 4 B/slot packed-bits
+            # intermediate) would cost GBs past this point — argsort
+            # compaction instead, as before the raster path existed.
+            return _dedupe_sorted(row, col, rad, ok, max_radius, cap)
         words = _presence_words(row, col, rad, ok, height=height,
                                 width=width, min_radius=min_radius,
                                 max_radius=max_radius)

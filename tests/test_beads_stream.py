@@ -199,3 +199,19 @@ def test_mrbles_empty_field_decodes_to_zero_marks():
     assert xp.roi.sizes["mark"] == 0
     assert xp.tag.values.shape == (0,)
     assert xp.ln_ratio.values.shape == (0, 2)
+
+
+def test_stream_pull_cap_growth_mid_batch(monkeypatch):
+    """The pull-cap memo can grow mid-stream (overflow observed at a
+    batched pull while later frames are already dispatched with the old
+    cap) — the flush must stack per run of equal packed shape instead of
+    crashing jnp.stack on mixed shapes, and the memo must not be
+    re-shrunk by stale writes from neighbors in the same batch."""
+    from tests.test_beads_dense import _Memo
+
+    monkeypatch.setattr(ops_detect, "_cap_memo", _Memo(cap0=64, pull0=3))
+    counts = (6, 7, 5, 8, 6, 7, 5, 6)
+    frames = [make_frame(s, n)[0] for s, n in zip(range(8), counts)]
+    outs = list(mg.beads_stream(frames, **KW))
+    assert [o.roi.sizes["mark"] for o in outs] == list(counts)
+    assert_streams_match_single(frames, outs)

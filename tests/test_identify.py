@@ -426,3 +426,26 @@ def test_decode_gmm_init_survives_correlated_clusters():
                           reference="eu")
     tags = out.tag.values
     assert (tags == truth).mean() > 0.95, (tags != truth).sum()
+
+
+def test_decode_rare_extreme_level_panel():
+    """Unbalanced panel: only 1 of 25 codes uses the top level of a
+    lanthanide (~4% of points — below the 5-95% quantile anchors). The
+    lattice fit must still cover the true scale via its min/max search
+    window (the fit evaluates both windows and keeps the lower cost), so
+    the rare code decodes instead of the whole axis collapsing."""
+    codes = {f"code_{d}{s}{t}": (1.5 * d, 2.0 * s, 2.5 * t)
+             for d in range(2) for s in range(3) for t in range(2)}
+    codes["code_rare"] = (4.5, 0.0, 0.0)  # dy level 3: 8/200 points
+    import io
+
+    rows = ["name,eu,dy,sm,tm"]
+    rows += [f"{n},1.0,{d},{s},{t}" for n, (d, s, t) in codes.items()]
+    codes_io = io.StringIO("\n".join(rows))
+    ds, truth = synthetic_bead_assay_24(n_per_code=8, seed=9, codes=codes)
+    out = identify_mrbles(ds, spectra=spectra4_csv(), codes=codes_io,
+                          reference="eu")
+    tags = out.tag.values
+    accuracy = (tags == truth).mean()
+    assert accuracy > 0.95, f"accuracy {accuracy}"
+    assert (tags[truth == "code_rare"] == "code_rare").mean() > 0.7
